@@ -1,0 +1,37 @@
+"""Engine-portable 64-bit hashing.
+
+All probabilistic operators (minhash, simhash, LSH) build on ``hash64``:
+the first 15 hex chars of md5 parsed as an integer (60 bits, always
+positive, fits BIGINT).  md5 is standard everywhere, so the exact same
+value is computable in DuckDB (oracle), Spark SQL (JVM-side, whole-stage
+codegen — no Python in the hot path), or any other engine.  This also
+makes every "random" projection/permutation deterministic and stable
+across cluster sizes and Spark versions, which is what you want when a
+100 TB dedup job is resumed or re-run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^61-1: modulus for universal-hash families (a*h+b) % P.
+MERSENNE_61 = (1 << 61) - 1
+
+
+def hash64(col: Column | str, salt: str = "") -> Column:
+    """Portable 60-bit hash of a string column (JVM-side md5+conv)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if salt:
+        c = F.concat(F.lit(salt), c)
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+#: DuckDB expression template computing the identical value; format with the
+#: SQL expression for the (already salted) string, e.g.
+#: ``sql_hash64("'salt' || w")``.
+SQL_HASH64 = "(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+def sql_hash64(expr: str) -> str:
+    return SQL_HASH64.format(expr=expr)

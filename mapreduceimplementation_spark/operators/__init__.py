@@ -1,0 +1,6 @@
+"""Operator modules — importing this package registers all queries."""
+
+from mapreduceimplementation_spark.operators import (  # noqa: F401
+    mrcore,
+    mapreduce,
+)

@@ -1,0 +1,152 @@
+"""MapReduce-core operators: reference-parity word count, inverted index,
+grep, per-file counts, distributed sort (SURVEY.md §2 A1–A5).
+
+These are the reference's mrapps re-expressed as declarative DataFrame
+plans: Catalyst gives partial (map-side) aggregation for the counts —
+exactly the combiner optimization the MapReduce paper describes — and a
+range-partitioned exchange for the global sort (the TeraSort shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mapreduceimplementation_spark.functions.text import WORD_SEP_RE, word_tokens
+from mapreduceimplementation_spark.registry import register
+from mapreduceimplementation_spark.session import tune
+from mapreduceimplementation_spark.sources.tables import load_table
+
+# Shared oracle fragment: one row per (doc_id, word occurrence), wc.go split
+# semantics (runs of ASCII letters).
+_SQL_WORDS = """
+    SELECT doc_id, w AS word
+    FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS w
+        FROM documents
+    )
+    WHERE w <> ''
+"""
+
+
+@register(
+    "mr_wordcount",
+    oracle=f"""
+    SELECT word, count(*) AS cnt
+    FROM ({_SQL_WORDS})
+    GROUP BY word
+    """,
+)
+def mr_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count — parity with reference src/mrapps/wc.go (Map: split on
+    non-letters emit (w,1); Reduce: count).  Map-side combine comes from
+    Catalyst partial aggregation; one shuffle on word."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        word_tokens(docs)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "mr_inverted_index",
+    oracle=f"""
+    SELECT word,
+           count(DISTINCT doc_id) AS df,
+           array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS docs
+    FROM ({_SQL_WORDS})
+    GROUP BY word
+    """,
+)
+def mr_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index — parity with reference src/mrapps/indexer.go (Map:
+    distinct words per doc → (w, doc); Reduce: "<count> <sorted docs>").
+    Emitted as typed columns (df, comma-joined sorted doc list)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        word_tokens(docs)
+        .select("word", "doc_id")
+        .distinct()  # indexer.go dedups words within a doc before emit
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(F.sort_array(F.collect_set("doc_id")), ",").alias("docs"),
+        )
+    )
+
+
+@register(
+    "mr_grep",
+    oracle=r"""
+    SELECT doc_id, source,
+           length(text) - length(regexp_replace(text, 'spark', '', 'g')) AS n_hits
+    FROM documents
+    WHERE regexp_matches(text, 'spark')
+    """,
+)
+def mr_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed grep (MapReduce paper §2.3 example): emit matching docs
+    with match counts.  The rlike filter is evaluated in the scan stage;
+    only matching rows flow downstream (no shuffle at all)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    pat = "spark"
+    return docs.where(F.col("text").rlike(pat)).select(
+        "doc_id",
+        "source",
+        (
+            (F.length("text") - F.length(F.regexp_replace("text", pat, "")))
+        ).cast("long").alias("n_hits"),
+    )
+
+
+@register(
+    "mr_file_lengths",
+    oracle=f"""
+    SELECT doc_id, count(*) AS n_words, any_value(n_chars) AS n_chars
+    FROM ({_SQL_WORDS}) w
+    JOIN (SELECT doc_id AS d2, n_chars FROM documents) d ON w.doc_id = d.d2
+    GROUP BY doc_id
+    """,
+)
+def mr_file_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-input-file record counts — parity with reference
+    src/mrapps/early_exit.go (Map: (file,1); Reduce: count), widened to
+    word counts + char length per document."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    return (
+        word_tokens(docs)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.first("n_chars").alias("n_chars"),
+        )
+    )
+
+
+@register(
+    "mr_distributed_sort",
+    oracle="""
+    SELECT row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank,
+           doc_id, n_chars
+    FROM documents
+    """,
+)
+def mr_distributed_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort with rank (MapReduce-paper TeraSort shape).  Spark plans
+    a range-partitioned exchange (sampled split points) — the scalable
+    equivalent of the paper's partitioned sort.  NOTE: the single-partition
+    row_number window here is the *verifiable* rank emitter for small SF;
+    at 100 TB you keep sortWithinPartitions + zipWithIndex-free ranking via
+    partition offsets (see tests/test_mrcore.py for the plan assertion)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return docs.select(
+        F.row_number().over(w).cast("long").alias("rank"), "doc_id", "n_chars"
+    )

@@ -1,0 +1,111 @@
+from __future__ import annotations
+
+import mapreduceimplementation_spark as eng
+from tests.conftest import assert_same_result
+
+eng.load_all_operators()
+
+
+def test_wordcount_matches_oracle(spark, sf_dir, duck):
+    df = eng.QUERIES["mr_wordcount"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["mr_wordcount"])
+
+
+def test_wordcount_partial_agg_plan(spark, sf_dir):
+    """Map-side combine must be present (the MapReduce-paper combiner)."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        eng.QUERIES["mr_wordcount"](spark, sf_dir).explain("formatted")
+    plan = buf.getvalue()
+    assert "partial_count" in plan, plan
+
+
+def test_inverted_index_matches_oracle(spark, sf_dir, duck):
+    df = eng.QUERIES["mr_inverted_index"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["mr_inverted_index"])
+
+
+def test_grep_matches_oracle(spark, sf_dir, duck):
+    df = eng.QUERIES["mr_grep"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["mr_grep"])
+
+
+def test_file_lengths_matches_oracle(spark, sf_dir, duck):
+    df = eng.QUERIES["mr_file_lengths"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["mr_file_lengths"])
+
+
+def test_distributed_sort_matches_oracle(spark, sf_dir, duck):
+    df = eng.QUERIES["mr_distributed_sort"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["mr_distributed_sort"])
+
+
+def test_generic_engine_wc_parity(spark, sf_dir):
+    """Generic Arrow-batched engine output == native DataFrame plan output
+    (the reference's test-mr.sh 'same as sequential golden' gate)."""
+    native = {
+        (r["word"], str(r["cnt"]))
+        for r in eng.QUERIES["mr_wordcount"](spark, sf_dir).collect()
+    }
+    generic = {
+        (r["key"], r["value"])
+        for r in eng.QUERIES["mr_generic_wc"](spark, sf_dir).collect()
+    }
+    assert native == generic
+
+
+def test_generic_engine_indexer_parity(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mapreduceimplementation_spark.operators.mapreduce import (
+        indexer_map,
+        indexer_reduce,
+        map_reduce,
+    )
+    from mapreduceimplementation_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    def norm(count: int, docs_csv: str):
+        # reference indexer.go sorts doc names lexicographically; the native
+        # plan sorts typed bigints numerically — compare as sets
+        return int(count), frozenset(docs_csv.split(","))
+
+    generic = {
+        (r["key"], norm(*r["value"].split(" ", 1)))
+        for r in map_reduce(
+            docs, indexer_map, indexer_reduce, key_col="doc_id", value_col="text"
+        ).collect()
+    }
+    native = {
+        (r["word"], norm(r["df"], r["docs"]))
+        for r in eng.QUERIES["mr_inverted_index"](spark, sf_dir)
+        .select("word", "df", "docs")
+        .collect()
+    }
+    assert native == generic
+
+
+def test_determinism_under_repartition(spark, sf_dir):
+    """Output independent of task layout (reference jobcount/crash tests:
+    re-execution must not change visible output)."""
+    from mapreduceimplementation_spark.functions.text import word_tokens
+    from mapreduceimplementation_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = (
+        word_tokens(docs.repartition(1))
+        .groupBy("word")
+        .count()
+        .collect()
+    )
+    b = (
+        word_tokens(docs.repartition(7))
+        .groupBy("word")
+        .count()
+        .collect()
+    )
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
