@@ -1,0 +1,230 @@
+"""Text-analysis operators for LLM-data pipelines (SURVEY.md §2 C2–C5):
+token counting, quality scoring, language ID, document fingerprinting.
+
+All per-row arithmetic on built-in functions (whole-stage codegen, no
+shuffle except the fingerprint's per-doc top-k) — these run at scan speed
+on 100 TB and are the filters you put *before* expensive dedup stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mapreduceimplementation_spark.functions.hashing import hash64, sql_hash64
+from mapreduceimplementation_spark.functions.text import char_ngrams
+from mapreduceimplementation_spark.registry import register
+from mapreduceimplementation_spark.session import tune
+from mapreduceimplementation_spark.sources.tables import load_table
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation —
+# ASCII classes only so Java regex (Spark) and RE2 (DuckDB) agree.
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+_WS_RE = "[^ ]+"
+
+_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is")
+
+
+@register(
+    "token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(text, '{_WS_RE}')) AS BIGINT) AS n_ws_tokens,
+           CAST(length(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS n_bpe_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_actual
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counts per document — the unit used for
+    dataset size accounting and length filtering."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_WS_RE)).cast("long").alias("n_ws_tokens"),
+        F.regexp_count("text", F.lit(_BPE_RE)).cast("long").alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+_SQL_STOP_RE = "\\b(" + "|".join(_STOPWORDS) + ")\\b"
+
+
+@register(
+    "quality_score",
+    oracle=f"""
+    SELECT doc_id, n_words, stop_ratio, punct_ratio, score
+    FROM (
+        SELECT doc_id,
+               n_words,
+               ROUND(CASE WHEN n_words > 0 THEN n_stop * 1.0 / n_words ELSE 0.0 END, 6) AS stop_ratio,
+               ROUND(CASE WHEN n_chars_a > 0 THEN n_punct * 1.0 / n_chars_a ELSE 0.0 END, 6) AS punct_ratio,
+               ROUND(
+                 (CASE WHEN n_words > 0 THEN n_stop * 1.0 / n_words ELSE 0.0 END) * 0.5
+                 + (1.0 - (CASE WHEN n_chars_a > 0 THEN n_punct * 1.0 / n_chars_a ELSE 0.0 END)) * 0.3
+                 + (CASE WHEN n_words < 100 THEN n_words ELSE 100 END) * 1.0 / 100 * 0.2, 6) AS score
+        FROM (
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
+                   CAST(length(regexp_extract_all(lower(text), '{_SQL_STOP_RE}')) AS BIGINT) AS n_stop,
+                   CAST(length(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS n_punct,
+                   CAST(length(text) AS BIGINT) AS n_chars_a
+            FROM documents WHERE text IS NOT NULL
+        )
+    )
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: stopword ratio (fluency proxy),
+    punctuation density, length saturation — pure +-*/ so the score is
+    bit-identical on any engine (no exp/log libm variance)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.regexp_count("text", F.lit("[A-Za-z]+")).cast("long").alias("n_words"),
+        F.regexp_count(F.lower("text"), F.lit(_SQL_STOP_RE)).cast("long").alias("n_stop"),
+        F.regexp_count("text", F.lit("[^A-Za-z0-9 ]")).cast("long").alias("n_punct"),
+        F.length("text").cast("long").alias("n_chars_a"),
+    )
+    stop_ratio = F.when(
+        F.col("n_words") > 0, F.col("n_stop") * 1.0 / F.col("n_words")
+    ).otherwise(0.0)
+    punct_ratio = F.when(
+        F.col("n_chars_a") > 0, F.col("n_punct") * 1.0 / F.col("n_chars_a")
+    ).otherwise(0.0)
+    length_sat = (
+        F.when(F.col("n_words") < 100, F.col("n_words")).otherwise(100) * 1.0 / 100
+    )
+    return base.select(
+        "doc_id",
+        "n_words",
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio * 0.5 + (1.0 - punct_ratio) * 0.3 + length_sat * 0.2, 6).alias(
+            "score"
+        ),
+    )
+
+
+# Language stopword profiles (n-gram heuristic).  The corpus is synthetic so
+# this is demonstrative, but the plan shape is the real one: K regexp counts
+# + deterministic argmax, no Python.
+_LANG_PROFILES = {
+    "de": ("der", "die", "das", "und", "ist"),
+    "en": ("the", "a", "is", "of", "and"),
+    "es": ("el", "la", "de", "que", "es"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "zh": ("de", "le", "shi", "bu", "zai"),
+}
+
+
+def _lang_re(lang: str) -> str:
+    return "\\b(" + "|".join(_LANG_PROFILES[lang]) + ")\\b"
+
+
+_LANGS = sorted(_LANG_PROFILES)  # alphabetical = deterministic tie-break
+
+
+def _argmax_sql() -> str:
+    # CASE chain: first lang (alphabetical) whose score >= all later ones
+    clauses = []
+    for i, li in enumerate(_LANGS):
+        conds = [f"s_{li} >= s_{lj}" for lj in _LANGS[i + 1 :]]
+        cond = " AND ".join(conds) if conds else "TRUE"
+        clauses.append(f"WHEN {cond} THEN '{li}'")
+    return "CASE " + " ".join(clauses) + " END"
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+    SELECT doc_id, {_argmax_sql()} AS pred_lang,
+           {" + ".join(f"s_{l}" for l in _LANGS)} AS total_hits
+    FROM (
+        SELECT doc_id,
+               {", ".join(
+                   f"CAST(length(regexp_extract_all(lower(text), '{_lang_re(l)}')) AS BIGINT) AS s_{l}"
+                   for l in _LANGS
+               )}
+        FROM documents WHERE text IS NOT NULL
+    )
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID with a deterministic alphabetical
+    tie-break (greatest-score argmax)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        *[
+            F.regexp_count(F.lower("text"), F.lit(_lang_re(l))).cast("long").alias(f"s_{l}")
+            for l in _LANGS
+        ],
+    )
+    pred = None
+    for i, li in enumerate(_LANGS):
+        cond = F.lit(True)
+        for lj in _LANGS[i + 1 :]:
+            cond = cond & (F.col(f"s_{li}") >= F.col(f"s_{lj}"))
+        pred = F.when(cond, li) if pred is None else pred.when(cond, li)
+    total = None
+    for l in _LANGS:
+        total = F.col(f"s_{l}") if total is None else total + F.col(f"s_{l}")
+    return base.select("doc_id", pred.alias("pred_lang"), total.alias("total_hits"))
+
+
+_FP_N = 8  # shingle width
+_FP_K = 4  # k smallest shingle hashes kept per doc
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(length(text) - {_FP_N - 1}, 0) + 1),
+                          i -> substr(text, i::INT, {_FP_N}))) AS sh
+            FROM documents WHERE text IS NOT NULL AND length(text) >= {_FP_N}
+        )
+    ), hashed AS (
+        SELECT doc_id, {sql_hash64("sh")} AS h,
+               row_number() OVER (PARTITION BY doc_id ORDER BY {sql_hash64("sh")}) AS rn
+        FROM sh
+    )
+    SELECT doc_id,
+           string_agg(CAST(h AS VARCHAR), ',' ORDER BY h) AS fingerprint,
+           min(h) AS min_hash
+    FROM hashed WHERE rn <= {_FP_K}
+    GROUP BY doc_id
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: k-smallest shingle hashes (winnowing-style
+    k-min sketch over a rolling window of char {n}-grams).  The sketch is a
+    compact, mergeable identity for near-dup detection and incremental
+    corpus diffing; built entirely from codegen'd expressions."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = (
+        docs.where(F.col("text").isNotNull() & (F.length("text") >= _FP_N))
+        .select("doc_id", F.explode(char_ngrams("text", _FP_N)).alias("sh"))
+        .distinct()
+    )
+    hashed = sh.select("doc_id", hash64("sh").alias("h"))
+    w = Window.partitionBy("doc_id").orderBy("h")
+    topk = hashed.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= _FP_K)
+    return topk.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("h")),  # numeric sort, then stringify
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("fingerprint"),
+        F.min("h").alias("min_hash"),
+    )

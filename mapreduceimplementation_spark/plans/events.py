@@ -1,0 +1,121 @@
+"""Event-stream batch analytics (SURVEY.md §2 B7–B9): windowed aggregation,
+gap sessionization, JSON prop extraction.  All pure built-ins — the same
+plans re-run under Structured Streaming in streaming/ (D1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mapreduceimplementation_spark.functions.stable import dsum, sql_dsum
+from mapreduceimplementation_spark.registry import register
+from mapreduceimplementation_spark.session import tune
+from mapreduceimplementation_spark.sources.tables import load_table
+
+
+@register(
+    "events_minutely",
+    oracle=f"""
+    SELECT date_trunc('minute', ts) AS minute,
+           event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           {sql_dsum('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_minutely(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-minute aggregation — the batch twin of D1's streaming
+    window.  Single shuffle; distinct-user count is partial-aggregated."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "user_id", "value")
+    return (
+        ev.groupBy(
+            F.date_trunc("minute", "ts").alias("minute"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts, event_id, value,
+               sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           {sql_dsum('value')} AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization with windows only (lag + running sum) —
+    no Python, no iterative state.  One shuffle on user_id serves both
+    window functions and the final aggregate (same partition key)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES")),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        dsum("value").alias("total_value"),
+    )
+
+
+@register(
+    "events_json_props",
+    oracle="""
+    SELECT event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: JSON prop → typed column → aggregate.
+    get_json_object runs JVM-side; at scale prefer from_json with an
+    explicit schema so the parse is vectorized once."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_type", "props")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy("event_type", (k % 10).alias("k_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

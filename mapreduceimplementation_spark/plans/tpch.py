@@ -1,0 +1,262 @@
+"""Relational analytics plans (SURVEY.md §2 B1–B6).
+
+These are the queries a MapReduce user graduates to once the engine
+generalizes (the reference's wc/indexer are both one-shuffle groupBy-aggs;
+these add joins, windows, and semi-joins).  Plan-shape goals at 100 TB:
+bounded dims (region, nation) broadcast; fact-fact joins shuffle on join
+keys with AQE skew handling; aggregates are partial (map-side combine);
+scans carry PushedFilters + pruned ReadSchema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mapreduceimplementation_spark.functions.stable import (
+    davg,
+    dsum,
+    sql_davg,
+    sql_dsum,
+)
+from mapreduceimplementation_spark.registry import register
+from mapreduceimplementation_spark.session import tune
+from mapreduceimplementation_spark.sources.tables import load_table
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {sql_davg('l_quantity')} AS avg_qty,
+           {sql_davg('l_extendedprice')} AS avg_price,
+           {sql_davg('l_discount')} AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: single-pass scan + one shuffle on a tiny key space.
+    The shipdate predicate reaches the parquet scan (PushedFilters)."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT o_orderkey, revenue, o_orderdate, o_orderpriority
+    FROM (
+        SELECT o_orderkey,
+               {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+               any_value(o_orderdate) AS o_orderdate,
+               any_value(o_orderpriority) AS o_orderpriority
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+          AND l_shipdate  > TIMESTAMP '1998-06-01 00:00:00'
+        GROUP BY o_orderkey
+    )
+    QUALIFY row_number() OVER (ORDER BY revenue DESC, o_orderkey) <= 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: filter → join → agg → top-k.  Decimal-exact revenue
+    makes the top-k ordering engine-independent; top-k via window (no
+    driver-side sort)."""
+    tune(spark)
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-06-01 00:00:00").cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-06-01 00:00:00").cast("timestamp")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    agg = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.first("o_orderdate").alias("o_orderdate"),
+            F.first("o_orderpriority").alias("o_orderpriority"),
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "q5_region_revenue",
+    oracle=f"""
+    SELECT n_name, {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join.  region+nation are provably bounded →
+    explicit broadcast; the customer⋈orders⋈lineitem chain shuffles on
+    keys with AQE free to reorder/skew-split."""
+    tune(spark)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    )
+    region = F.broadcast(
+        load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA").select("r_regionkey")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+    )
+
+
+@register(
+    "top_customers_per_nation",
+    oracle="""
+    SELECT n_name, rank, c_name, c_acctbal
+    FROM (
+        SELECT n_name,
+               CAST(row_number() OVER (
+                   PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey
+               ) AS BIGINT) AS rank,
+               c_name, c_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+    )
+    WHERE rank <= 3
+    """,
+)
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-k per group: one shuffle on the partition key; nation
+    broadcast.  c_acctbal is stored data (not a computed float) so ordering
+    is engine-stable with the custkey tie-break."""
+    tune(spark)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        cust.join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("n_name", "rank", "c_name", "c_acctbal")
+    )
+
+
+@register(
+    "part_type_share",
+    oracle=f"""
+    SELECT p_brand,
+           count(*) AS n_parts,
+           {sql_dsum('p_retailprice')} AS total_price,
+           ROUND(
+             CAST(SUM(CAST(CASE WHEN p_type IN ('PROMO','ECONOMY')
+                       THEN p_retailprice ELSE 0 END AS DECIMAL(27,6))) AS DOUBLE)
+             / CAST(SUM(CAST(p_retailprice AS DECIMAL(27,6))) AS DOUBLE), 6
+           ) AS promo_share
+    FROM part
+    GROUP BY p_brand
+    """,
+)
+def part_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (TPC-H Q14 shape) — CASE inside exact sums,
+    share computed on the exact values then rounded once."""
+    tune(spark)
+    part = load_table(spark, sf_dir, "part").select("p_brand", "p_type", "p_retailprice")
+    promo = F.when(
+        F.col("p_type").isin("PROMO", "ECONOMY"), F.col("p_retailprice")
+    ).otherwise(F.lit(0.0))
+    return part.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        dsum("p_retailprice").alias("total_price"),
+        F.round(dsum(promo) / dsum("p_retailprice"), 6).alias("promo_share"),
+    )
+
+
+@register(
+    "order_priority_count",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS as a left-semi join (no fact duplication,
+    no distinct needed) then a tiny-key aggregate."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
