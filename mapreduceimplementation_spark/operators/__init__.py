@@ -3,4 +3,5 @@
 from mapreduceimplementation_spark.operators import (  # noqa: F401
     mrcore,
     mapreduce,
+    textmetrics,
 )

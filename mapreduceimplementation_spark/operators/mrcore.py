@@ -83,14 +83,14 @@ def mr_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mr_grep",
     oracle=r"""
     SELECT doc_id, source,
-           length(text) - length(regexp_replace(text, 'spark', '', 'g')) AS n_hits
+           CAST(length(regexp_extract_all(text, 'spark')) AS BIGINT) AS n_hits
     FROM documents
     WHERE regexp_matches(text, 'spark')
     """,
 )
 def mr_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed grep (MapReduce paper §2.3 example): emit matching docs
-    with match counts.  The rlike filter is evaluated in the scan stage;
+    with true match counts.  The rlike filter is evaluated in the scan stage;
     only matching rows flow downstream (no shuffle at all)."""
     tune(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
@@ -98,9 +98,7 @@ def mr_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.where(F.col("text").rlike(pat)).select(
         "doc_id",
         "source",
-        (
-            (F.length("text") - F.length(F.regexp_replace("text", pat, "")))
-        ).cast("long").alias("n_hits"),
+        F.regexp_count("text", F.lit(pat)).cast("long").alias("n_hits"),
     )
 
 

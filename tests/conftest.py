@@ -42,6 +42,25 @@ def duck():
     con.close()
 
 
+def _plain(v):
+    """Normalize a cell to a plain Python value so sort-by-repr pairs rows
+    identically on the Spark and DuckDB sides (numpy 2.x reprs like
+    'np.int64(5)' would otherwise sort differently from '5')."""
+    if hasattr(v, "item"):
+        try:
+            return v.item()
+        except Exception:
+            return v
+    return v
+
+
+def _norm_rows(df):
+    return sorted(
+        (tuple(_plain(v) for v in row) for row in df.itertuples(index=False, name=None)),
+        key=repr,
+    )
+
+
 def assert_same_result(spark_df, duck_con, sql: str, float_cols: tuple[str, ...] = ()):
     """Order-insensitive comparison of a Spark result vs a DuckDB oracle,
     approximating the driver's row-count + schema + value-hash check."""
@@ -54,7 +73,7 @@ def assert_same_result(spark_df, duck_con, sql: str, float_cols: tuple[str, ...]
     sp = sp[cols]
     dk = dk[cols]
     assert len(sp) == len(dk), f"row counts differ: {len(sp)} vs {len(dk)}"
-    sp_rows = sorted(sp.itertuples(index=False, name=None), key=repr)
-    dk_rows = sorted(dk.itertuples(index=False, name=None), key=repr)
+    sp_rows = _norm_rows(sp)
+    dk_rows = _norm_rows(dk)
     for i, (a, b) in enumerate(zip(sp_rows, dk_rows)):
         assert a == b, f"row {i} differs:\n  spark : {a}\n  duckdb: {b}"
