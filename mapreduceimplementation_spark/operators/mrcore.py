@@ -136,15 +136,53 @@ def mr_file_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def mr_distributed_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global sort with rank (MapReduce-paper TeraSort shape).  Spark plans
-    a range-partitioned exchange (sampled split points) — the scalable
-    equivalent of the paper's partitioned sort.  NOTE: the single-partition
-    row_number window here is the *verifiable* rank emitter for small SF;
-    at 100 TB you keep sortWithinPartitions + zipWithIndex-free ranking via
-    partition offsets (see tests/test_mrcore.py for the plan assertion)."""
+    """Global sort with rank (MapReduce-paper TeraSort shape).
+
+    Scale-correct global ranking with NO single-partition stage:
+    1. range-partition on the sort key (sampled split points — the paper's
+       partitioned sort); partition i holds keys strictly before partition
+       i+1's, so ranks are contiguous per partition;
+    2. per-partition row_number (window partitioned by spark_partition_id —
+       parallel, no data movement);
+    3. per-partition row counts → cumulative offsets.  The offsets relation
+       has ONE ROW PER PARTITION (~10^3–10^5 at any scale), so its prefix-sum
+       window and the broadcast join back are O(#partitions), not O(rows).
+    This is zipWithIndex's two-pass algorithm expressed in DataFrame ops;
+    the range exchange is computed once and reused for both passes."""
     tune(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    w = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
-    return docs.select(
-        F.row_number().over(w).cast("long").alias("rank"), "doc_id", "n_chars"
+    order = [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    ranged = docs.repartitionByRange(*order).sortWithinPartitions(*order)
+    local = ranged.select(
+        F.spark_partition_id().alias("pid"),
+        "doc_id",
+        "n_chars",
+    ).withColumn(
+        "local_rank",
+        F.row_number().over(Window.partitionBy("pid").orderBy(*order)),
+    )
+    counts = local.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    # prefix-sum over the tiny per-partition counts (bounded by #partitions).
+    # The partition key must be non-foldable or Catalyst folds it back to an
+    # empty spec (= global window over the full input); least(pid, 0) is
+    # constant-valued (pid >= 0) but opaque to the optimizer, keeping an
+    # explicit spec while putting all ≤#partitions count rows in one group.
+    offsets = counts.select(
+        "pid",
+        F.coalesce(
+            F.sum("cnt").over(
+                Window.partitionBy(F.least(F.col("pid"), F.lit(0)))
+                .orderBy("pid")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("offset"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .select(
+            (F.col("offset") + F.col("local_rank")).cast("long").alias("rank"),
+            "doc_id",
+            "n_chars",
+        )
     )

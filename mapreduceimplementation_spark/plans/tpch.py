@@ -109,10 +109,13 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("o_orderpriority").alias("o_orderpriority"),
         )
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+    # Top-k via orderBy().limit(k): compiles to TakeOrderedAndProject —
+    # per-partition top-10 heaps + a 10-row driver merge.  The window
+    # formulation would move every aggregated row to ONE partition (tens of
+    # millions of rows at 100 TB); this shape never does.
     return (
-        agg.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 10)
+        agg.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
         .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
     )
 

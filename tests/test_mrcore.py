@@ -109,3 +109,28 @@ def test_determinism_under_repartition(spark, sf_dir):
         .collect()
     )
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_distributed_sort_no_global_window(spark, sf_dir):
+    """TeraSort ranking must never move all rows to one partition: the plan
+    has a range exchange and NO SinglePartition exchange feeding a window."""
+    plan = _plan(eng.QUERIES["mr_distributed_sort"](spark, sf_dir))
+    assert "rangepartitioning" in plan.lower(), plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_q3_topk_is_take_ordered(spark, sf_dir):
+    """Top-k compiles to TakeOrderedAndProject (per-partition heaps + k-row
+    driver merge), not a global-window row_number."""
+    plan = _plan(eng.QUERIES["q3_shipping_priority"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
