@@ -21,6 +21,41 @@ def word_tokens(df: DataFrame, text_col: str = "text", out: str = "word") -> Dat
     ).where(F.col(out) != "")
 
 
+def word_ngrams(col: Column | str, n: int) -> Column:
+    """Array of space-joined word n-gram shingles of a text column.
+
+    Words are wc.go tokens (maximal ASCII-letter runs); docs with fewer
+    than ``n`` words produce an empty array (excluded from shingle ops).
+    Pure built-ins (split/filter/sequence/transform/element_at) — codegen.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    ws = F.filter(F.split(c, WORD_SEP_RE), lambda x: x != F.lit(""))
+    return F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(ws, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def sql_word_ngrams(n: int, table: str = "documents") -> str:
+    """DuckDB CTE body producing the identical (doc_id, sh) distinct shingle
+    relation as ``word_ngrams`` + explode + distinct."""
+    gram = " || ' ' || ".join(f"ws[i+{j}]" for j in range(n))
+    return f"""
+        SELECT DISTINCT doc_id, {gram} AS sh
+        FROM (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '[^A-Za-z]+'),
+                               x -> x <> '') AS ws
+            FROM {table} WHERE text IS NOT NULL
+        ), UNNEST(range(1, len(ws) - {n - 2})) AS t(i)
+    """
+
+
 def char_ngrams(col: Column | str, n: int) -> Column:
     """Array of overlapping character n-grams of a string column.
 
