@@ -1,6 +1,7 @@
 """Operator modules — importing this package registers all queries."""
 
 from mapreduceimplementation_spark.operators import (  # noqa: F401
+    dedup,
     mrcore,
     mapreduce,
     textmetrics,

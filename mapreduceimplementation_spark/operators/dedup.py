@@ -1,0 +1,427 @@
+"""Deduplication operators for LLM-data pipelines (SURVEY.md §2 C1, C6–C8):
+exact dedup, exact n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the 100 TB contract):
+
+- Per-document work (shingling, hashing, MinHash signatures, SimHash bit
+  votes) is **row-local** — higher-order functions over arrays inside
+  whole-stage codegen.  No shuffle is spent computing a signature; the only
+  exchanges are the candidate-generation joins, which are *band/bucket*
+  equi-joins (LSH) — candidate volume scales with the number of true
+  near-dup pairs, not O(n²).
+- ``dedup_ngram_jaccard`` is the clearly-named exact baseline: its shingle
+  self-join is quadratic in per-shingle document frequency and exists to
+  verify the probabilistic operators at test scale.  At 100 TB you run
+  ``dedup_minhash_lsh`` (bucket join + exact re-verify of candidates only).
+- Every hash is md5-derived (functions/hashing.py) so signatures are
+  deterministic across engines, Spark versions, and cluster sizes — a
+  resumed or re-run dedup job produces the same pairs, and DuckDB can
+  replay the exact computation as the correctness oracle.
+
+Reference anchor: the shingle→docs inversion is the same map shape as the
+reference's inverted index (src/mrapps/indexer.go:1-38 word→docs); exact
+dedup's hash-groupBy is wc.go's shuffle with md5(normalized text) as key.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mapreduceimplementation_spark.functions.hashing import (
+    MERSENNE_61,
+    hash64,
+    sql_hash64,
+)
+from mapreduceimplementation_spark.functions.text import word_ngrams, sql_word_ngrams
+from mapreduceimplementation_spark.registry import register
+from mapreduceimplementation_spark.session import tune
+from mapreduceimplementation_spark.sources.tables import load_table
+
+_SHINGLE_N = 3  # word 3-gram shingles for all near-dup operators
+_TAU = 0.8  # Jaccard threshold for near-dup pairs
+
+# ---------------------------------------------------------------------------
+# C1. exact dedup
+
+
+@register(
+    "dedup_exact",
+    oracle=r"""
+    SELECT doc_id,
+           text_hash,
+           min(doc_id) OVER (PARTITION BY text_hash) AS canonical_id,
+           count(*)    OVER (PARTITION BY text_hash) AS group_size,
+           doc_id <> min(doc_id) OVER (PARTITION BY text_hash) AS is_dup
+    FROM (
+        SELECT doc_id,
+               md5(regexp_replace(trim(lower(text)), '[ \t\n]+', ' ', 'g')) AS text_hash
+        FROM documents WHERE text IS NOT NULL
+    )
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups by md5 of whitespace-normalized lowercase text.
+
+    One shuffle on the 128-bit hash (window partitionBy) — at 100 TB the
+    hash key is uniform so there is no skew, and the shuffled payload is
+    (doc_id, hash), not the text itself.  canonical_id = min doc_id of the
+    group is the survivor; is_dup marks rows a pipeline would drop.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), "[ \\t\\n]+", " ")
+    hashed = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", F.md5(norm).alias("text_hash")
+    )
+    w = Window.partitionBy("text_hash")
+    return hashed.select(
+        "doc_id",
+        "text_hash",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).alias("group_size"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_dup"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# shared shingle helpers
+
+
+def _shingle_arr() -> Column:
+    """Distinct word-3gram shingles of ``text`` as a row-local array."""
+    return F.array_distinct(word_ngrams("text", _SHINGLE_N))
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """Exploded distinct (doc_id, sh) relation — indexer.go's word→doc shape."""
+    return docs.where(F.col("text").isNotNull()).select(
+        "doc_id", F.explode(_shingle_arr()).alias("sh")
+    )
+
+
+#: DuckDB twin of ``_shingles`` (distinct (doc_id, sh) shingle relation)
+_SQL_SH = sql_word_ngrams(_SHINGLE_N)
+
+
+def _verified_pairs(cand: DataFrame, sh: DataFrame, tau: float) -> DataFrame:
+    """Exact-Jaccard verification of candidate (a_id, b_id) pairs.
+
+    Joins only the candidates' shingle sets (candidate volume ≪ n²), so the
+    cost is proportional to true-near-dup volume, not corpus size squared.
+    """
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sha = sh.select(F.col("doc_id").alias("a_id"), "sh")
+    shb = sh.select(F.col("doc_id").alias("b_id2"), F.col("sh").alias("shb"))
+    common = (
+        F.broadcast(cand)
+        .join(sha, "a_id")
+        .join(shb, (F.col("b_id") == F.col("b_id2")) & (F.col("sh") == F.col("shb")))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    j = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        common.join(sz.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na")), "a_id")
+        .join(sz.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb")), "b_id")
+        .where(j >= tau)
+        .select("a_id", "b_id", F.round(j, 6).alias("jaccard"))
+    )
+
+
+#: DuckDB twin of ``_verified_pairs`` given CTEs ``cand(a_id, b_id)`` and
+#: ``ws(doc_id, sh)``; emits (a_id, b_id, jaccard >= tau).
+_SQL_VERIFY = f"""
+    common AS (
+        SELECT a_id, b_id, count(*) AS n_common
+        FROM cand
+        JOIN ws wa ON wa.doc_id = cand.a_id
+        JOIN ws wb ON wb.doc_id = cand.b_id AND wb.sh = wa.sh
+        GROUP BY a_id, b_id
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM ws GROUP BY doc_id)
+    SELECT a_id, b_id,
+           ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM common
+    JOIN sz sa ON sa.doc_id = a_id
+    JOIN sz sb ON sb.doc_id = b_id
+    WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {_TAU}
+"""
+
+
+# ---------------------------------------------------------------------------
+# C6. exact n-gram Jaccard (the verify-everything baseline)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH ws AS ({_SQL_SH}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM ws a JOIN ws b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    ),
+    {_SQL_VERIFY}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3gram Jaccard near-dup pairs (j >= {tau}).
+
+    Candidate generation is the full shingle self-join — exact but
+    quadratic in per-shingle document frequency.  This is the *baseline*
+    that verifies ``dedup_minhash_lsh``; at 100 TB run the LSH variant.
+    """.format(tau=_TAU)
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = _shingles(docs)
+    a = sh.select(F.col("doc_id").alias("a_id"), "sh")
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("shb"))
+    cand = (
+        a.join(b, (F.col("sh") == F.col("shb")) & (F.col("a_id") < F.col("b_id")))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    return _verified_pairs(cand, sh, _TAU)
+
+
+# ---------------------------------------------------------------------------
+# C7. MinHash + LSH banding
+
+_MH_K = 16  # signature length
+_MH_BANDS = 4  # bands of 4 rows each
+_MH_R = _MH_K // _MH_BANDS
+
+
+def _h64_py(s: str) -> int:
+    """Python twin of functions/hashing.hash64 (first 15 md5 hex chars)."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+#: universal-hash family constants, md5-derived so Spark, DuckDB and this
+#: Python module all agree on every signature value
+_MH_A = [(_h64_py(f"mh-a-{i}") % (MERSENNE_61 - 1)) + 1 for i in range(_MH_K)]
+_MH_B = [_h64_py(f"mh-b-{i}") % MERSENNE_61 for i in range(_MH_K)]
+
+
+def _perm(h: Column, a: int, b: int) -> Column:
+    """(a*h + b) mod 2^61-1 without 128-bit ints: the product (≤2^121) is
+    exact in decimal(38,0), reduced mod P back into long range."""
+    prod = F.lit(str(a)).cast("decimal(19,0)") * h.cast("decimal(19,0)")
+    step = F.pmod(prod, F.lit(str(MERSENNE_61)).cast("decimal(19,0)")).cast("long")
+    return F.pmod(step + F.lit(b), F.lit(MERSENNE_61))
+
+
+def _sql_perm(expr: str, a: int, b: int) -> str:
+    """DuckDB twin of ``_perm`` (HUGEINT is 128-bit, so direct mulmod)."""
+    return (
+        f"CAST(((CAST({a} AS HUGEINT) * {expr}) % {MERSENNE_61} + {b})"
+        f" % {MERSENNE_61} AS BIGINT)"
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH ws AS ({_SQL_SH}),
+    h AS (SELECT doc_id, {sql_hash64('sh')} AS h FROM ws),
+    sig AS (
+        SELECT doc_id,
+               {", ".join(f"min({_sql_perm('h', _MH_A[i], _MH_B[i])}) AS m{i}" for i in range(_MH_K))}
+        FROM h GROUP BY doc_id
+    ),
+    bands AS (
+        {" UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, concat_ws(',', "
+            + ", ".join(f"m{b * _MH_R + r}" for r in range(_MH_R))
+            + ") AS bkey FROM sig"
+            for b in range(_MH_BANDS)
+        )}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    {_SQL_VERIFY}
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands x 4 rows) near-dup pairs, exact re-verify.
+
+    The scale path: signatures are computed **row-local** (array_min over a
+    transformed shingle-hash array — no shuffle, scan speed); the only
+    exchanges are the band-bucket equi-join (candidate volume tracks true
+    duplicate volume: P[band match] = j^4, so j=0.98 pairs are caught with
+    p ~ 1-(1-0.92)^4 while j<0.1 pairs almost never collide) and the exact
+    Jaccard re-verify restricted to candidates.  Never O(n²).
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hashes = F.transform(_shingle_arr(), lambda s: hash64(s))
+    sig = (
+        docs.where(F.col("text").isNotNull())
+        .select("doc_id", hashes.alias("hs"))
+        .where(F.size("hs") > 0)
+        .select(
+            "doc_id",
+            *[
+                F.array_min(
+                    F.transform(
+                        F.col("hs"),
+                        (lambda a, b: lambda h: _perm(h, a, b))(_MH_A[i], _MH_B[i]),
+                    )
+                ).alias(f"m{i}")
+                for i in range(_MH_K)
+            ],
+        )
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",", *[f"m{b * _MH_R + r}" for r in range(_MH_R)]
+                        ).alias("bkey"),
+                    )
+                    for b in range(_MH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bkey")
+    a = bands.select(F.col("doc_id").alias("a_id"), "band", "bkey")
+    b = bands.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("band").alias("band_b"),
+        F.col("bkey").alias("bkey_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("bkey") == F.col("bkey_b"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    return _verified_pairs(cand, _shingles(docs), _TAU)
+
+
+# ---------------------------------------------------------------------------
+# C8. SimHash
+
+_SH_BITS = 60  # hash64 is 60-bit, so the simhash is too
+_SH_CHUNKS = 4  # 4 x 15-bit chunks => all pairs with hamming <= 3 are found
+_SH_CHUNK_BITS = _SH_BITS // _SH_CHUNKS
+_SH_MAXDIST = 3
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH ws AS ({_SQL_SH}),
+    h AS (SELECT doc_id, {sql_hash64('sh')} AS h FROM ws),
+    votes AS (
+        SELECT doc_id, b,
+               sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM h CROSS JOIN (SELECT unnest(range({_SH_BITS})) AS b)
+        GROUP BY doc_id, b
+    ),
+    sim AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS s
+        FROM votes GROUP BY doc_id
+    ),
+    chunks AS (
+        SELECT doc_id, c, (s >> (CAST(c AS INT) * {_SH_CHUNK_BITS})) & {(1 << _SH_CHUNK_BITS) - 1} AS ch
+        FROM sim CROSS JOIN (SELECT unnest(range({_SH_CHUNKS})) AS c)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM chunks a
+        JOIN chunks b ON a.c = b.c AND a.ch = b.ch AND a.doc_id < b.doc_id
+    )
+    SELECT a_id, b_id, CAST(bit_count(xor(sa.s, sb.s)) AS INT) AS hamming
+    FROM cand
+    JOIN sim sa ON sa.doc_id = a_id
+    JOIN sim sb ON sb.doc_id = b_id
+    WHERE bit_count(xor(sa.s, sb.s)) <= {_SH_MAXDIST}
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash near-dup pairs (hamming <= 3) via 15-bit chunk LSH.
+
+    The simhash itself is **row-local**: one aggregate over the shingle-hash
+    array with a 60-slot vote-array accumulator, then a weighted bit sum —
+    all codegen'd, zero shuffle.  Pigeonhole: a pair within hamming 3 of a
+    60-bit code must agree on one of 4 15-bit chunks, so the chunk equi-join
+    finds every such pair exactly (no probabilistic miss) while random pairs
+    (expected hamming ~30) collide with p ~ 4 * 2^-15.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(_SH_BITS)])
+    hashes = F.transform(_shingle_arr(), lambda s: hash64(s))
+    votes = F.aggregate(
+        F.col("hs"),
+        F.array_repeat(F.lit(0), _SH_BITS),
+        lambda acc, h: F.zip_with(
+            acc, powers, lambda a, p: a + F.when(h.bitwiseAND(p) > 0, 1).otherwise(-1)
+        ),
+    )
+    simhash = F.aggregate(
+        F.zip_with(
+            votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sim = (
+        docs.where(F.col("text").isNotNull())
+        .select("doc_id", hashes.alias("hs"))
+        .where(F.size("hs") > 0)
+        .select("doc_id", simhash.alias("s"))
+    )
+    chunks = sim.select(
+        "doc_id",
+        "s",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        F.shiftright(F.col("s"), c * _SH_CHUNK_BITS)
+                        .bitwiseAND(F.lit((1 << _SH_CHUNK_BITS) - 1))
+                        .alias("ch"),
+                    )
+                    for c in range(_SH_CHUNKS)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "s", "ck.c", "ck.ch")
+    a = chunks.select(F.col("doc_id").alias("a_id"), F.col("s").alias("sa"), "c", "ch")
+    b = chunks.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("s").alias("sb"),
+        F.col("c").alias("c_b"),
+        F.col("ch").alias("ch_b"),
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        a.join(
+            b,
+            (F.col("c") == F.col("c_b"))
+            & (F.col("ch") == F.col("ch_b"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .select("a_id", "b_id", "sa", "sb")
+        .distinct()
+        .where(hamming <= _SH_MAXDIST)
+        .select("a_id", "b_id", hamming.cast("int").alias("hamming"))
+    )

@@ -1,0 +1,67 @@
+"""Dedup family tests (SURVEY.md §2 C1, C6–C8)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+import mapreduceimplementation_spark as eng
+from mapreduceimplementation_spark.functions.text import word_ngrams, sql_word_ngrams
+from tests.conftest import assert_same_result
+
+eng.load_all_operators()
+
+
+def test_word_ngrams_matches_sql_twin(spark, duck, sf_dir):
+    """word_ngrams + explode + distinct must equal sql_word_ngrams for
+    n=1..3, including docs with fewer than n words (empty arrays)."""
+    from mapreduceimplementation_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    for n in (1, 2, 3):
+        sp = docs.where(F.col("text").isNotNull()).select(
+            "doc_id", F.explode(F.array_distinct(word_ngrams("text", n))).alias("sh")
+        )
+        assert_same_result(sp, duck, sql_word_ngrams(n))
+
+
+def test_word_ngrams_short_docs(spark):
+    """Docs with fewer than n words produce an empty shingle array."""
+    df = spark.createDataFrame(
+        [("one",), ("two words",), ("three words here",), ("",)], ["text"]
+    )
+    out = df.select(F.size(word_ngrams("text", 3)).alias("k")).toPandas()
+    assert list(out["k"]) == [0, 0, 1, 0]
+
+
+def test_minhash_equals_exact_baseline(spark, sf_dir):
+    """At this corpus's clean separation (all true pairs j>0.9, everything
+    else j<0.1), LSH banding must recover exactly the exact-Jaccard pairs."""
+    exact = eng.QUERIES["dedup_ngram_jaccard"](spark, sf_dir).toPandas()
+    lsh = eng.QUERIES["dedup_minhash_lsh"](spark, sf_dir).toPandas()
+    key = lambda df: sorted(map(tuple, df[["a_id", "b_id", "jaccard"]].values.tolist()))
+    assert key(exact) == key(lsh)
+
+
+def test_dedup_exact_groups(spark):
+    """Normalization (case/whitespace) must merge exact dups."""
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other text")],
+        ["doc_id", "text"],
+    )
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), "[ \\t\\n]+", " ")
+    hashed = df.select("doc_id", F.md5(norm).alias("h"))
+    groups = hashed.groupBy("h").agg(F.count("*").alias("n")).toPandas()
+    assert sorted(groups["n"]) == [1, 2]
+
+
+def test_simhash_pairs_are_near_dups(spark, sf_dir):
+    """Every simhash pair (hamming<=3) must be a true near-dup pair
+    (subset of the exact-Jaccard j>=0.8 pairs) — chunk-LSH has no false
+    positives after the hamming re-check, only bounded recall."""
+    exact = eng.QUERIES["dedup_ngram_jaccard"](spark, sf_dir).toPandas()
+    sim = eng.QUERIES["dedup_simhash"](spark, sf_dir).toPandas()
+    exact_pairs = set(map(tuple, exact[["a_id", "b_id"]].values.tolist()))
+    sim_pairs = set(map(tuple, sim[["a_id", "b_id"]].values.tolist()))
+    assert sim_pairs <= exact_pairs
+    assert len(sim_pairs) > 0
