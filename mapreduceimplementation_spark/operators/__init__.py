@@ -5,4 +5,5 @@ from mapreduceimplementation_spark.operators import (  # noqa: F401
     mrcore,
     mapreduce,
     textmetrics,
+    vectors,
 )

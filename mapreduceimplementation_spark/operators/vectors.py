@@ -1,0 +1,350 @@
+"""Embedding-space operators (SURVEY.md §2 C9–C11, C13): L2 normalization,
+brute-force ANN top-k, hyperplane-LSH ANN, embedding near-dup pairs.
+
+Scale design:
+
+- All vector math is zip_with/aggregate over array<double> — JVM-side,
+  whole-stage codegen, no UDF (functions/vectors.py).
+- ``ann_topk`` is the clearly-named brute-force baseline: it broadcasts the
+  (bounded) query set and streams the corpus once — correct at any corpus
+  size, O(|Q|·n) work.  The window for top-k partitions by query id, so
+  its shuffle moves only |Q| * n candidate rows, never the corpus itself.
+- ``ann_lsh`` / ``dedup_embedding`` are the scale paths: random-hyperplane
+  signatures (sign of <v, w_p>) computed row-local at scan speed, then a
+  bucket equi-join — candidate volume is n²/2^bits per table, tuned by
+  raising bits with corpus size.  Recall is bounded (documented per op);
+  the exact cosine re-check means no false positives.
+- Hyperplane weights are **md5-derived doubles**, computed identically by
+  this module (Python, embedded as Spark literals) and by the DuckDB
+  oracle SQL (same md5 → BIGINT → /2^60*2-1 float ops, bit-exact — the
+  dot products use left-fold summation on both engines so even the sign
+  of a near-zero dot agrees).  Signatures are therefore stable across
+  engines, cluster sizes and reruns — resumable 100 TB jobs.
+
+Reference anchor: bucket inversion is src/mrapps/indexer.go:1-38's
+word→docs map shape with LSH codes as the words.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mapreduceimplementation_spark.functions.vectors import dot, l2_norm
+from mapreduceimplementation_spark.registry import register
+from mapreduceimplementation_spark.session import tune
+from mapreduceimplementation_spark.sources.tables import load_table
+
+_DIM = 64  # embeddings table vector width (TESTDATA.md)
+_POW60 = float(1 << 60)
+
+_Q_MAX = 8  # queries = vec_id < 8 (a bounded, broadcastable set)
+_TOPK = 10
+
+_LSH_TABLES, _LSH_BITS = 2, 6  # ann_lsh: 2 tables x 6 hyperplanes
+_DE_TABLES, _DE_BITS = 8, 4  # dedup_embedding: 8 tables x 4 hyperplanes
+_DE_TAU = 0.4  # cosine threshold for near-dup pairs
+
+
+def _h64_py(s: str) -> int:
+    """Python twin of functions/hashing.hash64 (first 15 md5 hex chars)."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _weights(seed: str, t: int, p: int) -> list[float]:
+    """Hyperplane p of table t: 64 md5-derived doubles in [-1, 1).
+
+    float(h)/2^60*2-1 uses only a cast, an exact power-of-two scale, an
+    exact doubling and one subtraction — the same IEEE op sequence the
+    DuckDB oracle runs, so the weights are bit-identical there.
+    """
+    return [
+        float(_h64_py(f"{seed}-{t}-{p}-{j}")) / _POW60 * 2.0 - 1.0
+        for j in range(1, _DIM + 1)
+    ]
+
+
+def _sql_dot_weights(vec: str, seed: str, t: int, p: int) -> str:
+    """DuckDB: <vec, weights(seed,t,p)> as a left-fold (matches F.aggregate)."""
+    w = (
+        f"((('0x'||substr(md5('{seed}-{t}-{p}-'||i),1,15))::BIGINT"
+        f" / {int(_POW60)}.0)*2-1)"
+    )
+    return (
+        f"list_reduce(list_transform(range(1, {_DIM + 1}),"
+        f" i -> {vec}[i] * {w}), (a, b) -> a + b)"
+    )
+
+
+def _code(v: Column, seed: str, t: int, bits: int) -> Column:
+    """LSH bucket code of table t: bit p = sign of <v, w_{t,p}>."""
+    acc = F.lit(0)
+    for p in range(bits):
+        w = F.array(*[F.lit(x) for x in _weights(seed, t, p)])
+        d = F.aggregate(
+            F.zip_with(v, w, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+        )
+        acc = acc + F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return acc
+
+
+def _sql_code(vec: str, seed: str, t: int, bits: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN {_sql_dot_weights(vec, seed, t, p)} >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(bits)
+    )
+
+
+#: DuckDB: embeddings with double vectors and L2 norms (left-fold sums)
+_SQL_NORMED = """
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (
+        SELECT vec_id, v,
+               sqrt(list_reduce(list_transform(v, x -> x*x), (a, b) -> a + b)) AS nrm
+        FROM e WHERE len(v) > 0
+    )
+"""
+
+
+def _normed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings as (vec_id, v: array<double>, nrm) — the shared scan."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return emb.where(F.size("v") > 0).select("vec_id", "v", l2_norm("v").alias("nrm"))
+
+
+# ---------------------------------------------------------------------------
+# C13. embed_normalize
+
+
+@register(
+    "embed_normalize",
+    oracle=f"""
+    WITH {_SQL_NORMED}
+    SELECT vec_id,
+           CAST(len(v) AS INT) AS dim,
+           ROUND(nrm, 6) AS norm,
+           array_to_string(
+               list_transform(v, x -> CAST(round(x / nrm * 1000000) AS BIGINT)),
+               ',') AS unit_fp
+    FROM n
+    """,
+)
+def embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize embeddings — zip_with/aggregate only, zero shuffle.
+
+    The unit vector is emitted as comma-joined fixed-point (1e-6) integers:
+    engine-portable (no float-to-string formatting divergence) and exactly
+    what you'd feed a downstream fixed-point-quantizing index builder."""
+    tune(spark)
+    n = _normed(spark, sf_dir)
+    return n.select(
+        "vec_id",
+        F.size("v").cast("int").alias("dim"),
+        F.round("nrm", 6).alias("norm"),
+        F.array_join(
+            F.transform(
+                "v", lambda x: F.round(x / F.col("nrm") * 1000000.0, 0).cast("long")
+            ),
+            ",",
+        ).alias("unit_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C10. ann_topk (brute-force baseline)
+
+_SQL_COS = (
+    f"list_reduce(list_transform(range(1, {_DIM + 1}),"
+    " i -> nq.v[i] * nc.v[i]), (a, b) -> a + b) / (nq.nrm * nc.nrm)"
+)
+
+
+@register(
+    "ann_topk",
+    oracle=f"""
+    WITH {_SQL_NORMED},
+    s AS (
+        SELECT nq.vec_id AS q_id, nc.vec_id AS neighbor_id,
+               ROUND({_SQL_COS}, 6) AS cos
+        FROM n nq JOIN n nc ON nq.vec_id < {_Q_MAX} AND nc.vec_id <> nq.vec_id
+    )
+    SELECT q_id, neighbor_id, cos, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+        FROM s
+    ) WHERE rank <= {_TOPK}
+    """,
+)
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-{k} per query vector (the exact baseline).
+
+    Broadcasts the bounded query set (vec_id < {q}) and streams the corpus
+    once — a BroadcastNestedLoopJoin by design, NOT an accidental cartesian:
+    O(|Q|*n) work that any executor count divides evenly.  Ranking uses the
+    *rounded* cosine with neighbor_id tie-break so the top-k frontier is
+    deterministic across engines and partitionings.
+    """.format(k=_TOPK, q=_Q_MAX)
+    tune(spark)
+    n = _normed(spark, sf_dir)
+    q = n.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    ).where(F.col("q_id") < _Q_MAX)
+    cos = F.round(dot("v", "qv") / (F.col("nrm") * F.col("qnrm")), 6)
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        n.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# C11. ann_lsh (random-hyperplane bucketed ANN)
+
+
+def _buckets(n: DataFrame, seed: str, tables: int, bits: int) -> DataFrame:
+    """(vec_id, t, code) — LSH codes for every table, computed row-local."""
+    return n.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"), _code(F.col("v"), seed, t, bits).alias("code")
+                    )
+                    for t in range(tables)
+                ]
+            )
+        ).alias("tc"),
+    ).select("vec_id", "tc.t", "tc.code")
+
+
+def _sql_buckets(seed: str, tables: int, bits: int) -> str:
+    return " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, {_sql_code('v', seed, t, bits)} AS code FROM n"
+        for t in range(tables)
+    )
+
+
+@register(
+    "ann_lsh",
+    oracle=f"""
+    WITH {_SQL_NORMED},
+    b AS ({_sql_buckets('hp', _LSH_TABLES, _LSH_BITS)}),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS neighbor_id
+        FROM b q JOIN b c ON q.t = c.t AND q.code = c.code
+        WHERE q.vec_id < {_Q_MAX} AND c.vec_id <> q.vec_id
+    ),
+    s AS (
+        SELECT q_id, neighbor_id, ROUND({_SQL_COS}, 6) AS cos
+        FROM cand JOIN n nq ON nq.vec_id = q_id JOIN n nc ON nc.vec_id = neighbor_id
+    )
+    SELECT q_id, neighbor_id, cos, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+        FROM s
+    ) WHERE rank <= {_TOPK}
+    """,
+)
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN: {L} hash tables x {b} random hyperplanes.
+
+    Codes are computed row-local (sign of <v, w> per plane, md5-derived w);
+    candidates come from the bucket equi-join, then exact cosine ranks the
+    top-{k}.  Expected candidate volume per query is L*n/2^bits — at larger
+    corpora raise bits to hold bucket sizes constant.  Recall vs ann_topk
+    is the LSH tradeoff: P[bucket match] = (1 - theta/pi)^bits per table,
+    high for genuinely-close vectors, tiny for random ones.
+    """.format(L=_LSH_TABLES, b=_LSH_BITS, k=_TOPK)
+    tune(spark)
+    n = _normed(spark, sf_dir)
+    b = _buckets(n, "hp", _LSH_TABLES, _LSH_BITS)
+    qb = b.where(F.col("vec_id") < _Q_MAX).select(
+        F.col("vec_id").alias("q_id"), "t", "code"
+    )
+    cand = (
+        b.join(F.broadcast(qb), ["t", "code"])
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    nq = n.select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    cos = F.round(dot("v", "qv") / (F.col("nrm") * F.col("qnrm")), 6)
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        cand.join(F.broadcast(nq), "q_id")
+        .join(n.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .select("q_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# C9. dedup_embedding
+
+
+@register(
+    "dedup_embedding",
+    oracle=f"""
+    WITH {_SQL_NORMED},
+    b AS ({_sql_buckets('de', _DE_TABLES, _DE_BITS)}),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS a_id, b2.vec_id AS b_id
+        FROM b a JOIN b b2 ON a.t = b2.t AND a.code = b2.code AND a.vec_id < b2.vec_id
+    ),
+    s AS (
+        SELECT a_id, b_id, {_SQL_COS.replace('nq.', 'na.').replace('nc.', 'nb.')} AS cos
+        FROM cand JOIN n na ON na.vec_id = a_id JOIN n nb ON nb.vec_id = b_id
+    )
+    SELECT a_id, b_id, ROUND(cos, 6) AS cos
+    FROM s WHERE cos >= {_DE_TAU}
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= {tau} over LSH-blocked candidates.
+
+    {L} tables x {b} hyperplane bits: for truly-near pairs (small angle)
+    the any-table collision probability is high; the exact cosine re-check
+    removes all false positives.  Candidate volume is L*n²/2^bits — raise
+    bits with corpus size to keep buckets bounded (the oracle replays the
+    identical blocking, so results are engine-reproducible at any setting).
+    """.format(tau=_DE_TAU, L=_DE_TABLES, b=_DE_BITS)
+    tune(spark)
+    n = _normed(spark, sf_dir)
+    b = _buckets(n, "de", _DE_TABLES, _DE_BITS)
+    a = b.select(F.col("vec_id").alias("a_id"), "t", "code")
+    b2 = b.select(F.col("vec_id").alias("b_id"), F.col("t").alias("t2"), F.col("code").alias("code2"))
+    cand = (
+        a.join(
+            b2,
+            (F.col("t") == F.col("t2"))
+            & (F.col("code") == F.col("code2"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    na = n.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    nb = n.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    cos = dot("va", "vb") / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(na, "a_id")
+        .join(nb, "b_id")
+        .where(cos >= _DE_TAU)
+        .select("a_id", "b_id", F.round(cos, 6).alias("cos"))
+    )

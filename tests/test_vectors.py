@@ -1,0 +1,47 @@
+"""Embedding operator tests (SURVEY.md §2 C9–C11, C13)."""
+
+from __future__ import annotations
+
+import math
+
+import mapreduceimplementation_spark as eng
+
+eng.load_all_operators()
+
+
+def test_embed_normalize_unit_norm(spark, sf_dir):
+    out = eng.QUERIES["embed_normalize"](spark, sf_dir).toPandas()
+    assert (out["dim"] == 64).all()
+    # unit_fp decodes back to a unit vector (fixed-point 1e-6 error budget)
+    row = out.iloc[0]
+    comps = [int(x) / 1e6 for x in row["unit_fp"].split(",")]
+    assert len(comps) == 64
+    assert abs(sum(c * c for c in comps) - 1.0) < 1e-4
+
+
+def test_ann_topk_shape_and_order(spark, sf_dir):
+    out = eng.QUERIES["ann_topk"](spark, sf_dir).toPandas()
+    assert len(out) == 8 * 10
+    for q, grp in out.groupby("q_id"):
+        g = grp.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, 11))
+        assert list(g["cos"]) == sorted(g["cos"], reverse=True)
+        assert (g["neighbor_id"] != q).all()
+
+
+def test_ann_lsh_subset_of_bruteforce_universe(spark, sf_dir):
+    """LSH candidates are a subset of all neighbors; per query its best hit
+    can't beat the brute-force rank-1 cosine."""
+    bf = eng.QUERIES["ann_topk"](spark, sf_dir).toPandas()
+    lsh = eng.QUERIES["ann_lsh"](spark, sf_dir).toPandas()
+    best_bf = bf[bf["rank"] == 1].set_index("q_id")["cos"]
+    for q, grp in lsh.groupby("q_id"):
+        assert grp["cos"].max() <= best_bf[q] + 1e-9
+
+
+def test_dedup_embedding_pairs(spark, sf_dir):
+    out = eng.QUERIES["dedup_embedding"](spark, sf_dir).toPandas()
+    assert (out["cos"] >= 0.4).all()
+    assert (out["a_id"] < out["b_id"]).all()
+    pairs = list(zip(out["a_id"], out["b_id"]))
+    assert len(pairs) == len(set(pairs))
