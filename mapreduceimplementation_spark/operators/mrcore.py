@@ -127,6 +127,18 @@ def mr_file_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pid_stamped(docs: DataFrame, order: list) -> DataFrame:
+    """Range-partition on the sort key and stamp rows with their partition
+    id — the pre-checkpoint stage of mr_distributed_sort, split out so plan
+    tests can assert the range exchange (checkpointing severs the visible
+    lineage of the full query)."""
+    return (
+        docs.repartitionByRange(*order)
+        .sortWithinPartitions(*order)
+        .select(F.spark_partition_id().alias("pid"), *docs.columns)
+    )
+
+
 @register(
     "mr_distributed_sort",
     oracle="""
@@ -141,27 +153,29 @@ def mr_distributed_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale-correct global ranking with NO single-partition stage:
     1. range-partition on the sort key (sampled split points — the paper's
        partitioned sort); partition i holds keys strictly before partition
-       i+1's, so ranks are contiguous per partition;
-    2. per-partition row_number (window partitioned by spark_partition_id —
-       parallel, no data movement);
+       i+1's, so ranks are contiguous per partition.  The pid-stamped rows
+       are then **localCheckpoint'ed**: both downstream branches (counts and
+       ranks) read the SAME materialized pid assignment, so correctness does
+       not depend on exchange reuse / plan canonicalization — disabling
+       spark.sql.exchange.reuse or AQE re-planning cannot desynchronize the
+       branches (this was a silent-wrong-answer hazard);
+    2. per-partition row_number — the Window.partitionBy(pid) costs one hash
+       exchange on pid (parallel, but a full-data movement: two total
+       exchanges for the query);
     3. per-partition row counts → cumulative offsets.  The offsets relation
        has ONE ROW PER PARTITION (~10^3–10^5 at any scale), so its prefix-sum
        window and the broadcast join back are O(#partitions), not O(rows).
-    This is zipWithIndex's two-pass algorithm expressed in DataFrame ops;
-    the range exchange is computed once and reused for both passes."""
+    This is zipWithIndex's two-pass algorithm expressed in DataFrame ops
+    (zipWithIndex likewise materializes: it runs a counting job first)."""
     tune(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     order = [F.col("n_chars").desc(), F.col("doc_id").asc()]
-    ranged = docs.repartitionByRange(*order).sortWithinPartitions(*order)
-    local = ranged.select(
-        F.spark_partition_id().alias("pid"),
-        "doc_id",
-        "n_chars",
-    ).withColumn(
+    stamped = _pid_stamped(docs, order).localCheckpoint()
+    local = stamped.withColumn(
         "local_rank",
         F.row_number().over(Window.partitionBy("pid").orderBy(*order)),
     )
-    counts = local.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    counts = stamped.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
     # prefix-sum over the tiny per-partition counts (bounded by #partitions).
     # The partition key must be non-foldable or Catalyst folds it back to an
     # empty spec (= global window over the full input); least(pid, 0) is

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from mapreduceimplementation_spark.functions.hashing import hash64, sql_hash64
 from mapreduceimplementation_spark.functions.text import char_ngrams
@@ -207,24 +206,26 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: k-smallest shingle hashes (winnowing-style
     k-min sketch over a rolling window of char {n}-grams).  The sketch is a
     compact, mergeable identity for near-dup detection and incremental
-    corpus diffing; built entirely from codegen'd expressions."""
+    corpus diffing.
+
+    The whole sketch is **row-local** — distinct/hash/sort/slice as array
+    expressions inside whole-stage codegen, ZERO exchanges in the plan
+    (asserted by tests/test_textmetrics_plan.py).  A 100 TB corpus produces
+    its 32-byte-per-doc sketches at scan speed; the earlier formulation
+    (explode + distinct + window) shuffled every shingle twice."""
     tune(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = (
-        docs.where(F.col("text").isNotNull() & (F.length("text") >= _FP_N))
-        .select("doc_id", F.explode(char_ngrams("text", _FP_N)).alias("sh"))
-        .distinct()
+    hashes = F.array_sort(
+        F.transform(F.array_distinct(char_ngrams("text", _FP_N)), lambda s: hash64(s))
     )
-    hashed = sh.select("doc_id", hash64("sh").alias("h"))
-    w = Window.partitionBy("doc_id").orderBy("h")
-    topk = hashed.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= _FP_K)
-    return topk.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.sort_array(F.collect_list("h")),  # numeric sort, then stringify
-                lambda x: x.cast("string"),
-            ),
-            ",",
-        ).alias("fingerprint"),
-        F.min("h").alias("min_hash"),
+    return (
+        docs.where(F.col("text").isNotNull() & (F.length("text") >= _FP_N))
+        .select("doc_id", hashes.alias("hs"))
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(F.slice("hs", 1, _FP_K), lambda x: x.cast("string")), ","
+            ).alias("fingerprint"),
+            F.element_at("hs", 1).alias("min_hash"),
+        )
     )

@@ -87,8 +87,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: filter → join → agg → top-k.  Decimal-exact revenue
-    makes the top-k ordering engine-independent; top-k via window (no
-    driver-side sort)."""
+    makes the top-k ordering engine-independent; top-k via
+    orderBy().limit(10) → TakeOrderedAndProject (per-partition bounded
+    heaps, then a 10-row merge on the driver — never a global sort)."""
     tune(spark)
     cust = load_table(spark, sf_dir, "customer").where(
         F.col("c_mktsegment") == "BUILDING"

@@ -122,11 +122,35 @@ def _plan(df) -> str:
 
 
 def test_distributed_sort_no_global_window(spark, sf_dir):
-    """TeraSort ranking must never move all rows to one partition: the plan
-    has a range exchange and NO SinglePartition exchange feeding a window."""
+    """TeraSort ranking must never move all rows to one partition: the
+    pid-stamping stage has a range exchange, and the full query has NO
+    SinglePartition exchange feeding a window."""
+    from pyspark.sql import functions as F
+
+    from mapreduceimplementation_spark.operators.mrcore import _pid_stamped
+    from mapreduceimplementation_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    order = [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    stage_plan = _plan(_pid_stamped(docs, order))
+    assert "rangepartitioning" in stage_plan.lower(), stage_plan
     plan = _plan(eng.QUERIES["mr_distributed_sort"](spark, sf_dir))
-    assert "rangepartitioning" in plan.lower(), plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_distributed_sort_rank_is_permutation(spark, sf_dir):
+    """Ranks must be exactly 1..N regardless of shuffle-partition count —
+    guards the pid-consistency fix (ADVICE: the two branches reading the
+    checkpointed pid assignment can never desynchronize)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for parts in ("3", "8", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            out = eng.QUERIES["mr_distributed_sort"](spark, sf_dir).collect()
+            ranks = sorted(r["rank"] for r in out)
+            assert ranks == list(range(1, len(out) + 1)), parts
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def test_q3_topk_is_take_ordered(spark, sf_dir):

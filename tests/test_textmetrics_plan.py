@@ -1,0 +1,22 @@
+"""Plan-shape gates for the text-metrics operators (SURVEY.md §5 item 5)."""
+
+from __future__ import annotations
+
+import mapreduceimplementation_spark as eng
+
+eng.load_all_operators()
+
+
+def test_doc_fingerprint_has_no_exchange(spark, sf_dir):
+    """The k-min sketch is row-local: a 100TB-safe plan has zero shuffles."""
+    df = eng.QUERIES["doc_fingerprint"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_scan_speed_metrics_have_no_exchange(spark, sf_dir):
+    """token_count / quality_score / lang_id are pure projections."""
+    for name in ("token_count", "quality_score", "lang_id"):
+        df = eng.QUERIES[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"{name}: {plan}"
