@@ -1,0 +1,163 @@
+"""D2: stateful streaming sessionization via applyInPandasWithState.
+
+The custom stateful operator the DataFrame API can't express: per-user
+30-minute-gap sessions maintained as explicit GroupState across
+microbatches (the streaming twin of plans/events.py events_sessionize).
+
+Contract and semantics:
+
+- State per user = the trailing (still-open) session: (session_id, start,
+  end, n_events, exact decimal total).  Each microbatch merges its events
+  into the trailing session or closes it and opens new ones.
+- Sessions are emitted **eagerly** every batch (closed sessions finally,
+  the trailing session provisionally).  A later batch that extends the
+  trailing session re-emits it with the same (user_id, session_id) key and
+  strictly larger n_events, so the post-stream reconciliation —
+  groupBy(user_id, session_id) keeping the max-n_events row — converges to
+  exactly the batch result.  This trades a tiny sink-side dedup for the
+  thing availableNow cannot give (event-time timeouts never fire after the
+  last batch: the watermark can't pass the final session's end), and it
+  means results are correct at ANY batch slicing — asserted by the
+  multi-batch test (tests/test_streaming.py) with maxFilesPerTrigger=1.
+- Event-time order across batches per user is assumed (in production the
+  upstream watermark enforces it); within a batch events are sorted.
+- total_value reproduces the batch dsum exactly: every value is quantized
+  to decimal(27,6) (the same HALF_UP the Spark cast applies) and summed
+  exactly in Python Decimal, so the streaming result hash-matches the
+  batch oracle.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+from decimal import ROUND_HALF_UP, Decimal
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from mapreduceimplementation_spark.registry import ORACLES, register
+from mapreduceimplementation_spark.session import tune
+from mapreduceimplementation_spark.streaming.windowed import (
+    _events_stream,
+    _stop_query,
+)
+
+# importing the batch plans guarantees B8's oracle is registered before we
+# borrow it below (D2's output is defined to equal the batch twin's)
+import mapreduceimplementation_spark.plans.events  # noqa: F401
+
+_SINK = "d2_sessionize_sink"
+_GAP_US = 30 * 60 * 1_000_000  # 30 minutes in microseconds
+
+_OUT_SCHEMA = (
+    "user_id bigint, session_id bigint, n_events bigint, "
+    "session_start timestamp, session_end timestamp, total_value double"
+)
+#: trailing-session state: timestamps as int microseconds (portable), the
+#: running total as a decimal string (exact)
+_STATE_SCHEMA = "sid bigint, start bigint, end bigint, n bigint, tot string"
+
+_Q6 = Decimal("0.000001")
+
+
+def _quant(v: float) -> Decimal:
+    """The exact value Spark's cast(double as decimal(27,6)) produces."""
+    return Decimal(v).quantize(_Q6, rounding=ROUND_HALF_UP)
+
+
+def _session_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    if len(batch) == 0:
+        return
+    batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+
+    if state.exists:
+        sid, start_us, end_us, n, tot = state.get
+        cur = [sid, start_us, end_us, n, Decimal(tot)]
+    else:
+        cur = None
+
+    done: list[list] = []
+    ts_us = batch["ts"].astype("int64") // (
+        1000 if batch["ts"].dtype == "datetime64[ns]" else 1
+    )
+    for t, val in zip(ts_us, batch["value"]):
+        t = int(t)
+        if cur is None:
+            cur = [1, t, t, 0, Decimal(0)]
+        elif t > cur[2] + _GAP_US:
+            done.append(cur)
+            cur = [cur[0] + 1, t, t, 0, Decimal(0)]
+        cur[2] = max(cur[2], t)
+        cur[3] += 1
+        cur[4] += _quant(float(val))
+
+    state.update((cur[0], cur[1], cur[2], cur[3], str(cur[4])))
+    rows = done + [cur]  # trailing session emitted provisionally
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id] * len(rows),
+            "session_id": [r[0] for r in rows],
+            "n_events": [r[3] for r in rows],
+            "session_start": pd.to_datetime([r[1] for r in rows], unit="us"),
+            "session_end": pd.to_datetime([r[2] for r in rows], unit="us"),
+            "total_value": [float(r[4]) for r in rows],
+        }
+    )
+
+
+def run_sessionize_stream(
+    spark: SparkSession, path: str, sink: str = _SINK, **source_options
+) -> DataFrame:
+    """Run the stateful sessionize stream over `path` to completion and
+    return the reconciled session table (see module docstring)."""
+    _stop_query(spark, sink)
+    ev = _events_stream(spark, path, **source_options).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    sessions = (
+        ev.withWatermark("ts", "30 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # reconciliation: a session re-emitted by a later batch supersedes its
+    # provisional row (same key, strictly larger n_events)
+    mem = spark.table(sink)
+    return mem.groupBy("user_id", "session_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.min("session_start").alias("session_start"),
+        F.max("session_end").alias("session_end"),
+        F.max_by("total_value", "n_events").alias("total_value"),
+    )
+
+
+@register("streaming_sessionize", oracle=ORACLES["events_sessionize"])
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-min-gap sessionization as a stateful streaming operator.
+
+    Defined to produce exactly the batch twin's rows (B8), so it shares
+    B8's oracle — the full rows+schema+hash gate, not a weaker rows-only
+    check.  Multi-batch state carry-over is exercised separately by
+    tests/test_streaming.py with maxFilesPerTrigger=1."""
+    tune(spark)
+    return run_sessionize_stream(spark, os.path.join(sf_dir, "events.parquet"))

@@ -1,0 +1,101 @@
+"""D1: tumbling-window streaming counts (Structured Streaming).
+
+The batch plan B7 (plans/events.py events_minutely) re-run as a stream:
+file readStream → event-time tumbling window + watermark → memory sink,
+driven to completion with trigger(availableNow).  In production the same
+query runs unmodified against a Kafka/file source with a real trigger —
+availableNow is Spark's official backfill/batch-replay mode, so this IS
+the deployment plan, not a test harness.
+
+Streaming aggregation restrictions: count(DISTINCT) is unsupported in
+streaming, so unlike B7 this emits (n_events, total_value) only.  The sum
+uses the same decimal-exact dsum as batch, so results are bit-stable
+across microbatch boundaries and cluster sizes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mapreduceimplementation_spark.functions.stable import dsum, sql_dsum
+from mapreduceimplementation_spark.registry import register
+from mapreduceimplementation_spark.session import tune
+
+_SINK = "d1_windowed_counts_sink"
+
+
+def _stop_query(spark: SparkSession, name: str) -> None:
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+
+
+def _events_stream(spark: SparkSession, path: str, **options) -> DataFrame:
+    """events as a file stream with the same nanos→micros ts handling as
+    the batch loader (sources/tables.py load_table)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema  # ts arrives as long (nanos)
+    if os.path.isfile(path):
+        # the file-stream source accepts directories and globs but not bare
+        # file paths; a single-char class makes an exact-match glob
+        path = f"{path[:-1]}[{path[-1]}]"
+    reader = spark.readStream.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    raw = reader.parquet(path)
+    if isinstance(raw.schema["ts"].dataType, T.LongType):
+        # testdata writes TIMESTAMP(NANOS), surfaced as long under the
+        # nanosAsLong conf; plain micro-resolution files need no rewrite
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(raw.schema["ts"].dataType, T.TimestampNTZType):
+        # watermarks require TIMESTAMP; session tz is UTC so this is lossless
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
+
+
+@register(
+    "streaming_windowed_counts",
+    oracle=f"""
+    SELECT date_trunc('minute', ts) AS minute,
+           event_type,
+           count(*) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-minute tumbling windowed counts with a 1-minute watermark.
+
+    complete output mode + availableNow: every window (including the ones
+    still inside the watermark at end-of-input) is present in the sink, so
+    the result equals the batch aggregation exactly — the correctness gate
+    a streaming re-platform needs before switching traffic.
+    """
+    tune(spark)
+    _stop_query(spark, _SINK)
+    ev = _events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    agg = (
+        ev.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 minute").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("minute"), "event_type", "n_events", "total_value"
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(_SINK)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(_SINK)
