@@ -4,6 +4,7 @@ from mapreduceimplementation_spark.operators import (  # noqa: F401
     dedup,
     mrcore,
     mapreduce,
+    multimodal,
     textmetrics,
     vectors,
 )

@@ -1,0 +1,134 @@
+"""Multimodal metadata extraction (SURVEY.md §2 C12).
+
+Treats media as an opaque ``binary`` payload column with typed metadata
+extracted by an Arrow-batched ``mapInPandas`` decode — the exact plumbing a
+real image/audio/video pipeline needs (schema, batch shape, partitioning),
+with the codec itself STUBBED:
+
+- ``_decode_media`` is a **deterministic fake**: it parses real bytes out
+  of the payload (header split, byte arithmetic) so the operator is
+  oracle-checkable end-to-end.
+- The branch that would hand a real container format (PNG/RIFF/MP4 magic
+  numbers) to PIL/libav raises ``NotImplementedError`` — this environment
+  has no codec libraries; swap that branch for the real decoder in
+  production and nothing else changes.
+
+Scale notes: payloads ride the scan as opaque bytes (no JVM<->Python copy
+until the decode projection), the decode is Arrow-batched (no per-row
+pickling), and the output is a narrow typed frame — the pattern for
+running feature extraction over 100 TB of media shards.  Batch memory is
+bounded by spark.sql.execution.arrow.maxRecordsPerBatch, so giant payloads
+can't OOM a worker.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduceimplementation_spark.registry import register
+from mapreduceimplementation_spark.session import tune
+from mapreduceimplementation_spark.sources.tables import load_table
+
+#: container magic numbers a real decoder would claim (stub refuses them)
+_REAL_MAGIC = (b"\x89PNG", b"\xff\xd8\xff", b"RIFF", b"\x00\x00\x00\x18ftyp")
+
+_OUT_SCHEMA = (
+    "doc_id bigint, kind string, size_bytes bigint, checksum bigint, "
+    "width bigint, height bigint, duration_ms bigint, n_frames bigint"
+)
+
+
+def _decode_media(payload: bytes) -> dict:
+    """STUB decode: deterministic byte parsing standing in for PIL/libav.
+
+    Real codecs are unavailable in this container — payloads that start
+    with an actual container magic number are refused loudly rather than
+    mis-decoded."""
+    if payload.startswith(_REAL_MAGIC):
+        raise NotImplementedError(
+            "real codec decode (PIL/libav) is stubbed in this environment"
+        )
+    sep = payload.index(b":")
+    kind = payload[:sep].decode("utf-8")
+    body = payload[sep + 1 :]
+    meta = {
+        "kind": kind,
+        "size_bytes": len(payload),
+        "checksum": sum(payload[:16]) % 997,
+        "width": None,
+        "height": None,
+        "duration_ms": None,
+        "n_frames": None,
+    }
+    if kind == "image":
+        meta["width"] = body[0] * 4
+        meta["height"] = body[1] * 4
+    elif kind == "audio":
+        meta["duration_ms"] = len(payload) * 10
+    elif kind == "video":
+        meta["n_frames"] = len(payload) // 100
+    return meta
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {k: [] for k in (
+            "doc_id", "kind", "size_bytes", "checksum",
+            "width", "height", "duration_ms", "n_frames",
+        )}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            meta = _decode_media(bytes(payload))
+            out["doc_id"].append(doc_id)
+            for k in ("kind", "size_bytes", "checksum", "width", "height",
+                      "duration_ms", "n_frames"):
+                out[k].append(meta[k])
+        pdf_out = pd.DataFrame(out)
+        for c in ("size_bytes", "checksum", "width", "height", "duration_ms",
+                  "n_frames"):
+            pdf_out[c] = pdf_out[c].astype("Int64")
+        yield pdf_out
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           kind,
+           CAST(length(kind) + 1 + length(text) AS BIGINT) AS size_bytes,
+           CAST(list_sum(list_transform(range(1, 17),
+                i -> ascii(substr(kind || ':' || text, CAST(i AS INT), 1)))) % 997
+                AS BIGINT) AS checksum,
+           CASE WHEN kind = 'image' THEN CAST(ascii(substr(text, 1, 1)) * 4 AS BIGINT) END AS width,
+           CASE WHEN kind = 'image' THEN CAST(ascii(substr(text, 2, 1)) * 4 AS BIGINT) END AS height,
+           CASE WHEN kind = 'audio' THEN CAST((length(kind) + 1 + length(text)) * 10 AS BIGINT) END AS duration_ms,
+           CASE WHEN kind = 'video' THEN CAST((length(kind) + 1 + length(text)) // 100 AS BIGINT) END AS n_frames
+    FROM (
+        SELECT doc_id, text,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+        FROM documents WHERE text IS NOT NULL
+    )
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over a binary media column via stubbed batch decode.
+
+    The media table is synthesized deterministically from ``documents``
+    (payload = '<kind>:' || text as UTF-8 bytes, kind cycling by doc_id) so
+    the byte-level decode is exactly reproducible by the SQL oracle — the
+    honest way to test multimodal *plumbing* without codec libraries."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    media = docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.encode(F.concat(kind, F.lit(":"), F.col("text")), "UTF-8").alias("payload"),
+    )
+    return media.mapInPandas(_decode_batches, schema=_OUT_SCHEMA)
