@@ -1,8 +1,14 @@
 """Headline benchmark: run flagship queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; print ONE JSON line.
 
-Each query is forced end-to-end with a cheap full materialization
-(count of a crc-combined projection) so lazy plans can't cheat."""
+Each query is forced end-to-end by summing crc32(to_json(struct(*))) over
+every output row — all columns are materialized, so Catalyst cannot prune
+computed columns out of the timing (a plain count() would skip e.g.
+mr_grep.n_hits entirely).  Headline queries that are not registered are
+reported in the JSON's "skipped" list, never silently dropped.
+
+Protocol and round-over-round numbers: BASELINE.md.
+"""
 
 from __future__ import annotations
 
@@ -21,12 +27,14 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_topk",
     "events_sessionize",
+    "streaming_windowed_counts",
 ]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
     from mapreduceimplementation_spark.session import get_spark
 
     spark = get_spark("mri-spark-bench")
@@ -36,14 +44,23 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
     timings: dict[str, float] = {}
+    skipped = [name for name in HEADLINE if name not in qs]
     for name in HEADLINE:
         if name not in qs:
             continue
         t0 = time.time()
         df = qs[name](spark, sf_dir)
-        n = df.count()
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.crc32(F.encode(F.to_json(F.struct(*df.columns)), "UTF-8"))).alias(
+                "crc"
+            ),
+        ).collect()[0]
         timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        print(
+            f"# {name}: {row['n']} rows (crc {row['crc']}) in {timings[name]}s",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -54,6 +71,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "skipped": skipped,
                 "sf": float(sf) if sf else None,
             }
         )

@@ -21,24 +21,37 @@ def word_tokens(df: DataFrame, text_col: str = "text", out: str = "word") -> Dat
     ).where(F.col(out) != "")
 
 
-def word_ngrams(col: Column | str, n: int) -> Column:
-    """Array of space-joined word n-gram shingles of a text column.
-
-    Words are wc.go tokens (maximal ASCII-letter runs); docs with fewer
-    than ``n`` words produce an empty array (excluded from shingle ops).
-    Pure built-ins (split/filter/sequence/transform/element_at) — codegen.
-    """
+def word_array(col: Column | str) -> Column:
+    """Words of a text column as an array (wc.go token semantics)."""
     c = F.col(col) if isinstance(col, str) else col
-    ws = F.filter(F.split(c, WORD_SEP_RE), lambda x: x != F.lit(""))
+    return F.filter(F.split(c, WORD_SEP_RE), lambda x: x != F.lit(""))
+
+
+def ngrams_of_words(ws: Column | str, n: int) -> Column:
+    """Space-joined n-gram shingles of a word-array column.
+
+    IMPORTANT (perf): pass a *materialized column* (a prior select alias),
+    not an inline word_array(...) expression — lambda bodies re-evaluate
+    outer subexpressions per element, which turns an inline split into
+    O(words²) regex work per document (measured 3-10x on the shingle
+    stage).  Docs with fewer than ``n`` words produce an empty array.
+    """
+    w = F.col(ws) if isinstance(ws, str) else ws
     return F.when(
-        F.size(ws) >= n,
+        F.size(w) >= n,
         F.transform(
-            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
             lambda i: F.concat_ws(
-                " ", *[F.element_at(ws, i + j) for j in range(n)]
+                " ", *[F.element_at(w, i + j) for j in range(n)]
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngrams(col: Column | str, n: int) -> Column:
+    """Shingles straight from a text column — convenience form; prefer the
+    word_array + ngrams_of_words two-step in hot paths (see ngrams_of_words)."""
+    return ngrams_of_words(word_array(col), n)
 
 
 def sql_word_ngrams(n: int, table: str = "documents") -> str:

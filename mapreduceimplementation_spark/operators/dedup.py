@@ -9,10 +9,11 @@ Scale design (the 100 TB contract):
   exchanges are the candidate-generation joins, which are *band/bucket*
   equi-joins (LSH) — candidate volume scales with the number of true
   near-dup pairs, not O(n²).
-- ``dedup_ngram_jaccard`` is the clearly-named exact baseline: its shingle
-  self-join is quadratic in per-shingle document frequency and exists to
-  verify the probabilistic operators at test scale.  At 100 TB you run
-  ``dedup_minhash_lsh`` (bucket join + exact re-verify of candidates only).
+- ``dedup_ngram_jaccard`` is the clearly-named exact baseline: its
+  per-shingle pair expansion is quadratic in shingle document frequency
+  and exists to verify the probabilistic operators at test scale.  At
+  100 TB you run ``dedup_minhash_lsh`` (bucket pairs + exact re-verify of
+  candidate documents only).
 - Every hash is md5-derived (functions/hashing.py) so signatures are
   deterministic across engines, Spark versions, and cluster sizes — a
   resumed or re-run dedup job produces the same pairs, and DuckDB can
@@ -36,9 +37,13 @@ from mapreduceimplementation_spark.functions.hashing import (
     hash64,
     sql_hash64,
 )
-from mapreduceimplementation_spark.functions.text import word_ngrams, sql_word_ngrams
+from mapreduceimplementation_spark.functions.text import (
+    ngrams_of_words,
+    sql_word_ngrams,
+    word_array,
+)
 from mapreduceimplementation_spark.registry import register
-from mapreduceimplementation_spark.session import tune
+from mapreduceimplementation_spark.session import spread, tune
 from mapreduceimplementation_spark.sources.tables import load_table
 
 _SHINGLE_N = 3  # word 3-gram shingles for all near-dup operators
@@ -91,15 +96,41 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shared shingle helpers
 
 
-def _shingle_arr() -> Column:
-    """Distinct word-3gram shingles of ``text`` as a row-local array."""
-    return F.array_distinct(word_ngrams("text", _SHINGLE_N))
+def _shingled(docs: DataFrame, spark: SparkSession | None = None) -> DataFrame:
+    """(doc_id, sh_arr): distinct word-3gram shingles as a row-local array.
+
+    Built in two projection steps (words, then shingles) so each stage
+    reads a materialized column — inlining the split into the shingle
+    lambda re-runs the regex per shingle (O(words²) per doc, measured 3x+
+    slower at sf0.1).  The min-words filter lives HERE, on the cheap ws
+    column, so downstream ops must NOT re-filter on derived arrays: a
+    late `where(size(hs) > 0)` gets predicate-pushed to the scan with the
+    whole shingle+hash expression tree inlined into it, re-running the
+    split per element_at — a measured 10x pathology at sf0.1."""
+    if spark is not None:
+        docs = spread(docs, spark)  # HOF-heavy stage: never run one-core
+    return (
+        docs.where(F.col("text").isNotNull())
+        .select("doc_id", word_array("text").alias("ws"))
+        .where(F.size("ws") >= _SHINGLE_N)
+        .select(
+            "doc_id",
+            F.array_distinct(ngrams_of_words("ws", _SHINGLE_N)).alias("sh_arr"),
+        )
+    )
 
 
-def _shingles(docs: DataFrame) -> DataFrame:
-    """Exploded distinct (doc_id, sh) relation — indexer.go's word→doc shape."""
-    return docs.where(F.col("text").isNotNull()).select(
-        "doc_id", F.explode(_shingle_arr()).alias("sh")
+def _shingles(docs: DataFrame, spark: SparkSession | None = None) -> DataFrame:
+    """Exploded distinct (doc_id, sh) relation — indexer.go's word→doc shape.
+
+    explode_outer, NOT explode: plain explode makes InferFiltersFromGenerate
+    add a `size(sh_arr) > 0` filter that predicate-pushdown inlines into the
+    scan as the full shingle expression tree (per-element split re-eval — a
+    measured ~20x pathology).  The arrays are provably non-empty (_shingled
+    filters on word count), so the outer variant is semantically identical.
+    """
+    return _shingled(docs, spark).select(
+        "doc_id", F.explode_outer("sh_arr").alias("sh")
     )
 
 
@@ -107,12 +138,45 @@ def _shingles(docs: DataFrame) -> DataFrame:
 _SQL_SH = sql_word_ngrams(_SHINGLE_N)
 
 
-def _verified_pairs(cand: DataFrame, sh: DataFrame, tau: float) -> DataFrame:
+def _bucket_pairs(df: DataFrame, keys: list[str], payload: list[str]) -> DataFrame:
+    """All a<b pairs within each bucket — groupBy + in-bucket expansion.
+
+    ONE shuffle on the bucket key instead of a self-join (which would
+    shuffle — and recompute the bucket lineage — twice).  Payload columns
+    ride along in the collected structs, so pair predicates (hamming,
+    cosine) evaluate inline with zero re-joins.  Bucket sizes are bounded
+    by near-dup cluster sizes; a pathological all-identical corpus makes
+    candidate expansion quadratic in that one bucket, which is inherent to
+    LSH candidate generation itself, not to this formulation.
+    Returns columns a, b: structs of the payload fields, a < b.
+    """
+    items = F.array_sort(F.collect_list(F.struct(*payload)))
+    g = df.groupBy(*keys).agg(items.alias("items")).where(F.size("items") >= 2)
+    pairs = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x, i: F.transform(
+                F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return g.select(F.explode(pairs).alias("p")).select("p.a", "p.b")
+
+
+def _verified_pairs(
+    cand: DataFrame, docs: DataFrame, tau: float, spark: SparkSession | None = None
+) -> DataFrame:
     """Exact-Jaccard verification of candidate (a_id, b_id) pairs.
 
     Joins only the candidates' shingle sets (candidate volume ≪ n²), so the
     cost is proportional to true-near-dup volume, not corpus size squared.
+    The (already candidate-restricted) shingle relation is checkpointed
+    once and feeds all three consumers (both join sides and the size
+    relation) — without this, each consumer re-runs the scan+shingle
+    lineage as its own stage chain.
     """
+    sh = _shingles(docs, spark).localCheckpoint()
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sha = sh.select(F.col("doc_id").alias("a_id"), "sh")
     shb = sh.select(F.col("doc_id").alias("b_id2"), F.col("sh").alias("shb"))
@@ -176,22 +240,29 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """.format(tau=_TAU)
     tune(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = _shingles(docs)
-    a = sh.select(F.col("doc_id").alias("a_id"), "sh")
-    b = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("shb"))
-    cand = (
-        a.join(b, (F.col("sh") == F.col("shb")) & (F.col("a_id") < F.col("b_id")))
-        .select("a_id", "b_id")
-        .distinct()
+    # pair counts straight from the shingle posting lists: groupBy(sh) +
+    # in-bucket pair expansion + pair-count — one shingle pass, no self-join
+    common = (
+        _bucket_pairs(_shingles(docs, spark), ["sh"], ["doc_id"])
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    return _verified_pairs(cand, sh, _TAU)
+    sz = _shingled(docs, spark).select("doc_id", F.size("sh_arr").alias("n"))
+    j = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        common.join(sz.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na")), "a_id")
+        .join(sz.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb")), "b_id")
+        .where(j >= _TAU)
+        .select("a_id", "b_id", F.round(j, 6).alias("jaccard"))
+    )
 
 
 # ---------------------------------------------------------------------------
 # C7. MinHash + LSH banding
 
-_MH_K = 16  # signature length
-_MH_BANDS = 4  # bands of 4 rows each
+_MH_K = 24  # signature length
+_MH_BANDS = 6  # bands of 4 rows each: P[miss j=0.97 pair] ~ (1-0.97^4)^6 < 3e-6
 _MH_R = _MH_K // _MH_BANDS
 
 
@@ -201,24 +272,39 @@ def _h64_py(s: str) -> int:
 
 
 #: universal-hash family constants, md5-derived so Spark, DuckDB and this
-#: Python module all agree on every signature value
-_MH_A = [(_h64_py(f"mh-a-{i}") % (MERSENNE_61 - 1)) + 1 for i in range(_MH_K)]
-_MH_B = [_h64_py(f"mh-b-{i}") % MERSENNE_61 for i in range(_MH_K)]
+#: Python module all agree on every signature value.  The family first
+#: XOR-mixes h with a per-perm 60-bit constant r, then applies
+#: g(h) = (a*hi + b*lo + c) mod 2^61-1 over the mixed value's 30-bit
+#: halves.  Every intermediate fits a 64-bit long (a,b < 2^30 so each
+#: product < 2^60; sum < 2^62): pure long arithmetic, no decimal/HUGEINT
+#: mulmod, ~5x cheaper per hash in codegen.  The XOR step is essential:
+#: without it the low-wrap linear form ranks every perm by nearly the
+#: same "smallest (hi,lo)" order, so distinct perms' argmins correlate
+#: and minhash agreement no longer estimates Jaccard (observed: a j=0.9
+#: pair agreeing on 6/24 perms instead of ~22/24).
+_MH_MASK30 = (1 << 30) - 1
+_MH_A = [(_h64_py(f"mh-a-{i}") % _MH_MASK30) + 1 for i in range(_MH_K)]
+_MH_B = [(_h64_py(f"mh-b-{i}") % _MH_MASK30) + 1 for i in range(_MH_K)]
+_MH_C = [_h64_py(f"mh-c-{i}") % MERSENNE_61 for i in range(_MH_K)]
+_MH_R_ = [_h64_py(f"mh-r-{i}") for i in range(_MH_K)]
 
 
-def _perm(h: Column, a: int, b: int) -> Column:
-    """(a*h + b) mod 2^61-1 without 128-bit ints: the product (≤2^121) is
-    exact in decimal(38,0), reduced mod P back into long range."""
-    prod = F.lit(str(a)).cast("decimal(19,0)") * h.cast("decimal(19,0)")
-    step = F.pmod(prod, F.lit(str(MERSENNE_61)).cast("decimal(19,0)")).cast("long")
-    return F.pmod(step + F.lit(b), F.lit(MERSENNE_61))
+def _perm(h: Column, a: int, b: int, c: int, r: int) -> Column:
+    m = h.bitwiseXOR(F.lit(r))
+    return F.pmod(
+        F.lit(a) * F.shiftright(m, 30)
+        + F.lit(b) * m.bitwiseAND(F.lit(_MH_MASK30))
+        + F.lit(c),
+        F.lit(MERSENNE_61),
+    )
 
 
-def _sql_perm(expr: str, a: int, b: int) -> str:
-    """DuckDB twin of ``_perm`` (HUGEINT is 128-bit, so direct mulmod)."""
+def _sql_perm(expr: str, a: int, b: int, c: int, r: int) -> str:
+    """DuckDB twin of ``_perm``."""
+    mixed = f"xor({expr}, {r})"
     return (
-        f"CAST(((CAST({a} AS HUGEINT) * {expr}) % {MERSENNE_61} + {b})"
-        f" % {MERSENNE_61} AS BIGINT)"
+        f"(({a} * (({mixed}) >> 30) + {b} * (({mixed}) & {_MH_MASK30}) + {c})"
+        f" % {MERSENNE_61})"
     )
 
 
@@ -229,7 +315,7 @@ def _sql_perm(expr: str, a: int, b: int) -> str:
     h AS (SELECT doc_id, {sql_hash64('sh')} AS h FROM ws),
     sig AS (
         SELECT doc_id,
-               {", ".join(f"min({_sql_perm('h', _MH_A[i], _MH_B[i])}) AS m{i}" for i in range(_MH_K))}
+               {", ".join(f"min({_sql_perm('h', _MH_A[i], _MH_B[i], _MH_C[i], _MH_R_[i])}) AS m{i}" for i in range(_MH_K))}
         FROM h GROUP BY doc_id
     ),
     bands AS (
@@ -249,29 +335,30 @@ def _sql_perm(expr: str, a: int, b: int) -> str:
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(16) + LSH(4 bands x 4 rows) near-dup pairs, exact re-verify.
+    """MinHash(24) + LSH(6 bands x 4 rows) near-dup pairs, exact re-verify.
 
     The scale path: signatures are computed **row-local** (array_min over a
     transformed shingle-hash array — no shuffle, scan speed); the only
     exchanges are the band-bucket equi-join (candidate volume tracks true
-    duplicate volume: P[band match] = j^4, so j=0.98 pairs are caught with
-    p ~ 1-(1-0.92)^4 while j<0.1 pairs almost never collide) and the exact
+    duplicate volume: P[band match] = j^4 per band over 6 bands, so a j=0.97
+    pair is missed with p ~ (1-0.97^4)^6 < 3e-6 while j<0.1 pairs almost
+    never collide) and the exact
     Jaccard re-verify restricted to candidates.  Never O(n²).
     """
     tune(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    hashes = F.transform(_shingle_arr(), lambda s: hash64(s))
     sig = (
-        docs.where(F.col("text").isNotNull())
-        .select("doc_id", hashes.alias("hs"))
-        .where(F.size("hs") > 0)
+        _shingled(docs, spark)  # already filtered to >=1 shingle — do NOT re-filter
+        .select("doc_id", F.transform("sh_arr", lambda s: hash64(s)).alias("hs"))
         .select(
             "doc_id",
             *[
                 F.array_min(
                     F.transform(
                         F.col("hs"),
-                        (lambda a, b: lambda h: _perm(h, a, b))(_MH_A[i], _MH_B[i]),
+                        (lambda a, b, c, r: lambda h: _perm(h, a, b, c, r))(
+                            _MH_A[i], _MH_B[i], _MH_C[i], _MH_R_[i]
+                        ),
                     )
                 ).alias(f"m{i}")
                 for i in range(_MH_K)
@@ -294,23 +381,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.bkey")
-    a = bands.select(F.col("doc_id").alias("a_id"), "band", "bkey")
-    b = bands.select(
-        F.col("doc_id").alias("b_id"),
-        F.col("band").alias("band_b"),
-        F.col("bkey").alias("bkey_b"),
-    )
+    # the candidate set is tiny (tracks true-duplicate volume) but its
+    # lineage is the full signature pass — checkpoint it so the downstream
+    # consumers (broadcast verify join, id filter) don't each re-shingle
+    # the corpus
     cand = (
-        a.join(
-            b,
-            (F.col("band") == F.col("band_b"))
-            & (F.col("bkey") == F.col("bkey_b"))
-            & (F.col("a_id") < F.col("b_id")),
-        )
-        .select("a_id", "b_id")
+        _bucket_pairs(bands, ["band", "bkey"], ["doc_id"])
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
+        .localCheckpoint()
     )
-    return _verified_pairs(cand, _shingles(docs), _TAU)
+    # verify only candidate documents: the broadcast id semi-join reaches
+    # the scan, so the verification shingle passes cover ~|candidate| docs,
+    # not the corpus — total full-corpus work is the ONE signature pass
+    cand_ids = cand.select(
+        F.explode(F.array("a_id", "b_id")).alias("doc_id")
+    ).distinct()
+    cand_docs = spread(docs, spark).join(F.broadcast(cand_ids), "doc_id")
+    return _verified_pairs(cand, cand_docs, _TAU)
 
 
 # ---------------------------------------------------------------------------
@@ -367,7 +455,6 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     powers = F.array(*[F.lit(1 << b).cast("long") for b in range(_SH_BITS)])
-    hashes = F.transform(_shingle_arr(), lambda s: hash64(s))
     votes = F.aggregate(
         F.col("hs"),
         F.array_repeat(F.lit(0), _SH_BITS),
@@ -383,9 +470,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     sim = (
-        docs.where(F.col("text").isNotNull())
-        .select("doc_id", hashes.alias("hs"))
-        .where(F.size("hs") > 0)
+        _shingled(docs, spark)  # already filtered to >=1 shingle — do NOT re-filter
+        .select("doc_id", F.transform("sh_arr", lambda s: hash64(s)).alias("hs"))
         .select("doc_id", simhash.alias("s"))
     )
     chunks = sim.select(
@@ -405,22 +491,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ck"),
     ).select("doc_id", "s", "ck.c", "ck.ch")
-    a = chunks.select(F.col("doc_id").alias("a_id"), F.col("s").alias("sa"), "c", "ch")
-    b = chunks.select(
-        F.col("doc_id").alias("b_id"),
-        F.col("s").alias("sb"),
-        F.col("c").alias("c_b"),
-        F.col("ch").alias("ch_b"),
-    )
+    # the simhash rides into the buckets, so hamming evaluates inline —
+    # no join back to the (expensive) signature relation
     hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
     return (
-        a.join(
-            b,
-            (F.col("c") == F.col("c_b"))
-            & (F.col("ch") == F.col("ch_b"))
-            & (F.col("a_id") < F.col("b_id")),
+        _bucket_pairs(chunks, ["c", "ch"], ["doc_id", "s"])
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.s").alias("sa"),
+            F.col("b.s").alias("sb"),
         )
-        .select("a_id", "b_id", "sa", "sb")
         .distinct()
         .where(hamming <= _SH_MAXDIST)
         .select("a_id", "b_id", hamming.cast("int").alias("hamming"))

@@ -34,6 +34,21 @@ def tune(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def spread(df, spark: SparkSession):
+    """Ensure a compute-heavy per-row stage runs with full parallelism.
+
+    Local test files are single-partition parquet, which would serialize
+    expensive row-local work (shingling/hashing via higher-order functions
+    is interpreted, not codegen'd) onto one core.  On a real cluster a
+    100 TB scan already has thousands of splits, so this guard never fires
+    and no corpus-sized shuffle is added.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def get_spark(app_name: str = "mapreduceimplementation-spark") -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = (
