@@ -1,7 +1,10 @@
-"""Registry gate: every operator SURVEY.md §2 marks implemented must be
-registered in QUERIES (and, unless rows-only, in ORACLES).  This test exists
-because round 1 shipped four finished operators as dead code — an import
-missing from operators/__init__.py made them invisible to the driver.
+"""Registry gate: every operator SURVEY.md §2 marks done must be registered
+in QUERIES and (unless listed rows-only) in ORACLES.  This test exists
+because round 1 shipped four finished operators as dead code, and round 2's
+version derived its expectation from what was implemented — certifying a
+shrunken surface.  INVENTORY below is the FULL SURVEY §2 inventory (minus
+A7, a declared test-only deliverable); a SURVEY row may only say "done"
+while its key is here AND the driver's CORRECTNESS gate is green.
 """
 
 from __future__ import annotations
@@ -10,50 +13,84 @@ import mapreduceimplementation_spark as eng
 
 eng.load_all_operators()
 
-# SURVEY.md §2 inventory, minus test-only deliverables (A7).  Grows with each
-# round; "done" in SURVEY requires membership here AND a green CORRECTNESS row.
+# The complete SURVEY.md §2 inventory. A7 (mr_jobcount_semantics) is
+# test-only by design: tests/test_mrcore.py::test_determinism_under_repartition.
 INVENTORY = [
     # A. MapReduce core
-    "mr_wordcount",
-    "mr_inverted_index",
-    "mr_grep",
-    "mr_file_lengths",
-    "mr_distributed_sort",
-    "mr_generic_wc",
+    "mr_wordcount",          # A1
+    "mr_inverted_index",     # A2
+    "mr_grep",               # A3
+    "mr_file_lengths",       # A4
+    "mr_distributed_sort",   # A5
+    "mr_generic_wc",         # A6
     # B. Relational analytics
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "top_customers_per_nation",
-    "part_type_share",
-    "order_priority_count",
-    "events_minutely",
-    "events_sessionize",
-    "events_json_props",
-    "kv_apply_log",
-    "shard_rebalance",
+    "q1_pricing_summary",    # B1
+    "q3_shipping_priority",  # B2
+    "q5_region_revenue",     # B3
+    "top_customers_per_nation",  # B4
+    "part_type_share",       # B5
+    "order_priority_count",  # B6
+    "events_minutely",       # B7
+    "events_sessionize",     # B8
+    "events_json_props",     # B9
+    "kv_apply_log",          # B10
+    "shard_rebalance",       # B11
     # C. LLM-data-pipeline
-    "token_count",
-    "quality_score",
-    "lang_id",
-    "doc_fingerprint",
+    "dedup_exact",           # C1
+    "token_count",           # C2
+    "quality_score",         # C3
+    "lang_id",               # C4
+    "doc_fingerprint",       # C5
+    "dedup_ngram_jaccard",   # C6
+    "dedup_minhash_lsh",     # C7
+    "dedup_simhash",         # C8
+    "dedup_embedding",       # C9
+    "ann_topk",              # C10
+    "ann_lsh",               # C11
+    "multimodal_meta",       # C12
+    "embed_normalize",       # C13
+    # D. Structured Streaming
+    "streaming_windowed_counts",  # D1
+    "streaming_sessionize",       # D2
 ]
 
-#: registered queries that intentionally have no SQL oracle (rows-only gate)
-ROWS_ONLY = frozenset()
+#: SURVEY rows not yet implemented — MUST shrink to empty; a key may not
+#: appear both here and be marked "done" in SURVEY §2.
+TODO: frozenset[str] = frozenset()
+
+#: registered queries that intentionally have no SQL oracle (rows-only
+#: driver gate).  Currently empty: every operator, including both
+#: streaming ops, carries a full DuckDB oracle.
+ROWS_ONLY: frozenset[str] = frozenset()
 
 
 def test_inventory_registered():
-    missing = [k for k in INVENTORY if k not in eng.QUERIES]
+    missing = [k for k in INVENTORY if k not in TODO and k not in eng.QUERIES]
     assert not missing, f"SURVEY-inventoried operators missing from QUERIES: {missing}"
 
 
 def test_inventory_has_oracles():
     missing = [
-        k for k in INVENTORY if k not in ROWS_ONLY and k not in eng.ORACLES
+        k
+        for k in INVENTORY
+        if k not in TODO and k not in ROWS_ONLY and k not in eng.ORACLES
     ]
     assert not missing, f"operators without a DuckDB oracle: {missing}"
 
 
+def test_no_unknown_registrations():
+    """Every registered query must be accounted for in the inventory —
+    catches queries that exist but were never added to SURVEY §2."""
+    unknown = [k for k in eng.QUERIES if k not in INVENTORY]
+    assert not unknown, f"registered queries missing from INVENTORY/SURVEY: {unknown}"
+
+
 def test_no_unknown_rows_only():
     assert ROWS_ONLY <= set(eng.QUERIES)
+
+
+def test_todo_is_empty():
+    """Round-3 state: the full SURVEY surface is implemented.  If a future
+    round adds SURVEY rows before code, they go in TODO and this test is
+    updated deliberately — no silent shrinkage."""
+    assert TODO == frozenset()
