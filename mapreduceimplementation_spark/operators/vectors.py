@@ -35,7 +35,7 @@ from pyspark.sql.window import Window
 
 from mapreduceimplementation_spark.functions.vectors import dot, l2_norm
 from mapreduceimplementation_spark.registry import register
-from mapreduceimplementation_spark.session import tune
+from mapreduceimplementation_spark.session import spread, tune
 from mapreduceimplementation_spark.sources.tables import load_table
 
 _DIM = 64  # embeddings table vector width (TESTDATA.md)
@@ -110,9 +110,16 @@ _SQL_NORMED = """
 
 
 def _normed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embeddings as (vec_id, v: array<double>, nrm) — the shared scan."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    """Embeddings as (vec_id, v: array<double>, nrm) — the shared scan.
+
+    spread(): vector math runs through interpreted higher-order functions,
+    so a single-file local scan must not serialize it onto one core (no-op
+    on multi-split cluster scans)."""
+    emb = spread(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        ),
+        spark,
     )
     return emb.where(F.size("v") > 0).select("vec_id", "v", l2_norm("v").alias("nrm"))
 
