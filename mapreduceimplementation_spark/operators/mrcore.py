@@ -17,6 +17,10 @@ from mapreduceimplementation_spark.functions.text import WORD_SEP_RE, word_token
 from mapreduceimplementation_spark.registry import register
 from mapreduceimplementation_spark.session import tune
 from mapreduceimplementation_spark.sources.tables import load_table
+from mapreduceimplementation_spark.sources.text import (
+    materialize_text_corpus,
+    read_text_dir,
+)
 
 # Shared oracle fragment: one row per (doc_id, word occurrence), wc.go split
 # semantics (runs of ASCII letters).
@@ -49,6 +53,28 @@ def mr_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+@register(
+    "mr_wordcount_text",
+    oracle=f"""
+    SELECT word, count(*) AS cnt
+    FROM ({_SQL_WORDS})
+    GROUP BY word
+    """,
+)
+def mr_wordcount_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count over WHOLE TEXT FILES — the reference's actual ingestion
+    path (coordinator reads pg-*.txt and hands (filename, contents) to Map;
+    src/mr/coordinator.go MakeCoordinator(files...)).  The wholetext source
+    reads one file per row, fully distributed; the corpus is materialized
+    from documents.parquet once as a test fixture (sources/text.py).  The
+    oracle is the SAME SQL as mr_wordcount — files and parquet must agree
+    word-for-word, the reference's golden-output check."""
+    tune(spark)
+    corpus = materialize_text_corpus(sf_dir)
+    docs = read_text_dir(spark, corpus + "/*.txt")
+    return word_tokens(docs).groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
 
 
 @register(

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from mapreduceimplementation_spark.functions.hashing import hash64, sql_hash64
 from mapreduceimplementation_spark.registry import register
 from mapreduceimplementation_spark.session import tune
 from mapreduceimplementation_spark.sources.tables import load_table
@@ -102,3 +103,70 @@ def shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shards.join(
         F.broadcast(nation), F.col("n_nationkey") == F.col("shard") % n_groups
     ).select("shard", F.col("n_nationkey").alias("gid"), F.col("n_name").alias("group_name"))
+
+
+#: groups that Leave in the rebalance scenario (deterministic from the dim)
+_LEAVE_PRED_SQL = "n_nationkey % 5 = 3"
+
+
+@register(
+    "shard_rebalance_hrw",
+    oracle=f"""
+    WITH shards AS (SELECT unnest(range(0, {N_SHARDS})) AS shard),
+    pairs AS (
+        SELECT shard, n_nationkey AS gid, ({_LEAVE_PRED_SQL}) AS leaves,
+               {sql_hash64("'hrw-' || CAST(n_nationkey AS VARCHAR) || '-' || CAST(shard AS VARCHAR)")} AS h
+        FROM shards CROSS JOIN nation
+    ),
+    full_cfg  AS (SELECT shard, arg_max(gid, h) AS gid_full FROM pairs GROUP BY shard),
+    alive_cfg AS (SELECT shard, arg_max(gid, h) AS gid_alive FROM pairs
+                  WHERE NOT leaves GROUP BY shard)
+    SELECT f.shard, gid_full, gid_alive, gid_full <> gid_alive AS moved
+    FROM full_cfg f JOIN alive_cfg a ON f.shard = a.shard
+    """,
+)
+def shard_rebalance_hrw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimal-movement shard rebalancing via rendezvous (HRW) hashing.
+
+    The reference's shardctrler recomputes a balanced config on Join/Leave
+    while moving as few shards as possible (src/shardctrler/server.go,
+    common.go Config).  Its iterative argmax/argmin loop is control-plane
+    code; the set-oriented equivalent with the same minimal-movement
+    property is rendezvous hashing: shard s belongs to
+    argmax_g hash(g, s).  On Leave ONLY the leaver's shards move (every
+    other shard's argmax is untouched — asserted by pytest); on Join only
+    shards whose new argmax is the joiner move (~S/G).  Fully declarative:
+    one bounded crossJoin (64 x 25 rows) + two max_by aggregations — no
+    iteration, no driver fold, identical on any engine via md5 hashing.
+
+    Output: each shard's owner in the full config, its owner after the
+    deterministic Leave set (gid % 5 == 3) departs, and whether it moved.
+    """
+    tune(spark)
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    shards = spark.range(N_SHARDS).select(F.col("id").alias("shard"))
+    pairs = shards.crossJoin(F.broadcast(nation)).select(
+        "shard",
+        F.col("n_nationkey").alias("gid"),
+        (F.col("n_nationkey") % 5 == 3).alias("leaves"),
+        hash64(
+            F.concat(
+                F.lit("hrw-"),
+                F.col("n_nationkey").cast("string"),
+                F.lit("-"),
+                F.col("shard").cast("string"),
+            )
+        ).alias("h"),
+    )
+    full_cfg = pairs.groupBy("shard").agg(F.max_by("gid", "h").alias("gid_full"))
+    alive_cfg = (
+        pairs.where(~F.col("leaves"))
+        .groupBy("shard")
+        .agg(F.max_by("gid", "h").alias("gid_alive"))
+    )
+    return full_cfg.join(alive_cfg, "shard").select(
+        "shard",
+        "gid_full",
+        "gid_alive",
+        (F.col("gid_full") != F.col("gid_alive")).alias("moved"),
+    )

@@ -23,6 +23,7 @@ INVENTORY = [
     "mr_file_lengths",       # A4
     "mr_distributed_sort",   # A5
     "mr_generic_wc",         # A6
+    "mr_wordcount_text",     # A8: wholetext-file ingestion parity
     # B. Relational analytics
     "q1_pricing_summary",    # B1
     "q3_shipping_priority",  # B2
@@ -35,6 +36,7 @@ INVENTORY = [
     "events_json_props",     # B9
     "kv_apply_log",          # B10
     "shard_rebalance",       # B11
+    "shard_rebalance_hrw",   # B12: minimal-movement Join/Leave rebalance
     # C. LLM-data-pipeline
     "dedup_exact",           # C1
     "token_count",           # C2
