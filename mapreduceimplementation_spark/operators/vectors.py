@@ -355,3 +355,152 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(cos >= _DE_TAU)
         .select("a_id", "b_id", F.round(cos, 6).alias("cos"))
     )
+
+
+# ---------------------------------------------------------------------------
+# C11b. ann_ivf (inverted-file index over deterministic centroids)
+
+_IVF_K = 16  # centroid count
+_IVF_NPROBE = 4  # cells probed per query
+
+
+def _centroid(k: int) -> list[float]:
+    """Centroid k: 64 md5-derived doubles in [-1, 1) (seed 'ivf-{k}-{j}').
+
+    Production IVF trains centroids with k-means; a fixed md5-derived
+    centroid set keeps the index deterministic and engine-reproducible
+    while exercising the identical plumbing (cell assignment, inverted
+    lists, nprobe search)."""
+    return [
+        float(_h64_py(f"ivf-{k}-{j}")) / _POW60 * 2.0 - 1.0
+        for j in range(1, _DIM + 1)
+    ]
+
+
+def _centroid_norm(k: int) -> float:
+    """Left-fold |c_k| with the same IEEE op order as both engines."""
+    acc = 0.0
+    for x in _centroid(k):
+        acc = acc + x * x
+    import math
+
+    return math.sqrt(acc)
+
+
+def _cell_scores(v: Column) -> list[Column]:
+    """cos(v, c_k)/|v| is monotone in dot(v, c_k)/|c_k| per row — |v|
+    divides out of the argmax, so score_k = <v, c_k>/|c_k|."""
+    out = []
+    for k in range(_IVF_K):
+        w = F.array(*[F.lit(x) for x in _centroid(k)])
+        d = F.aggregate(
+            F.zip_with(v, w, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+        )
+        out.append(d / F.lit(_centroid_norm(k)))
+    return out
+
+
+def _sql_cell_scores(vec: str) -> list[str]:
+    out = []
+    for k in range(_IVF_K):
+        w = (
+            f"((('0x'||substr(md5('ivf-{k}-'||i),1,15))::BIGINT"
+            f" / {int(_POW60)}.0)*2-1)"
+        )
+        d = (
+            f"list_reduce(list_transform(range(1, {_DIM + 1}),"
+            f" i -> {vec}[i] * {w}), (a, b) -> a + b)"
+        )
+        out.append(f"({d} / {_centroid_norm(k)!r})")
+    return out
+
+
+@register(
+    "ann_ivf",
+    oracle=f"""
+    WITH {_SQL_NORMED},
+    cells AS (
+        SELECT vec_id,
+               CAST(list_position(sc, list_max(sc)) - 1 AS INT) AS cell
+        FROM (SELECT vec_id, [{", ".join(_sql_cell_scores('v'))}] AS sc FROM n)
+    ),
+    qprobe AS (
+        SELECT vec_id AS q_id, CAST(k AS INT) AS cell FROM (
+            SELECT vec_id, k, row_number() OVER (
+                PARTITION BY vec_id ORDER BY sc[k + 1] DESC, k) AS pr
+            FROM (SELECT vec_id, [{", ".join(_sql_cell_scores('v'))}] AS sc FROM n
+                  WHERE vec_id < {_Q_MAX}),
+                 (SELECT unnest(range({_IVF_K})) AS k)
+        ) WHERE pr <= {_IVF_NPROBE}
+    ),
+    cand AS (
+        SELECT DISTINCT q_id, c.vec_id AS neighbor_id
+        FROM qprobe JOIN cells c ON c.cell = qprobe.cell
+        WHERE c.vec_id <> q_id
+    ),
+    s AS (
+        SELECT q_id, neighbor_id, ROUND({_SQL_COS}, 6) AS cos
+        FROM cand JOIN n nq ON nq.vec_id = q_id JOIN n nc ON nc.vec_id = neighbor_id
+    )
+    SELECT q_id, neighbor_id, cos, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+        FROM s
+    ) WHERE rank <= {_TOPK}
+    """,
+)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: assign vectors to their nearest of {K} fixed centroids
+    (the inverted file), probe the {p} best cells per query, exact-rank
+    within the probed cells.
+
+    Cell assignment is row-local (16 codegen dot products, argmax via
+    array_position of the max — deterministic lowest-k tie-break); the
+    inverted "lists" are just the cell column, so the candidate step is a
+    broadcast equi-join on cell.  At scale this is the partition-pruning
+    layout: write the corpus bucketed BY cell and a query touches only
+    nprobe/{K} of the data.  Centroids are md5-derived (deterministic,
+    engine-reproducible); swap in k-means centroids in production without
+    touching the query plan.
+    """.format(K=_IVF_K, p=_IVF_NPROBE)
+    tune(spark)
+    n = _normed(spark, sf_dir)
+    scores = F.array(*_cell_scores(F.col("v")))
+    scored = n.select("vec_id", "v", "nrm", scores.alias("sc"))
+    cells = scored.select(
+        "vec_id",
+        (F.array_position("sc", F.array_max("sc")) - 1).cast("int").alias("cell"),
+    )
+    kcol = F.explode(F.sequence(F.lit(0), F.lit(_IVF_K - 1))).alias("k")
+    qprobe = (
+        scored.where(F.col("vec_id") < _Q_MAX)
+        .select(F.col("vec_id").alias("q_id"), "sc", kcol)
+        .withColumn(
+            "pr",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(
+                    F.element_at("sc", F.col("k") + 1).desc(), F.col("k")
+                )
+            ),
+        )
+        .where(F.col("pr") <= _IVF_NPROBE)
+        .select("q_id", F.col("k").cast("int").alias("cell"))
+    )
+    cand = (
+        cells.join(F.broadcast(qprobe), "cell")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    nq = n.select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    cos = F.round(dot("v", "qv") / (F.col("nrm") * F.col("qnrm")), 6)
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        cand.join(F.broadcast(nq), "q_id")
+        .join(n.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .select("q_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TOPK)
+    )

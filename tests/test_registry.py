@@ -49,6 +49,7 @@ INVENTORY = [
     "dedup_embedding",       # C9
     "ann_topk",              # C10
     "ann_lsh",               # C11
+    "ann_ivf",               # C11b: inverted-file ANN variant
     "multimodal_meta",       # C12
     "embed_normalize",       # C13
     # D. Structured Streaming

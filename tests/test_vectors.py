@@ -39,6 +39,17 @@ def test_ann_lsh_subset_of_bruteforce_universe(spark, sf_dir):
         assert grp["cos"].max() <= best_bf[q] + 1e-9
 
 
+def test_ann_ivf_subset_of_bruteforce_universe(spark, sf_dir):
+    """IVF results rank real neighbors: per query its best probed hit
+    can't beat the brute-force rank-1 cosine, and ranks are 1..k dense."""
+    bf = eng.QUERIES["ann_topk"](spark, sf_dir).toPandas()
+    ivf = eng.QUERIES["ann_ivf"](spark, sf_dir).toPandas()
+    best_bf = bf[bf["rank"] == 1].set_index("q_id")["cos"]
+    for q, grp in ivf.groupby("q_id"):
+        assert grp["cos"].max() <= best_bf[q] + 1e-9
+        assert sorted(grp["rank"]) == list(range(1, len(grp) + 1))
+
+
 def test_dedup_embedding_pairs(spark, sf_dir):
     out = eng.QUERIES["dedup_embedding"](spark, sf_dir).toPandas()
     assert (out["cos"] >= 0.4).all()
