@@ -1,0 +1,51 @@
+"""Plan-shape gates for dedup and similarity operators (SURVEY.md §5 #5).
+
+These pin the round-3 performance work: candidate generation must stay
+bucket-join-shaped (never cartesian), and the only nested-loop join in
+the package is ann_topk's deliberate broadcast brute-force baseline.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import mapreduceimplementation_spark as eng
+
+eng.load_all_operators()
+
+#: operators whose plans must never contain a cartesian product
+NO_CARTESIAN = [
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding",
+    "ann_lsh",
+    "ann_ivf",
+]
+
+
+def _plan(spark, sf_dir, name) -> str:
+    df = eng.QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", NO_CARTESIAN)
+def test_no_cartesian_product(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
+
+
+def test_ann_topk_is_broadcast_nested_loop(spark, sf_dir):
+    """The brute-force baseline must broadcast the bounded query side —
+    a shuffle-based cartesian over the corpus would not scale it."""
+    plan = _plan(spark, sf_dir, "ann_topk")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_minhash_verify_is_broadcast(spark, sf_dir):
+    """The candidate set must reach the verify join as a broadcast (it is
+    bounded by true-duplicate volume, never corpus-sized)."""
+    plan = _plan(spark, sf_dir, "dedup_minhash_lsh")
+    assert "BroadcastHashJoin" in plan, plan
