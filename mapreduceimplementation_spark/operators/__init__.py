@@ -5,6 +5,7 @@ from mapreduceimplementation_spark.operators import (  # noqa: F401
     mrcore,
     mapreduce,
     multimodal,
+    pipeline,
     textmetrics,
     vectors,
 )

@@ -1,0 +1,154 @@
+"""Composite training-data pipeline (SURVEY.md §2 C14): the end-to-end
+corpus-preparation pass a large-scale LLM data pipeline runs before
+training — quality filter → language filter → exact dedup → token
+accounting — expressed as ONE Spark job.
+
+Pipeline order is the 100 TB contract: every row-local metric (token
+counts, quality score, language guess, normalized-text hash) is computed
+in a single projection over ONE scan of the corpus, the cheap filters run
+BEFORE the only shuffle, and the dedup window then partitions just the
+surviving rows by their uniform 128-bit hash.  At scale this is: scan
+100 TB once at codegen speed, shuffle only the (doc_id, hash, stats)
+tuples of the ~half that pass the filters, never the text itself.
+
+Reuses the single-operator building blocks (textmetrics C1–C4 expressions,
+dedup C1's normalization) so the composite is provably consistent with the
+standalone operators it chains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mapreduceimplementation_spark.operators.textmetrics import (
+    _argmax_sql,
+    _BPE_RE,
+    _lang_re,
+    _LANGS,
+    _SQL_STOP_RE,
+)
+from mapreduceimplementation_spark.registry import register
+from mapreduceimplementation_spark.session import tune
+from mapreduceimplementation_spark.sources.tables import load_table
+
+_MIN_SCORE = 0.45  # keeps ~half the synthetic corpus (median score ≈ 0.44)
+_KEEP_LANG = "en"
+
+
+@register(
+    "corpus_prep",
+    oracle=rf"""
+    WITH m AS (
+        SELECT doc_id,
+               md5(regexp_replace(trim(lower(text)), '[ \t\n]+', ' ', 'g')) AS text_hash,
+               CAST(length(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS n_bpe_tokens,
+               CAST(length(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
+               CAST(length(regexp_extract_all(lower(text), '{_SQL_STOP_RE}')) AS BIGINT) AS n_stop,
+               CAST(length(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS n_punct,
+               CAST(length(text) AS BIGINT) AS n_chars_a,
+               {", ".join(
+                   f"CAST(length(regexp_extract_all(lower(text), '{_lang_re(l)}')) AS BIGINT) AS s_{l}"
+                   for l in _LANGS
+               )}
+        FROM documents WHERE text IS NOT NULL
+    ), scored AS (
+        SELECT doc_id, text_hash, n_bpe_tokens,
+               ROUND(
+                 (CASE WHEN n_words > 0 THEN n_stop * 1.0 / n_words ELSE 0.0 END) * 0.5
+                 + (1.0 - (CASE WHEN n_chars_a > 0 THEN n_punct * 1.0 / n_chars_a ELSE 0.0 END)) * 0.3
+                 + (CASE WHEN n_words < 100 THEN n_words ELSE 100 END) * 1.0 / 100 * 0.2,
+                 6) AS score,
+               {_argmax_sql()} AS pred_lang
+        FROM m
+    ), kept AS (
+        SELECT * FROM scored
+        WHERE score >= {_MIN_SCORE} AND pred_lang = '{_KEEP_LANG}'
+    )
+    SELECT doc_id, text_hash, n_bpe_tokens, score, group_size
+    FROM (
+        SELECT doc_id, text_hash, n_bpe_tokens, score,
+               min(doc_id) OVER (PARTITION BY text_hash) AS canonical_id,
+               count(*)    OVER (PARTITION BY text_hash) AS group_size
+        FROM kept
+    )
+    WHERE doc_id = canonical_id
+    """,
+)
+def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-prep manifest: the documents that survive quality + language
+    filtering and exact dedup, with their token counts — the row set a
+    training job would actually read.
+
+    Output columns: doc_id (survivor), text_hash, n_bpe_tokens, score,
+    group_size (how many kept duplicates this survivor represents).
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), "[ \\t\\n]+", " ")
+    base = docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.md5(norm).alias("text_hash"),
+        F.regexp_count("text", F.lit(_BPE_RE)).cast("long").alias("n_bpe_tokens"),
+        F.regexp_count("text", F.lit("[A-Za-z]+")).cast("long").alias("n_words"),
+        F.regexp_count(F.lower("text"), F.lit(_SQL_STOP_RE)).cast("long").alias("n_stop"),
+        F.regexp_count("text", F.lit("[^A-Za-z0-9 ]")).cast("long").alias("n_punct"),
+        F.length("text").cast("long").alias("n_chars_a"),
+        *[
+            F.regexp_count(F.lower("text"), F.lit(_lang_re(l))).cast("long").alias(f"s_{l}")
+            for l in _LANGS
+        ],
+    )
+
+    stop_ratio = F.when(
+        F.col("n_words") > 0, F.col("n_stop") * 1.0 / F.col("n_words")
+    ).otherwise(0.0)
+    punct_ratio = F.when(
+        F.col("n_chars_a") > 0, F.col("n_punct") * 1.0 / F.col("n_chars_a")
+    ).otherwise(0.0)
+    length_sat = (
+        F.when(F.col("n_words") < 100, F.col("n_words")).otherwise(100) * 1.0 / 100
+    )
+    pred = None
+    for i, li in enumerate(_LANGS):
+        cond = F.lit(True)
+        for lj in _LANGS[i + 1 :]:
+            cond = cond & (F.col(f"s_{li}") >= F.col(f"s_{lj}"))
+        pred = F.when(cond, li) if pred is None else pred.when(cond, li)
+
+    # Catalyst pushes this filter through the projections, inlining the
+    # score/lang regex tree into the scan-stage Filter and re-computing
+    # the word/stop/punct regexes in the projection for surviving rows.
+    # Accepted deliberately: counted per-regex, the pushed plan is ~9.8N
+    # evaluations vs ~9N for a pushdown-barrier plan (the filter halves
+    # the rows reaching the bpe-token regex), and unlike dedup's
+    # per-array-element pathology (BASELINE.md) this is a one-shot row
+    # predicate — a barrier would buy ~8% regex work at the price of an
+    # optimizer-fighting trick.
+    scored = base.select(
+        "doc_id",
+        "text_hash",
+        "n_bpe_tokens",
+        F.round(
+            stop_ratio * 0.5 + (1.0 - punct_ratio) * 0.3 + length_sat * 0.2, 6
+        ).alias("score"),
+        pred.alias("pred_lang"),
+    )
+    kept = scored.where(
+        (F.col("score") >= _MIN_SCORE) & (F.col("pred_lang") == _KEEP_LANG)
+    )
+
+    w = Window.partitionBy("text_hash")
+    return (
+        kept.select(
+            "doc_id",
+            "text_hash",
+            "n_bpe_tokens",
+            "score",
+            F.min("doc_id").over(w).alias("canonical_id"),
+            F.count(F.lit(1)).over(w).alias("group_size"),
+        )
+        .where(F.col("doc_id") == F.col("canonical_id"))
+        .select("doc_id", "text_hash", "n_bpe_tokens", "score", "group_size")
+    )

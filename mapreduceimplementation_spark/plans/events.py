@@ -119,3 +119,76 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type", (k % 10).alias("k_bucket"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "events_asof_join",
+    oracle="""
+    SELECT event_id, user_id, ts, value, click_event_id, click_ts,
+           CAST(epoch_us(ts) - epoch_us(click_ts) AS BIGINT) AS micros_since_click
+    FROM (
+        SELECT event_id, user_id, ts, event_type, value,
+               last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+                   OVER w AS click_event_id,
+               last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+                   OVER w AS click_ts
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    WHERE event_type = 'purchase' AND click_ts IS NOT NULL
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event matched to the same user's most
+    recent strictly-prior click (inner as-of, DuckDB's ASOF JOIN default:
+    purchases with no prior click are dropped).
+
+    Spark has no ASOF JOIN operator, but when both sides share the
+    partition key the scalable formulation is not a join at all: filter
+    both event types in ONE scan, window over (user_id, ts) and carry the
+    last click forward with last(..., ignorenulls).  One shuffle on
+    user_id, no candidate-pair explosion, no range-join blowup — at
+    100 TB this is a single exchange of the two filtered event types,
+    and per-user ordering bounds the state exactly like sessionize (B8).
+    Tie-break (ts, event_id) makes the match deterministic; the gap is
+    computed in integer microseconds (unix_micros / epoch_us) so both
+    engines agree exactly on sub-second timestamps.
+    """
+    tune(spark)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select("event_id", "user_id", "ts", "event_type", "value")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_click = F.col("event_type") == "click"
+    enriched = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.last(F.when(is_click, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("click_event_id"),
+        F.last(F.when(is_click, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("click_ts"),
+    )
+    return enriched.where(
+        (F.col("event_type") == "purchase") & F.col("click_ts").isNotNull()
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "click_event_id",
+        "click_ts",
+        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("micros_since_click"),
+    )

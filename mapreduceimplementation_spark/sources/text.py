@@ -56,3 +56,31 @@ def materialize_text_corpus(sf_dir: str) -> str:
     with open(marker, "w"):
         pass
     return d
+
+
+def write_mr_out(
+    df: DataFrame,
+    path: str,
+    n_reduce: int = 10,
+    key: str = "key",
+    value: str = "value",
+) -> None:
+    """The reference's output sink contract (src/mr/worker.go: one
+    ``mr-out-N`` text file per reduce task, '%v %v' lines, keys sorted
+    within each file): hash-partition rows by key into ``n_reduce`` text
+    part-files, each sorted by key.
+
+    Spark analog of worker.go's ihash(key) %% nReduce file assignment —
+    the partitioner is Spark's Murmur3 hash rather than the reference's
+    FNV-1a, so individual file contents differ while the file count,
+    within-file ordering, and the union of lines match the contract.
+    At scale this is the natural shape: one reducer partition == one
+    output file, written in parallel, no driver involvement."""
+    (
+        df.select(F.col(key).cast("string").alias("k"), F.col(value).cast("string").alias("v"))
+        .repartition(n_reduce, F.col("k"))
+        .sortWithinPartitions("k")
+        .select(F.concat_ws(" ", "k", "v").alias("value"))
+        .write.mode("overwrite")
+        .text(path)
+    )

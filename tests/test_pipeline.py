@@ -1,0 +1,102 @@
+"""Tests for B13 events_asof_join and C14 corpus_prep (SURVEY.md §2)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+from datetime import datetime
+
+import mapreduceimplementation_spark as eng
+from tests.conftest import assert_same_result
+
+eng.load_all_operators()
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_asof_join_matches_oracle(spark, sf_dir, duck):
+    df = eng.QUERIES["events_asof_join"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["events_asof_join"])
+
+
+def test_asof_join_semantics_inline(spark):
+    """Known tiny timeline: strictly-prior click wins, purchases with no
+    prior click are dropped (inner as-of), latest of several clicks wins."""
+    rows = [
+        # (event_id, user_id, ts, event_type, value)
+        (1, 7, datetime(2024, 1, 1, 10, 0, 0), "purchase", 5.0),  # no prior click
+        (2, 7, datetime(2024, 1, 1, 10, 1, 0), "click", 0.0),
+        (3, 7, datetime(2024, 1, 1, 10, 2, 0), "click", 0.0),
+        (4, 7, datetime(2024, 1, 1, 10, 3, 0), "purchase", 9.0),  # matches click 3
+        (5, 8, datetime(2024, 1, 1, 10, 0, 0), "click", 0.0),
+        (6, 8, datetime(2024, 1, 1, 10, 0, 30), "view", 0.0),  # filtered out
+        (7, 8, datetime(2024, 1, 1, 10, 5, 0), "purchase", 2.0),  # matches click 5
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    df.createOrReplaceTempView("_asof_inline")
+
+    import mapreduceimplementation_spark.plans.events as ev_mod
+    from unittest import mock
+
+    with mock.patch.object(
+        ev_mod, "load_table", lambda spark, sf_dir, name: spark.table("_asof_inline")
+    ):
+        out = {
+            r["event_id"]: (r["click_event_id"], r["micros_since_click"])
+            for r in eng.QUERIES["events_asof_join"](spark, "ignored").collect()
+        }
+    assert out == {4: (3, 60_000_000), 7: (5, 300_000_000)}
+
+
+def test_asof_join_plan_shape(spark, sf_dir):
+    """The as-of join is a window merge: exactly ONE exchange (user_id),
+    and the event_type filter reaches the parquet scan."""
+    plan = _plan(eng.QUERIES["events_asof_join"](spark, sf_dir))
+    assert plan.count(") Exchange") == 1, plan
+    assert "PushedFilters" in plan and "event_type" in plan.split("PushedFilters", 1)[1].split("\n", 1)[0], plan
+
+
+def test_corpus_prep_matches_oracle(spark, sf_dir, duck):
+    df = eng.QUERIES["corpus_prep"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["corpus_prep"])
+
+
+def test_corpus_prep_consistent_with_standalone_ops(spark, sf_dir):
+    """The composite must agree with the single operators it chains:
+    survivor scores/langs pass the filters per quality_score/lang_id,
+    token counts equal token_count's, and group sizes account for every
+    kept row exactly once."""
+    prep = eng.QUERIES["corpus_prep"](spark, sf_dir).toPandas()
+    quality = (
+        eng.QUERIES["quality_score"](spark, sf_dir).toPandas().set_index("doc_id")
+    )
+    lang = eng.QUERIES["lang_id"](spark, sf_dir).toPandas().set_index("doc_id")
+    tokens = eng.QUERIES["token_count"](spark, sf_dir).toPandas().set_index("doc_id")
+
+    assert len(prep) > 0
+    for _, row in prep.iterrows():
+        doc = row["doc_id"]
+        assert quality.loc[doc, "score"] >= 0.45
+        assert lang.loc[doc, "pred_lang"] == "en"
+        assert row["score"] == quality.loc[doc, "score"]
+        assert row["n_bpe_tokens"] == tokens.loc[doc, "n_bpe_tokens"]
+
+    n_kept = int(
+        ((quality["score"] >= 0.45) & (lang["pred_lang"] == "en")).sum()
+    )
+    assert int(prep["group_size"].sum()) == n_kept
+
+
+def test_corpus_prep_single_shuffle(spark, sf_dir):
+    """One scan, one exchange: all metrics are row-local; only the dedup
+    window shuffles (on the uniform text_hash key)."""
+    plan = _plan(eng.QUERIES["corpus_prep"](spark, sf_dir))
+    assert plan.count(") Exchange") == 1, plan
+    assert plan.count(") Scan parquet") == 1, plan

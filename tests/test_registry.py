@@ -34,6 +34,7 @@ INVENTORY = [
     "events_minutely",       # B7
     "events_sessionize",     # B8
     "events_json_props",     # B9
+    "events_asof_join",      # B13: as-of join (window-merge formulation)
     "kv_apply_log",          # B10
     "shard_rebalance",       # B11
     "shard_rebalance_hrw",   # B12: minimal-movement Join/Leave rebalance
@@ -52,6 +53,7 @@ INVENTORY = [
     "ann_ivf",               # C11b: inverted-file ANN variant
     "multimodal_meta",       # C12
     "embed_normalize",       # C13
+    "corpus_prep",           # C14: composite filter→dedup→count pipeline
     # D. Structured Streaming
     "streaming_windowed_counts",  # D1
     "streaming_sessionize",       # D2
