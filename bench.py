@@ -27,6 +27,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_topk",
     "events_sessionize",
+    "events_asof_join",
+    "corpus_prep",
     "streaming_windowed_counts",
 ]
 

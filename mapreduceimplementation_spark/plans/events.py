@@ -192,3 +192,38 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_ts",
         (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("micros_since_click"),
     )
+
+
+@register(
+    "events_minutely_json",
+    oracle=f"""
+    SELECT date_trunc('minute', ts) AS minute,
+           event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           {sql_dsum('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_minutely_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7's plan over the JSON-lines source instead of parquet —
+    format-parity gate: the oracle is IDENTICAL to events_minutely's, so a
+    green row proves the JSON read (explicit schema, explicit
+    timestampFormat, FAILFAST) is value-exact against the parquet twin
+    including sub-second timestamps and double round-trip."""
+    from mapreduceimplementation_spark.sources.jsonl import read_events_jsonl
+
+    tune(spark)
+    ev = read_events_jsonl(spark, sf_dir).select("ts", "event_type", "user_id", "value")
+    return (
+        ev.groupBy(
+            F.date_trunc("minute", "ts").alias("minute"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value").alias("total_value"),
+        )
+    )

@@ -100,3 +100,15 @@ def test_corpus_prep_single_shuffle(spark, sf_dir):
     plan = _plan(eng.QUERIES["corpus_prep"](spark, sf_dir))
     assert plan.count(") Exchange") == 1, plan
     assert plan.count(") Scan parquet") == 1, plan
+
+
+def test_events_minutely_json_equals_parquet_twin(spark, sf_dir):
+    """B14 format parity: the JSON-lines read must be value-identical to
+    the parquet read, so both plans produce the same rows."""
+    a = sorted(
+        map(repr, eng.QUERIES["events_minutely"](spark, sf_dir).collect())
+    )
+    b = sorted(
+        map(repr, eng.QUERIES["events_minutely_json"](spark, sf_dir).collect())
+    )
+    assert a == b

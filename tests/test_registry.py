@@ -35,6 +35,7 @@ INVENTORY = [
     "events_sessionize",     # B8
     "events_json_props",     # B9
     "events_asof_join",      # B13: as-of join (window-merge formulation)
+    "events_minutely_json",  # B14: JSON-lines ingestion parity for B7
     "kv_apply_log",          # B10
     "shard_rebalance",       # B11
     "shard_rebalance_hrw",   # B12: minimal-movement Join/Leave rebalance
