@@ -1,6 +1,6 @@
-"""Batch KV semantics (SURVEY.md §2 B10–B11) — the data model of the
-reference's kvraft/shardkv/shardctrler labs, re-expressed as set-oriented
-plans.
+"""Batch KV semantics (SURVEY.md §2 B10–B12, B15) — the data model of the
+reference's kvraft/shardkv/shardctrler/raft labs, re-expressed as
+set-oriented plans.
 
 The reference applies a linearized log of Get/Put/Append ops to a sharded
 string KV store (reference: src/kvraft/server.go op application,
@@ -169,4 +169,85 @@ def shard_rebalance_hrw(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gid_full",
         "gid_alive",
         (F.col("gid_full") != F.col("gid_alive")).alias("moved"),
+    )
+
+
+#: shardkv's fixed shard count (src/shardkv/common.go: NShards = 10)
+N_RAFT_SHARDS = 10
+#: replica-group size; majority = 3 of 5
+N_PEERS = 5
+
+_SHARD_H = "'shard-' || CAST(user_id AS VARCHAR)"
+_PEER_H = "'raft-' || CAST(shard AS VARCHAR) || '-' || CAST(peer AS VARCHAR)"
+
+
+@register(
+    "raft_committed_prefix",
+    oracle=f"""
+    WITH ops AS (
+        SELECT {sql_hash64(_SHARD_H)} % {N_RAFT_SHARDS} AS shard
+        FROM events
+    ),
+    lens AS (SELECT shard, count(*) AS log_len FROM ops GROUP BY shard),
+    peers AS (SELECT unnest(range(0, {N_PEERS})) AS peer),
+    match AS (
+        SELECT shard, log_len,
+               1 + {sql_hash64(_PEER_H)} % log_len AS match_idx
+        FROM lens CROSS JOIN peers
+    )
+    SELECT shard, log_len,
+           list_sort(list(match_idx), 'DESC')[3] AS commit_idx,
+           log_len - list_sort(list(match_idx), 'DESC')[3] AS n_uncommitted
+    FROM match
+    GROUP BY shard, log_len
+    """,
+)
+def raft_committed_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raft's commit rule as a set-oriented plan: commitIndex = the
+    largest log index replicated on a majority of peers.
+
+    The reference's raft leader advances commitIndex by scanning
+    matchIndex[] for the largest N a majority has acked (src/raft — the
+    Figure-2 commit rule the kvraft/shardkv labs build on).  Batch twin:
+    events form the replicated op log, sharded into N_RAFT_SHARDS raft
+    groups (shardkv's NShards=10) by portable hash of the key; each of
+    the 5 peers in a group has a deterministic hash-derived replication
+    lag (matchIndex in [1, log_len], standing in for live RPC progress);
+    the group's commit index is the 3rd-largest matchIndex — the median,
+    i.e. the majority-ack point.
+
+    Scale shape: ONE scan + partial-agg count per shard (10 rows out),
+    then a bounded 10×5 crossJoin and a 5-element sort_array — the full
+    log is never shuffled, only counted.
+    """
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    ops = ev.select(
+        (
+            hash64(F.concat(F.lit("shard-"), F.col("user_id").cast("string")))
+            % N_RAFT_SHARDS
+        ).alias("shard")
+    )
+    lens = ops.groupBy("shard").agg(F.count(F.lit(1)).alias("log_len"))
+    peers = spark.range(N_PEERS).select(F.col("id").alias("peer"))
+    match = lens.crossJoin(F.broadcast(peers)).select(
+        "shard",
+        "log_len",
+        (
+            F.lit(1)
+            + hash64(
+                F.concat(
+                    F.lit("raft-"),
+                    F.col("shard").cast("string"),
+                    F.lit("-"),
+                    F.col("peer").cast("string"),
+                )
+            )
+            % F.col("log_len")
+        ).alias("match_idx"),
+    )
+    commit = F.sort_array(F.collect_list("match_idx"), asc=False).getItem(2)
+    return match.groupBy("shard", "log_len").agg(
+        commit.alias("commit_idx"),
+        (F.col("log_len") - commit).alias("n_uncommitted"),
     )

@@ -1,6 +1,8 @@
-"""Structured Streaming operators (SURVEY.md §2 D1–D2)."""
+"""Structured Streaming operators (SURVEY.md §2 D1–D4)."""
 
 from mapreduceimplementation_spark.streaming import (  # noqa: F401
+    dedupe,
+    joins,
     sessionize,
     windowed,
 )

@@ -1,0 +1,118 @@
+"""D4: watermarked stream-stream interval join (click→purchase attribution).
+
+Two live streams — clicks and purchases — inner-joined on user_id with
+the event-time constraint "purchase within 24 h after the click".  This
+is Structured Streaming's hardest built-in operator: BOTH sides buffer
+state, and the watermark + time-range condition are what let Spark
+compute a provable state-eviction bound (a click can be dropped once the
+purchase-side watermark passes click_ts + 24 h).  Without the range
+condition the state is unbounded and the query is rejected — the
+declared interval IS the scale contract.
+
+The availableNow run over the file source produces every qualifying
+pair, so the result equals the batch interval join exactly and the
+driver's full rows+schema+hash gate applies (oracle below).  In
+production the same query runs unmodified on Kafka sources.
+
+Batch-side note (same plan family): a batch interval join on an equi-key
+plus range filter is a SortMergeJoin on user_id with the range as a
+join-level predicate — per-user fanout is bounded by the 24 h window, so
+neither formulation explodes at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduceimplementation_spark.registry import register
+from mapreduceimplementation_spark.session import tune
+from mapreduceimplementation_spark.streaming.windowed import (
+    _events_stream,
+    _stop_query,
+)
+
+_SINK = "d4_stream_join_sink"
+
+
+def run_stream_join(
+    spark: SparkSession, path: str, sink: str = _SINK, **source_options
+) -> DataFrame:
+    """Run the click⋈purchase stream-stream join over `path` to
+    completion; return the joined pairs from the memory sink."""
+    _stop_query(spark, sink)
+    clicks = (
+        _events_stream(spark, path, **source_options)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_event_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, path, **source_options)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            """
+            user_id = p_user_id AND
+            purchase_ts >= click_ts AND
+            purchase_ts <= click_ts + INTERVAL 24 HOURS
+            """
+        ),
+    ).select(
+        "click_event_id",
+        "purchase_event_id",
+        "user_id",
+        "click_ts",
+        "purchase_ts",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias(
+            "micros_after_click"
+        ),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+@register(
+    "streaming_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_event_id,
+           p.event_id AS purchase_event_id,
+           c.user_id AS user_id,
+           c.ts AS click_ts,
+           p.ts AS purchase_ts,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS micros_after_click
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND p.event_type = 'purchase'
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 24 HOURS
+    """,
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution as a watermarked stream-stream join;
+    equals the batch interval join (full hash gate)."""
+    tune(spark)
+    return run_stream_join(spark, os.path.join(sf_dir, "events.parquet"))

@@ -1,10 +1,17 @@
-"""KV-plan tests (SURVEY.md §2 B10–B12)."""
+"""KV-plan tests (SURVEY.md §2 B10–B12, B15)."""
 
 from __future__ import annotations
+
+import hashlib
 
 import mapreduceimplementation_spark as eng
 
 eng.load_all_operators()
+
+
+def _py_hash64(s: str) -> int:
+    """Pure-Python twin of functions.hashing.hash64 (first 15 md5 hex chars)."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
 
 def test_hrw_minimal_movement(spark, sf_dir):
@@ -29,3 +36,33 @@ def test_wordcount_text_equals_parquet_path(spark, sf_dir):
     a = sorted(map(tuple, eng.QUERIES["mr_wordcount"](spark, sf_dir).collect()))
     b = sorted(map(tuple, eng.QUERIES["mr_wordcount_text"](spark, sf_dir).collect()))
     assert a == b
+
+
+def test_raft_commit_matches_pure_python_model(spark, sf_dir):
+    """B15 against a from-scratch Python model: recompute shard counts and
+    peer matchIndexes with hashlib directly and check the majority-commit
+    rule (3rd-largest of 5) shard by shard."""
+    from collections import Counter
+
+    from mapreduceimplementation_spark.plans.kv import N_PEERS, N_RAFT_SHARDS
+    from mapreduceimplementation_spark.sources.tables import load_table
+
+    out = {
+        int(r["shard"]): (int(r["log_len"]), int(r["commit_idx"]), int(r["n_uncommitted"]))
+        for r in eng.QUERIES["raft_committed_prefix"](spark, sf_dir).collect()
+    }
+
+    user_ids = [
+        int(r["user_id"])
+        for r in load_table(spark, sf_dir, "events").select("user_id").collect()
+    ]
+    lens = Counter(_py_hash64(f"shard-{u}") % N_RAFT_SHARDS for u in user_ids)
+    assert set(out) == set(lens)
+    for shard, log_len in lens.items():
+        match = sorted(
+            (1 + _py_hash64(f"raft-{shard}-{p}") % log_len for p in range(N_PEERS)),
+            reverse=True,
+        )
+        commit = match[2]  # majority (3 of 5) ack point
+        assert out[shard] == (log_len, commit, log_len - commit)
+        assert 1 <= commit <= log_len

@@ -39,6 +39,7 @@ INVENTORY = [
     "kv_apply_log",          # B10
     "shard_rebalance",       # B11
     "shard_rebalance_hrw",   # B12: minimal-movement Join/Leave rebalance
+    "raft_committed_prefix", # B15: Raft majority commit rule over shard logs
     # C. LLM-data-pipeline
     "dedup_exact",           # C1
     "token_count",           # C2
@@ -58,6 +59,8 @@ INVENTORY = [
     # D. Structured Streaming
     "streaming_windowed_counts",  # D1
     "streaming_sessionize",       # D2
+    "streaming_dedup",            # D3: watermark-evicted dropDuplicates
+    "streaming_stream_join",      # D4: watermarked stream-stream interval join
 ]
 
 #: SURVEY rows not yet implemented — MUST shrink to empty; a key may not
