@@ -28,6 +28,7 @@ word→docs map shape with LSH codes as the words.
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -504,3 +505,154 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= _TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# C15. kmeans_embed (iterative Lloyd's, integer-quantized)
+
+_KM_K = 8  # clusters; seeds = the vectors with vec_id < _KM_K
+_KM_ASSIGN_STEPS = 3  # a1 -> update -> a2 -> update -> a3 (output)
+_KM_SCALE = 1_000_000.0  # micro-unit fixed-point quantization
+
+
+def _sql_km_dist(q: str, c: str) -> str:
+    """DuckDB: squared L2 distance between two BIGINT micro-unit vectors."""
+    return (
+        f"list_reduce(list_transform(range(1, {_DIM + 1}),"
+        f" i -> ({q}[i] - {c}[i]) * ({q}[i] - {c}[i])), (a, b) -> a + b)"
+    )
+
+
+def _sql_km_means() -> str:
+    """DuckDB: element-wise integer-rounded mean of member vectors."""
+    return ", ".join(
+        f"CAST(round(CAST(sum(q[{j}]) AS DOUBLE) / count(*)) AS BIGINT)"
+        for j in range(1, _DIM + 1)
+    )
+
+
+def _km_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, q: array<long>) — embeddings in micro-unit fixed point.
+
+    Quantizing to integers makes EVERY downstream comparison exact: no
+    float distance ties can break differently across engines, partition
+    orders, or reruns — the property that makes an iterative clustering
+    job resumable and oracle-checkable at 100 TB."""
+    emb = spread(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        ),
+        spark,
+    )
+    return emb.where(F.size("v") > 0).select(
+        "vec_id",
+        F.transform(
+            "v", lambda x: F.round(x * _KM_SCALE, 0).cast("long")
+        ).alias("q"),
+    )
+
+
+def _km_assign(vq: DataFrame, centroids: dict[int, list[int]]) -> DataFrame:
+    """Row-local assignment against broadcast model state (the centroids
+    are literals in the plan — k-means' tiny model rides the closure, the
+    corpus never shuffles for assignment)."""
+    cands = []
+    for cid in sorted(centroids):
+        w = F.array(*[F.lit(int(x)) for x in centroids[cid]])
+        d = F.aggregate(
+            F.zip_with("q", w, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        cands.append(F.struct(d.alias("d"), F.lit(cid).cast("long").alias("cid")))
+    best = F.array_min(F.array(*cands))
+    return vq.select(
+        "vec_id",
+        "q",
+        best.getField("cid").alias("cluster"),
+        best.getField("d").alias("dist"),
+    )
+
+
+def _km_update(assigned: DataFrame) -> dict[int, list[int]]:
+    """New centroids: per-cluster element-wise integer-rounded mean.  One
+    partial-agg shuffle of k x dim running sums — the corpus itself stays
+    put; only the bounded model state (k x dim longs) reaches the driver,
+    exactly like MLlib's iteration contract."""
+    sums = [F.sum(F.col("q").getItem(j)).alias(f"s{j}") for j in range(_DIM)]
+    rows = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"), *sums).collect()
+
+    def _round_away(x: float) -> int:
+        # DuckDB/Spark ROUND semantics (half away from zero) — Python's
+        # built-in round() is half-even and would diverge on exact halves
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    return {
+        int(r["cluster"]): [
+            _round_away(r[f"s{j}"] / r["n"]) for j in range(_DIM)
+        ]
+        for r in rows
+    }
+
+
+def _sql_km_iters() -> str:
+    """The oracle's unrolled iteration chain (assign/update CTEs)."""
+    parts = [
+        f"c0 AS (SELECT vec_id AS cid, q AS c FROM vq WHERE vec_id < {_KM_K})"
+    ]
+    dist = _sql_km_dist("q", "c")
+    for i in range(1, _KM_ASSIGN_STEPS + 1):
+        # min over [dist, cid] lists = lexicographic argmin w/ cid tie-break
+        parts.append(
+            f"a{i} AS (SELECT vec_id, q, min([{dist}, cid])[2] AS cluster,"
+            f" min([{dist}, cid])[1] AS dist"
+            f" FROM vq CROSS JOIN c{i - 1} GROUP BY vec_id, q)"
+        )
+        if i < _KM_ASSIGN_STEPS:
+            parts.append(
+                f"c{i} AS (SELECT cluster AS cid, [{_sql_km_means()}] AS c"
+                f" FROM a{i} GROUP BY cluster)"
+            )
+    return ",\n    ".join(parts)
+
+
+@register(
+    "kmeans_embed",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    vq AS (
+        SELECT vec_id,
+               list_transform(v, x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+        FROM e WHERE len(v) > 0
+    ),
+    {_sql_km_iters()}
+    SELECT vec_id, cluster, dist FROM a{_KM_ASSIGN_STEPS}
+    """,
+)
+def kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over embeddings — the iterative-algorithm
+    representative, made exactly deterministic by integer quantization.
+
+    k={k} seed centroids (the vectors with vec_id < {k}), {s} assignment
+    steps with {u} centroid updates between them; output is the final
+    assignment (vec_id, cluster, squared micro-unit distance).
+
+    Scale shape per iteration: one corpus scan with ROW-LOCAL assignment
+    against k x dim literal centroids (model state broadcast in the plan,
+    zero shuffle), then one partial-agg exchange of k x dim running sums.
+    The driver only ever holds the model ({k} x {d} longs), never data —
+    the MLlib iteration contract.  Ties break on cluster id; distances,
+    sums and rounded means are integer-exact, so Spark and the unrolled
+    DuckDB CTE chain agree bit-for-bit at every iteration.
+    """.format(k=_KM_K, s=_KM_ASSIGN_STEPS, u=_KM_ASSIGN_STEPS - 1, d=_DIM)
+    tune(spark)
+    vq = _km_quantized(spark, sf_dir)
+    centroids = {
+        int(r["vec_id"]): [int(x) for x in r["q"]]
+        for r in vq.where(F.col("vec_id") < _KM_K).collect()
+    }
+    assigned = _km_assign(vq, centroids)
+    for _ in range(_KM_ASSIGN_STEPS - 1):
+        centroids = _km_update(assigned)
+        assigned = _km_assign(vq, centroids)
+    return assigned.select("vec_id", "cluster", "dist")

@@ -56,6 +56,7 @@ INVENTORY = [
     "multimodal_meta",       # C12
     "embed_normalize",       # C13
     "corpus_prep",           # C14: composite filter→dedup→count pipeline
+    "kmeans_embed",          # C15: iterative integer-quantized Lloyd's
     # D. Structured Streaming
     "streaming_windowed_counts",  # D1
     "streaming_sessionize",       # D2

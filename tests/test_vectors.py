@@ -56,3 +56,29 @@ def test_dedup_embedding_pairs(spark, sf_dir):
     assert (out["a_id"] < out["b_id"]).all()
     pairs = list(zip(out["a_id"], out["b_id"]))
     assert len(pairs) == len(set(pairs))
+
+
+def test_kmeans_embed_lloyd_properties(spark, sf_dir):
+    """C15: every vector lands in one of <= k clusters with a sane
+    distance, and iterating moved at least one vector off its seed-round
+    cluster (the update loop is not vacuous).  Exactness vs an
+    independent engine is the driver's oracle gate."""
+    from mapreduceimplementation_spark.operators.vectors import (
+        _KM_K,
+        _km_assign,
+        _km_quantized,
+    )
+
+    out = eng.QUERIES["kmeans_embed"](spark, sf_dir).toPandas()
+    vq = _km_quantized(spark, sf_dir)
+    assert len(out) == vq.count()
+    assert out["cluster"].nunique() <= _KM_K
+    assert (out["dist"] >= 0).all()
+
+    seeds = {
+        int(r["vec_id"]): [int(x) for x in r["q"]]
+        for r in vq.where("vec_id < %d" % _KM_K).collect()
+    }
+    first = _km_assign(vq, seeds).toPandas()
+    merged = out.merge(first, on="vec_id", suffixes=("_final", "_seed"))
+    assert (merged["cluster_final"] != merged["cluster_seed"]).any()
