@@ -172,6 +172,123 @@ def shard_rebalance_hrw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_OPS_SQL = """
+        SELECT user_id AS key,
+               CASE WHEN event_type = 'signup' THEN 'put' ELSE 'append' END AS op,
+               CAST(CAST(ROUND(value * 100, 0) AS BIGINT) AS VARCHAR) AS sval,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+        FROM events
+"""
+
+
+@register(
+    "kv_log_compact",
+    oracle=f"""
+    WITH ops AS ({_OPS_SQL}),
+    cut0 AS (
+        SELECT key, op, sval, seq,
+               max(seq) OVER (PARTITION BY key) // 2 AS cutoff,
+               max(CASE WHEN op = 'put' THEN seq ELSE 0 END)
+                   OVER (PARTITION BY key) AS last_put
+        FROM ops
+    ),
+    cut AS (
+        SELECT *,
+               max(CASE WHEN op = 'put' AND seq <= cutoff THEN seq ELSE 0 END)
+                   OVER (PARTITION BY key) AS last_put_snap
+        FROM cut0
+    )
+    SELECT key,
+           any_value(cutoff) AS cutoff,
+           coalesce(string_agg(CASE WHEN seq <= cutoff AND seq >= last_put_snap
+                                    THEN sval END, ';' ORDER BY seq), '')
+               AS snapshot_value,
+           count(CASE WHEN seq > cutoff THEN 1 END) AS n_tail,
+           coalesce(string_agg(CASE WHEN seq > cutoff AND seq >= last_put
+                                    THEN sval END, ';' ORDER BY seq), '')
+               AS tail_value,
+           any_value(last_put > cutoff) AS tail_has_put,
+           string_agg(CASE WHEN seq >= last_put THEN sval END, ';' ORDER BY seq)
+               AS final_value
+    FROM cut
+    GROUP BY key
+    """,
+)
+def kv_log_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kvraft log compaction (lab 3B maxraftstate/InstallSnapshot): each
+    key's log is snapshotted at cutoff = half its length; the compacted
+    representation is (snapshot state at cutoff, tail ops after it), and
+    replaying the tail onto the snapshot must equal the full replay —
+    pytest-asserted against kv_apply_log, the Raft "snapshot + suffix ≡
+    log" invariant.
+
+    Set-oriented: the SAME one-shuffle shape as kv_apply_log — window
+    maxima give each row its key's cutoff and the last Put both globally
+    and within the snapshot prefix, then one conditional aggregation emits
+    snapshot state, tail size and final state together.  The log is
+    shuffled once on key; compaction adds zero extra exchanges.
+    """
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    sval = F.round(F.col("value") * 100, 0).cast("long").cast("string")
+    ops = ev.select(
+        F.col("user_id").alias("key"),
+        F.when(F.col("event_type") == "signup", "put").otherwise("append").alias("op"),
+        sval.alias("sval"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("seq"),
+    )
+    wk = Window.partitionBy("key")
+    is_put = F.col("op") == "put"
+    cut = ops.select(
+        "key",
+        "op",
+        "sval",
+        "seq",
+        (F.max("seq").over(wk) / 2).cast("long").alias("cutoff"),
+        F.max(F.when(is_put, F.col("seq")).otherwise(0)).over(wk).alias("last_put"),
+    ).withColumn(
+        "last_put_snap",
+        F.max(
+            F.when(is_put & (F.col("seq") <= F.col("cutoff")), F.col("seq")).otherwise(0)
+        ).over(wk),
+    )
+
+    def _agg_vals(pred):
+        # order-preserving conditional string_agg: sort (seq, sval) structs
+        return F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.filter(
+                        F.collect_list(
+                            F.struct("seq", F.when(pred, F.col("sval")).alias("v"))
+                        ),
+                        lambda s: s["v"].isNotNull(),
+                    )
+                ),
+                lambda s: s["v"],
+            ),
+            ";",
+        )
+
+    in_snap = (F.col("seq") <= F.col("cutoff")) & (
+        F.col("seq") >= F.col("last_put_snap")
+    )
+    return cut.groupBy("key").agg(
+        F.first("cutoff").alias("cutoff"),
+        _agg_vals(in_snap).alias("snapshot_value"),
+        F.count(F.when(F.col("seq") > F.col("cutoff"), 1)).alias("n_tail"),
+        _agg_vals(
+            (F.col("seq") > F.col("cutoff")) & (F.col("seq") >= F.col("last_put"))
+        ).alias("tail_value"),
+        F.first(F.col("last_put") > F.col("cutoff")).alias("tail_has_put"),
+        _agg_vals(F.col("seq") >= F.col("last_put")).alias("final_value"),
+    )
+
+
 #: shardkv's fixed shard count (src/shardkv/common.go: NShards = 10)
 N_RAFT_SHARDS = 10
 #: replica-group size; majority = 3 of 5

@@ -38,6 +38,24 @@ def test_wordcount_text_equals_parquet_path(spark, sf_dir):
     assert a == b
 
 
+def test_log_compact_snapshot_plus_tail_equals_full_replay(spark, sf_dir):
+    """B16, the Raft snapshot invariant: replaying the tail ops onto the
+    snapshot state must reproduce the full-log replay (kv_apply_log)."""
+    comp = eng.QUERIES["kv_log_compact"](spark, sf_dir).toPandas().set_index("key")
+    full = eng.QUERIES["kv_apply_log"](spark, sf_dir).toPandas().set_index("key")
+    assert set(comp.index) == set(full.index)
+    for key, r in comp.iterrows():
+        if r["tail_has_put"]:
+            recon = r["tail_value"]  # a tail Put resets state: snapshot dies
+        elif r["snapshot_value"] and r["tail_value"]:
+            recon = r["snapshot_value"] + ";" + r["tail_value"]
+        else:
+            recon = r["snapshot_value"] or r["tail_value"]
+        assert recon == r["final_value"], key
+        assert r["final_value"] == full.loc[key, "value"], key
+        assert r["cutoff"] >= 0 and r["n_tail"] >= 1
+
+
 def test_raft_commit_matches_pure_python_model(spark, sf_dir):
     """B15 against a from-scratch Python model: recompute shard counts and
     peer matchIndexes with hashlib directly and check the majority-commit

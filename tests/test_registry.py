@@ -40,6 +40,7 @@ INVENTORY = [
     "shard_rebalance",       # B11
     "shard_rebalance_hrw",   # B12: minimal-movement Join/Leave rebalance
     "raft_committed_prefix", # B15: Raft majority commit rule over shard logs
+    "kv_log_compact",        # B16: kvraft lab-3B snapshot/log compaction
     # C. LLM-data-pipeline
     "dedup_exact",           # C1
     "token_count",           # C2
