@@ -158,3 +158,22 @@ def test_q3_topk_is_take_ordered(spark, sf_dir):
     driver merge), not a global-window row_number."""
     plan = _plan(eng.QUERIES["q3_shipping_priority"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_map_work_is_parallel(spark, sf_dir):
+    """mtiming.go analog: map-side work actually spreads over tasks —
+    multiple partitions contribute tokens (the platform-parallelism
+    property test-mr.sh checks with worker timestamps)."""
+    from mapreduceimplementation_spark.functions.text import word_tokens
+    from mapreduceimplementation_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").repartition(4)
+    per_pid = (
+        word_tokens(docs)
+        .groupBy(F.spark_partition_id().alias("pid"))
+        .count()
+        .collect()
+    )
+    assert len(per_pid) >= 2, "map work ran on a single task"
+    assert sum(r["count"] for r in per_pid) > 0
