@@ -51,12 +51,17 @@ def kv_apply_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics): events are the log, user_id the key, 'signup' a Put (reset)
     and everything else an Append.  Set-oriented: find each key's last Put
     with a max-window, drop earlier ops, order-preserving string_agg — one
-    shuffle on key, no iteration, which is how you replay a 100 TB log."""
+    shuffle on key, no iteration, which is how you replay a 100 TB log.
+
+    The key keeps its source name (user_id) through every window and the
+    groupBy and is aliased to `key` only in the final projection: renaming
+    mid-plan makes ENSURE_REQUIREMENTS re-shuffle on the "new" column, and
+    this plan's one-exchange shape is pinned by tests/test_plan_shapes.py."""
     tune(spark)
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id", "value")
     sval = F.round(F.col("value") * 100, 0).cast("long").cast("string")
     ops = ev.select(
-        F.col("user_id").alias("key"),
+        "user_id",
         F.when(F.col("event_type") == "signup", "put").otherwise("append").alias("op"),
         sval.alias("sval"),
         F.row_number()
@@ -66,10 +71,10 @@ def kv_apply_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = ops.withColumn(
         "last_put",
         F.max(F.when(F.col("op") == "put", F.col("seq")).otherwise(0)).over(
-            Window.partitionBy("key")
+            Window.partitionBy("user_id")
         ),
     ).where(F.col("seq") >= F.col("last_put"))
-    agg = cut.groupBy("key").agg(
+    agg = cut.groupBy("user_id").agg(
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("seq", "sval"))),
@@ -79,7 +84,7 @@ def kv_apply_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("value"),
         F.count(F.lit(1)).alias("n_ops"),
     )
-    return agg
+    return agg.select(F.col("user_id").alias("key"), "value", "n_ops")
 
 
 @register(
@@ -226,7 +231,9 @@ def kv_log_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     maxima give each row its key's cutoff and the last Put both globally
     and within the snapshot prefix, then one conditional aggregation emits
     snapshot state, tail size and final state together.  The log is
-    shuffled once on key; compaction adds zero extra exchanges.
+    shuffled once on key; compaction adds zero extra exchanges (key is
+    renamed only in the final projection — see kv_apply_log — and the
+    single-exchange shape is pinned by tests/test_plan_shapes.py).
     """
     tune(spark)
     ev = load_table(spark, sf_dir, "events").select(
@@ -234,17 +241,17 @@ def kv_log_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sval = F.round(F.col("value") * 100, 0).cast("long").cast("string")
     ops = ev.select(
-        F.col("user_id").alias("key"),
+        "user_id",
         F.when(F.col("event_type") == "signup", "put").otherwise("append").alias("op"),
         sval.alias("sval"),
         F.row_number()
         .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
         .alias("seq"),
     )
-    wk = Window.partitionBy("key")
+    wk = Window.partitionBy("user_id")
     is_put = F.col("op") == "put"
     cut = ops.select(
-        "key",
+        "user_id",
         "op",
         "sval",
         "seq",
@@ -277,7 +284,7 @@ def kv_log_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_snap = (F.col("seq") <= F.col("cutoff")) & (
         F.col("seq") >= F.col("last_put_snap")
     )
-    return cut.groupBy("key").agg(
+    agg = cut.groupBy("user_id").agg(
         F.first("cutoff").alias("cutoff"),
         _agg_vals(in_snap).alias("snapshot_value"),
         F.count(F.when(F.col("seq") > F.col("cutoff"), 1)).alias("n_tail"),
@@ -286,6 +293,15 @@ def kv_log_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tail_value"),
         F.first(F.col("last_put") > F.col("cutoff")).alias("tail_has_put"),
         _agg_vals(F.col("seq") >= F.col("last_put")).alias("final_value"),
+    )
+    return agg.select(
+        F.col("user_id").alias("key"),
+        "cutoff",
+        "snapshot_value",
+        "n_tail",
+        "tail_value",
+        "tail_has_put",
+        "final_value",
     )
 
 

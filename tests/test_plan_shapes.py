@@ -49,3 +49,20 @@ def test_minhash_verify_is_broadcast(spark, sf_dir):
     bounded by true-duplicate volume, never corpus-sized)."""
     plan = _plan(spark, sf_dir, "dedup_minhash_lsh")
     assert "BroadcastHashJoin" in plan, plan
+
+
+@pytest.mark.parametrize("name", ["kv_apply_log", "kv_log_compact"])
+def test_kv_log_single_exchange(spark, sf_dir, name):
+    """The op log is shuffled exactly once on its key: row_number window,
+    max-windows and the final aggregation all reuse one hashpartitioning
+    (the key is renamed only in the final projection — renaming mid-plan
+    used to cost a second full-data exchange)."""
+    import io
+    import contextlib
+
+    df = eng.QUERIES[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("Exchange ") == 1, f"{name}:\n{plan}"
