@@ -90,17 +90,23 @@ def mr_wordcount_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mr_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted index — parity with reference src/mrapps/indexer.go (Map:
     distinct words per doc → (w, doc); Reduce: "<count> <sorted docs>").
-    Emitted as typed columns (df, comma-joined sorted doc list)."""
+    Emitted as typed columns (df, comma-joined sorted doc list).
+
+    ONE exchange: collect_set dedups (word, doc) pairs in the map-side
+    partial aggregate, so a separate .distinct() shuffle before the
+    groupBy would be pure waste — the posting list is built and deduped
+    in the same aggregation that counts it."""
     tune(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return (
         word_tokens(docs)
         .select("word", "doc_id")
-        .distinct()  # indexer.go dedups words within a doc before emit
         .groupBy("word")
-        .agg(
-            F.count(F.lit(1)).alias("df"),
-            F.array_join(F.sort_array(F.collect_set("doc_id")), ",").alias("docs"),
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .select(
+            "word",
+            F.size("ds").cast("long").alias("df"),
+            F.array_join("ds", ",").alias("docs"),
         )
     )
 

@@ -66,3 +66,17 @@ def test_kv_log_single_exchange(spark, sf_dir, name):
         df.explain("formatted")
     plan = buf.getvalue()
     assert plan.count("Exchange ") == 1, f"{name}:\n{plan}"
+
+
+def test_inverted_index_single_exchange(spark, sf_dir):
+    """Posting lists are deduped by the map-side partial collect_set —
+    exactly one exchange, no separate distinct shuffle."""
+    import io
+    import contextlib
+
+    df = eng.QUERIES["mr_inverted_index"](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("Exchange ") == 1, plan
