@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from mapreduceimplementation_spark.functions.hashing import hash64, sql_hash64
 from mapreduceimplementation_spark.operators.textmetrics import (
     _argmax_sql,
     _BPE_RE,
@@ -151,4 +152,45 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("doc_id") == F.col("canonical_id"))
         .select("doc_id", "text_hash", "n_bpe_tokens", "score", "group_size")
+    )
+
+
+@register(
+    "corpus_split",
+    oracle=f"""
+    SELECT doc_id,
+           {sql_hash64("'split-' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+           CASE WHEN {sql_hash64("'split-' || CAST(doc_id AS VARCHAR)")} % 100 < 80
+                THEN 'train'
+                WHEN {sql_hash64("'split-' || CAST(doc_id AS VARCHAR)")} % 100 < 90
+                THEN 'val'
+                ELSE 'test' END AS split,
+           n_chars
+    FROM documents
+    """,
+)
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test corpus splitting (80/10/10) by
+    portable hash of the document id — the split every training pipeline
+    needs and TABLESAMPLE can't give: membership is a pure function of
+    doc_id, so it is identical on any engine, any cluster size, any rerun,
+    and stable as the corpus grows (new docs never move old docs between
+    splits — the property that keeps eval sets uncontaminated).
+
+    Row-local projection, zero shuffle, zero state; at 100 TB this is a
+    scan-speed stamp that composes with partitioned writes
+    (sources/sinks.py write_partitioned by split)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    bucket = hash64(
+        F.concat(F.lit("split-"), F.col("doc_id").cast("string"))
+    ) % 100
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+        "n_chars",
     )

@@ -227,3 +227,36 @@ def events_minutely_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("total_value"),
         )
     )
+
+
+@register(
+    "events_value_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p50/p90/p99) of event value per
+    type — Spark's `percentile` and DuckDB's `quantile_cont` implement the
+    same linear interpolation, so the results match to the rounded digit.
+
+    Scale note: EXACT percentile buffers each group's values in the
+    aggregation state, which is fine when group cardinality is bounded
+    (5 event types) but per-group volume still scales with data — on a
+    100 TB feed swap to approx_percentile(value, p, accuracy) per
+    t-digest/GK, trading the oracle-exact gate for bounded memory.  This
+    operator is the exact baseline that pins the approximate one's error."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -112,3 +112,47 @@ def test_events_minutely_json_equals_parquet_twin(spark, sf_dir):
         map(repr, eng.QUERIES["events_minutely_json"](spark, sf_dir).collect())
     )
     assert a == b
+
+
+def test_corpus_split_fractions_and_subset_stability(spark, sf_dir):
+    """C16: all three splits materialize at roughly 80/10/10, and a doc's
+    split is a pure function of its id — recomputing over any SUBSET of
+    the corpus assigns identical splits (growth/shrink never moves docs,
+    the eval-contamination guard)."""
+    from pyspark.sql import functions as F
+
+    from mapreduceimplementation_spark.functions.hashing import hash64
+    from mapreduceimplementation_spark.sources.tables import load_table
+
+    out = eng.QUERIES["corpus_split"](spark, sf_dir).toPandas()
+    fr = out["split"].value_counts(normalize=True)
+    assert set(fr.index) == {"train", "val", "test"}
+    assert 0.70 <= fr["train"] <= 0.90
+    assert out["bucket"].between(0, 99).all()
+
+    # subset invariance: RECOMPUTE the bucket over a genuinely filtered
+    # corpus (a different plan) — every overlapping doc must land in the
+    # same bucket, i.e. membership is a pure function of doc_id
+    sub = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 2 == 0)
+        .select(
+            "doc_id",
+            (hash64(F.concat(F.lit("split-"), F.col("doc_id").cast("string"))) % 100)
+            .alias("bucket"),
+        )
+        .toPandas()
+        .set_index("doc_id")["bucket"]
+    )
+    full = out.set_index("doc_id")["bucket"]
+    assert len(sub) > 0
+    assert (sub == full.loc[sub.index]).all()
+
+
+def test_events_value_percentiles_ordering(spark, sf_dir):
+    """B17: percentiles are ordered and counts cover the table."""
+    out = eng.QUERIES["events_value_percentiles"](spark, sf_dir).toPandas()
+    assert (out["p50"] <= out["p90"]).all() and (out["p90"] <= out["p99"]).all()
+    from mapreduceimplementation_spark.sources.tables import load_table
+
+    assert out["n"].sum() == load_table(spark, sf_dir, "events").count()

@@ -36,6 +36,7 @@ INVENTORY = [
     "events_json_props",     # B9
     "events_asof_join",      # B13: as-of join (window-merge formulation)
     "events_minutely_json",  # B14: JSON-lines ingestion parity for B7
+    "events_value_percentiles",  # B17: exact grouped p50/p90/p99
     "kv_apply_log",          # B10
     "shard_rebalance",       # B11
     "shard_rebalance_hrw",   # B12: minimal-movement Join/Leave rebalance
@@ -58,6 +59,7 @@ INVENTORY = [
     "embed_normalize",       # C13
     "corpus_prep",           # C14: composite filter→dedup→count pipeline
     "kmeans_embed",          # C15: iterative integer-quantized Lloyd's
+    "corpus_split",          # C16: deterministic hash train/val/test split
     # D. Structured Streaming
     "streaming_windowed_counts",  # D1
     "streaming_sessionize",       # D2
