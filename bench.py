@@ -30,6 +30,8 @@ HEADLINE = [
     "events_asof_join",
     "corpus_prep",
     "streaming_windowed_counts",
+    "streaming_stream_join",
+    "kmeans_embed",
 ]
 
 

@@ -646,7 +646,11 @@ def kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB CTE chain agree bit-for-bit at every iteration.
     """.format(k=_KM_K, s=_KM_ASSIGN_STEPS, u=_KM_ASSIGN_STEPS - 1, d=_DIM)
     tune(spark)
-    vq = _km_quantized(spark, sf_dir)
+    # cache the working set once: every iteration (2 update collects + the
+    # final assignment) reads the materialized quantized vectors instead
+    # of re-scanning and re-quantizing the corpus — the canonical Spark
+    # iterative-algorithm pattern (persist your iteration input)
+    vq = _km_quantized(spark, sf_dir).localCheckpoint(eager=True)
     centroids = {
         int(r["vec_id"]): [int(x) for x in r["q"]]
         for r in vq.where(F.col("vec_id") < _KM_K).collect()

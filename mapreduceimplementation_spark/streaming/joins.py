@@ -31,6 +31,7 @@ from mapreduceimplementation_spark.registry import register
 from mapreduceimplementation_spark.session import tune
 from mapreduceimplementation_spark.streaming.windowed import (
     _events_stream,
+    _size_stream_state,
     _stop_query,
 )
 
@@ -42,6 +43,7 @@ def run_stream_join(
 ) -> DataFrame:
     """Run the click⋈purchase stream-stream join over `path` to
     completion; return the joined pairs from the memory sink."""
+    _size_stream_state(spark)
     _stop_query(spark, sink)
     clicks = (
         _events_stream(spark, path, **source_options)

@@ -42,6 +42,7 @@ from mapreduceimplementation_spark.registry import ORACLES, register
 from mapreduceimplementation_spark.session import tune
 from mapreduceimplementation_spark.streaming.windowed import (
     _events_stream,
+    _size_stream_state,
     _stop_query,
 )
 
@@ -117,6 +118,7 @@ def run_sessionize_stream(
 ) -> DataFrame:
     """Run the stateful sessionize stream over `path` to completion and
     return the reconciled session table (see module docstring)."""
+    _size_stream_state(spark)
     _stop_query(spark, sink)
     ev = _events_stream(spark, path, **source_options).select(
         "user_id", "ts", "event_id", "value"

@@ -34,6 +34,19 @@ def _stop_query(spark: SparkSession, name: str) -> None:
             q.stop()
 
 
+def _size_stream_state(spark: SparkSession, cap: int = 8) -> None:
+    """Cap shuffle partitions for a streaming query.
+
+    Every stateful streaming partition owns state-store instances (a
+    stream-stream join keeps FOUR per partition) with per-commit file
+    overhead, so partition count should track stateful-key volume, not
+    scan width — 32 batch partitions means 128 join state stores doing
+    tiny commits.  Batch queries re-tune() to the full width on entry, so
+    the cap never leaks past the streaming op."""
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    spark.conf.set("spark.sql.shuffle.partitions", str(min(cur, cap)))
+
+
 def _events_stream(spark: SparkSession, path: str, **options) -> DataFrame:
     """events as a file stream with the same nanos→micros ts handling as
     the batch loader (sources/tables.py load_table)."""
@@ -77,6 +90,7 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     a streaming re-platform needs before switching traffic.
     """
     tune(spark)
+    _size_stream_state(spark)
     _stop_query(spark, _SINK)
     ev = _events_stream(spark, os.path.join(sf_dir, "events.parquet"))
     agg = (

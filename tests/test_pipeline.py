@@ -156,3 +156,35 @@ def test_events_value_percentiles_ordering(spark, sf_dir):
     from mapreduceimplementation_spark.sources.tables import load_table
 
     assert out["n"].sum() == load_table(spark, sf_dir, "events").count()
+
+
+def test_approx_percentile_within_exact_envelope(spark, sf_dir):
+    """B17's scale story: at 100 TB the operator swaps to approx_percentile
+    — verify the approximation actually lands near the exact baseline so
+    the swap is safe (p50/p90 within 5% relative error at accuracy=10k)."""
+    from pyspark.sql import functions as F
+
+    from mapreduceimplementation_spark.sources.tables import load_table
+
+    exact = (
+        eng.QUERIES["events_value_percentiles"](spark, sf_dir)
+        .toPandas()
+        .set_index("event_type")
+    )
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    approx = (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", 0.5, 10000).alias("a50"),
+            F.percentile_approx("value", 0.9, 10000).alias("a90"),
+        )
+        .toPandas()
+        .set_index("event_type")
+    )
+    for et in exact.index:
+        assert abs(approx.loc[et, "a50"] - exact.loc[et, "p50"]) <= 0.05 * abs(
+            exact.loc[et, "p50"]
+        )
+        assert abs(approx.loc[et, "a90"] - exact.loc[et, "p90"]) <= 0.05 * abs(
+            exact.loc[et, "p90"]
+        )
