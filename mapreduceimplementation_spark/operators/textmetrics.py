@@ -229,3 +229,86 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("hs", 1).alias("min_hash"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C17. tfidf_top_terms
+
+_TFIDF_K = 5
+
+_SQL_TFIDF_WORDS = """
+    SELECT doc_id, w AS word
+    FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS w
+        FROM documents
+    )
+    WHERE w <> ''
+"""
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS ({_SQL_TFIDF_WORDS}),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word),
+    dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+    scored AS (
+        SELECT tf.doc_id, tf.word, tf.tf, dfreq.df,
+               ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS tfidf
+        FROM tf JOIN dfreq USING (word) CROSS JOIN n
+    )
+    SELECT doc_id, word, tf, df, tfidf, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, word) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= {_TFIDF_K}
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} TF-IDF terms per document — the canonical continuation of
+    the reference's inverted index (src/mrapps/indexer.go builds the
+    word→docs map; TF-IDF weighs it).
+
+    Scale shape (inherent to TF-IDF, all three exchanges carry shrinking
+    data): (1) tf aggregation on (doc, word) — partial-agg combines
+    repeats map-side; (2) document frequency per word — vocabulary-sized;
+    (3) tf⋈df equi-join on word + per-doc top-k window.  The corpus-size
+    constant N rides a one-row broadcast (no driver action, stays one
+    plan).  Ranking uses the ROUNDED score with a word tie-break so the
+    top-k frontier is deterministic across engines — ln() may differ by an
+    ulp between libm and the JVM, so ordering on the raw double would be
+    engine-dependent.
+    """.format(k=_TFIDF_K)
+    from mapreduceimplementation_spark.functions.text import word_tokens
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tf = (
+        word_tokens(docs)
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "word")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TFIDF_K)
+        .select("doc_id", "word", "tf", "df", "tfidf", "rank")
+    )

@@ -260,3 +260,46 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "events_running_total",
+    oracle=f"""
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_total,
+           CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS seq
+    FROM events
+    """,
+)
+def events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running total of event value — the cumulative-window
+    staple (account balances, usage meters, budget burn-down).
+
+    One shuffle on user_id; the prefix sum accumulates EXACT decimals
+    (per-row double→decimal cast is order-independent, and the frame
+    order is total via the (ts, event_id) tie-break), then casts back to
+    double — so every prefix, not just the final total, is bit-identical
+    across engines and partitionings."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(27,6)")).over(w).cast("double")
+        .alias("running_total"),
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).cast("int").alias("seq"),
+    )

@@ -188,3 +188,26 @@ def test_approx_percentile_within_exact_envelope(spark, sf_dir):
         assert abs(approx.loc[et, "a90"] - exact.loc[et, "p90"]) <= 0.05 * abs(
             exact.loc[et, "p90"]
         )
+
+
+def test_running_total_final_prefix_equals_group_sum(spark, sf_dir):
+    """B18: each user's last prefix equals the order-independent dsum of
+    their values, and prefixes are per-user monotone in seq coverage."""
+    from pyspark.sql import functions as F
+
+    from mapreduceimplementation_spark.functions.stable import dsum
+    from mapreduceimplementation_spark.sources.tables import load_table
+
+    out = eng.QUERIES["events_running_total"](spark, sf_dir).toPandas()
+    last = out.loc[out.groupby("user_id")["seq"].idxmax()].set_index("user_id")
+    totals = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(dsum("value").alias("t"))
+        .toPandas()
+        .set_index("user_id")["t"]
+    )
+    for uid, row in last.iterrows():
+        assert abs(row["running_total"] - totals[uid]) < 1e-6
+    counts = out.groupby("user_id")["seq"].agg(["max", "size"])
+    assert (counts["max"] == counts["size"]).all()

@@ -37,6 +37,7 @@ INVENTORY = [
     "events_asof_join",      # B13: as-of join (window-merge formulation)
     "events_minutely_json",  # B14: JSON-lines ingestion parity for B7
     "events_value_percentiles",  # B17: exact grouped p50/p90/p99
+    "events_running_total",  # B18: exact-decimal cumulative window
     "kv_apply_log",          # B10
     "shard_rebalance",       # B11
     "shard_rebalance_hrw",   # B12: minimal-movement Join/Leave rebalance
@@ -60,6 +61,7 @@ INVENTORY = [
     "corpus_prep",           # C14: composite filter→dedup→count pipeline
     "kmeans_embed",          # C15: iterative integer-quantized Lloyd's
     "corpus_split",          # C16: deterministic hash train/val/test split
+    "tfidf_top_terms",       # C17: TF-IDF top-k terms per document
     # D. Structured Streaming
     "streaming_windowed_counts",  # D1
     "streaming_sessionize",       # D2

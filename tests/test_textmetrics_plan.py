@@ -20,3 +20,17 @@ def test_scan_speed_metrics_have_no_exchange(spark, sf_dir):
         df = eng.QUERIES[name](spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, f"{name}: {plan}"
+
+
+def test_tfidf_top_terms_properties(spark, sf_dir):
+    """C17: dense ranks 1..k per doc, tfidf non-increasing within a doc,
+    and a word appearing in every document scores ~0 (idf = ln(N/N))."""
+    out = eng.QUERIES["tfidf_top_terms"](spark, sf_dir).toPandas()
+    assert len(out) > 0
+    for _, grp in out.groupby("doc_id"):
+        g = grp.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert (g["tfidf"].diff().dropna() <= 1e-9).all()
+    n_docs = out["doc_id"].nunique()
+    ubiquitous = out[out["df"] == n_docs]
+    assert (ubiquitous["tfidf"].abs() <= 1e-9).all()
