@@ -506,3 +506,94 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(hamming <= _SH_MAXDIST)
         .select("a_id", "b_id", hamming.cast("int").alias("hamming"))
     )
+
+
+# ---------------------------------------------------------------------------
+# C18. dedup_clusters (near-dup pairs -> connected components)
+
+from mapreduceimplementation_spark.registry import ORACLES as _ORACLES
+
+_CC_MAX_ITERS = 20
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_ORACLES["dedup_minhash_lsh"]}),
+    edges AS (
+        SELECT a_id AS s, b_id AS d FROM pairs
+        UNION ALL
+        SELECT b_id, a_id FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT DISTINCT s, s FROM edges
+        UNION
+        SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node
+    ),
+    comp AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+    SELECT doc_id,
+           coalesce(comp.cluster_id, doc_id) AS cluster_id,
+           CAST(count(*) OVER (PARTITION BY coalesce(comp.cluster_id, doc_id))
+                AS BIGINT) AS cluster_size,
+           doc_id = coalesce(comp.cluster_id, doc_id) AS is_canonical
+    FROM documents LEFT JOIN comp ON comp.node = doc_id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: the minhash pairs (C7) closed into connected
+    components, each document stamped with its cluster id (= the smallest
+    doc_id in its component), cluster size, and a canonical-survivor flag
+    — the final step of a real dedup pipeline (keep one doc per cluster,
+    not one per pair).
+
+    Iterative min-label propagation: labels live ONLY on the paired nodes
+    (duplicates are sparse — singletons join back at the end with
+    themselves as cluster), each round is one equi-join + min-aggregation,
+    and convergence is detected by a single scalar (the label sum, which
+    strictly decreases until fixed point).  Rounds needed = component
+    diameter, which for near-dup clusters is tiny (mutually-similar docs
+    are mutually linked).  Pairs and per-round labels are
+    localCheckpoint'ed: the expensive minhash lineage runs ONCE, and
+    iteration lineage cannot snowball — the same discipline a
+    1000-executor CC job needs.  Oracle: DuckDB recursive CTE computes the
+    exact transitive closure independently.
+    """
+    tune(spark)
+    pairs = dedup_minhash_lsh(spark, sf_dir).localCheckpoint(eager=True)
+    edges = pairs.selectExpr("a_id AS s", "b_id AS d").unionAll(
+        pairs.selectExpr("b_id AS s", "a_id AS d")
+    )
+    labels = (
+        edges.select(F.col("s").alias("node")).distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(_CC_MAX_ITERS):
+        prop = edges.join(labels, edges["s"] == labels["node"]).select(
+            F.col("d").alias("node"), "label"
+        )
+        labels = (
+            labels.unionAll(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:  # min-labels only decrease; equal sum = fixed point
+            break
+        prev_sum = cur_sum
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    stamped = docs.join(
+        labels.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce("label", "doc_id").alias("cluster_id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    return stamped.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(wc).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )

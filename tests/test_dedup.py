@@ -65,3 +65,19 @@ def test_simhash_pairs_are_near_dups(spark, sf_dir):
     sim_pairs = set(map(tuple, sim[["a_id", "b_id"]].values.tolist()))
     assert sim_pairs <= exact_pairs
     assert len(sim_pairs) > 0
+
+
+def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
+    """C18: both endpoints of every near-dup pair share a cluster; each
+    cluster has exactly one canonical doc, which is its smallest id; and
+    sizes account for every document exactly once."""
+    out = eng.QUERIES["dedup_clusters"](spark, sf_dir).toPandas()
+    pairs = eng.QUERIES["dedup_minhash_lsh"](spark, sf_dir).toPandas()
+    cl = out.set_index("doc_id")["cluster_id"]
+    for a, b in zip(pairs["a_id"], pairs["b_id"]):
+        assert cl[a] == cl[b], (a, b)
+    for cid, grp in out.groupby("cluster_id"):
+        assert grp["is_canonical"].sum() == 1
+        assert cid == grp["doc_id"].min()
+        assert (grp["cluster_size"] == len(grp)).all()
+    assert out["cluster_size"].count() == len(out)

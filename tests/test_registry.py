@@ -62,6 +62,7 @@ INVENTORY = [
     "kmeans_embed",          # C15: iterative integer-quantized Lloyd's
     "corpus_split",          # C16: deterministic hash train/val/test split
     "tfidf_top_terms",       # C17: TF-IDF top-k terms per document
+    "dedup_clusters",        # C18: near-dup pairs -> connected components
     # D. Structured Streaming
     "streaming_windowed_counts",  # D1
     "streaming_sessionize",       # D2
