@@ -303,3 +303,103 @@ def events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.partitionBy("user_id").orderBy("ts", "event_id")
         ).cast("int").alias("seq"),
     )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "events_type_pivot",
+    oracle=f"""
+    SELECT date_trunc('day', ts) AS day,
+           {", ".join(f"count(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}"
+                      for t in _EVENT_TYPES)}
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event counts pivoted to one column per type — the
+    wide-format report every BI consumer asks for.
+
+    The pivot value list is EXPLICIT: with values supplied, Spark skips
+    the extra distinct-scan job it otherwise runs to discover them, the
+    output schema is fixed (a 100 TB pipeline cannot let data content
+    decide its schema), and the plan is a single groupBy exchange with
+    the per-type counts partial-aggregated map-side.  Absent combinations
+    are 0, not null, matching the SQL CASE formulation."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    )
+    piv = (
+        ev.groupBy("day")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
+    )
+
+
+@register(
+    "events_rollup",
+    oracle=f"""
+    SELECT date_trunc('day', ts) AS day,
+           event_type,
+           count(*) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM events
+    GROUP BY ROLLUP (1, 2)
+    """,
+)
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals in one pass: (day, type) cells, per-day
+    subtotals, and the grand total via ROLLUP — one aggregation instead
+    of three queries over the same 100 TB scan.  NULL dimension values
+    encode the subtotal levels (real dims are never null here, so levels
+    are unambiguous and the row set hash-matches the SQL ROLLUP)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "event_type", "value"
+    )
+    return ev.rollup("day", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("total_value"),
+    )
+
+
+@register(
+    "events_minutely_csv",
+    oracle=f"""
+    SELECT date_trunc('minute', ts) AS minute,
+           event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           {sql_dsum('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_minutely_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7's plan over the CSV source — the third ingestion-format parity
+    gate (parquet == JSON-lines == CSV).  The oracle is IDENTICAL to
+    events_minutely's, so a green row proves the CSV read (explicit
+    schema + header, quote/escape doubling for the comma-bearing props
+    column, FAILFAST) is value-exact against the parquet twin including
+    µs timestamps and shortest-round-trip doubles."""
+    from mapreduceimplementation_spark.sources.csv import read_events_csv
+
+    tune(spark)
+    ev = read_events_csv(spark, sf_dir).select("ts", "event_type", "user_id", "value")
+    return (
+        ev.groupBy(
+            F.date_trunc("minute", "ts").alias("minute"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value").alias("total_value"),
+        )
+    )

@@ -211,3 +211,25 @@ def test_running_total_final_prefix_equals_group_sum(spark, sf_dir):
         assert abs(row["running_total"] - totals[uid]) < 1e-6
     counts = out.groupby("user_id")["seq"].agg(["max", "size"])
     assert (counts["max"] == counts["size"]).all()
+
+
+def test_events_minutely_csv_equals_parquet_twin(spark, sf_dir):
+    """B21 format parity: the CSV read must be value-identical to the
+    parquet read (quote/escape handling, µs timestamps, double repr)."""
+    a = sorted(map(repr, eng.QUERIES["events_minutely"](spark, sf_dir).collect()))
+    b = sorted(map(repr, eng.QUERIES["events_minutely_csv"](spark, sf_dir).collect()))
+    assert a == b
+
+
+def test_rollup_levels_are_consistent(spark, sf_dir):
+    """B20: subtotals must equal the sum of their cells, the grand total
+    the sum of the subtotals."""
+    out = eng.QUERIES["events_rollup"](spark, sf_dir).toPandas()
+    cells = out[out["day"].notna() & out["event_type"].notna()]
+    day_subs = out[out["day"].notna() & out["event_type"].isna()]
+    grand = out[out["day"].isna() & out["event_type"].isna()]
+    assert len(grand) == 1
+    assert int(grand["n_events"].iloc[0]) == int(cells["n_events"].sum())
+    by_day = cells.groupby("day")["n_events"].sum()
+    for _, r in day_subs.iterrows():
+        assert int(r["n_events"]) == int(by_day[r["day"]])

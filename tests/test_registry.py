@@ -38,6 +38,9 @@ INVENTORY = [
     "events_minutely_json",  # B14: JSON-lines ingestion parity for B7
     "events_value_percentiles",  # B17: exact grouped p50/p90/p99
     "events_running_total",  # B18: exact-decimal cumulative window
+    "events_type_pivot",     # B19: wide-format pivot w/ explicit values
+    "events_rollup",         # B20: hierarchical ROLLUP totals in one pass
+    "events_minutely_csv",   # B21: CSV ingestion parity for B7
     "kv_apply_log",          # B10
     "shard_rebalance",       # B11
     "shard_rebalance_hrw",   # B12: minimal-movement Join/Leave rebalance
