@@ -251,12 +251,12 @@ _SQL_TFIDF_WORDS = """
     oracle=f"""
     WITH toks AS ({_SQL_TFIDF_WORDS}),
     tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word),
-    dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
-    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+    wdf AS (SELECT *, count(*) OVER (PARTITION BY word) AS df FROM tf),
+    n AS (SELECT count(*) AS n_docs FROM documents),
     scored AS (
-        SELECT tf.doc_id, tf.word, tf.tf, dfreq.df,
-               ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS tfidf
-        FROM tf JOIN dfreq USING (word) CROSS JOIN n
+        SELECT doc_id, word, tf, df,
+               ROUND(tf * ln(CAST(n.n_docs AS DOUBLE) / df), 6) AS tfidf
+        FROM wdf CROSS JOIN n
     )
     SELECT doc_id, word, tf, df, tfidf, rank FROM (
         SELECT *, CAST(row_number() OVER (
@@ -270,17 +270,22 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference's inverted index (src/mrapps/indexer.go builds the
     word→docs map; TF-IDF weighs it).
 
-    Scale shape (inherent to TF-IDF, all three exchanges carry shrinking
-    data): (1) tf aggregation on (doc, word) — partial-agg combines
-    repeats map-side; (2) document frequency per word — vocabulary-sized;
-    (3) tf⋈df equi-join on word + per-doc top-k window.  The corpus-size
-    constant N rides a one-row broadcast (no driver action, stays one
-    plan).  Ranking uses the ROUNDED score with a word tie-break so the
-    top-k frontier is deterministic across engines — ln() may differ by an
-    ulp between libm and the JVM, so ordering on the raw double would be
-    engine-dependent.
+    Scale shape: the corpus is tokenized ONCE and every exchange carries
+    shrinking data — (1) tf aggregation on (doc, word), partial-agg
+    combining repeats map-side; (2) document frequency as a COUNT window
+    over tf partitioned by word (a window on the already-aggregated cells
+    — not a second aggregation branch, which would re-scan and
+    re-tokenize the corpus: Spark does not reuse the tf subtree across
+    consumers); (3) the per-doc top-k window.  The corpus-size constant N
+    comes from a doc_id-only scan of the documents table (no
+    tokenization) and rides a one-row broadcast — N counts ALL documents
+    including wordless ones, the standard idf denominator.  Ranking uses
+    the ROUNDED score with a word tie-break so the top-k frontier is
+    deterministic across engines — ln() may differ by an ulp between libm
+    and the JVM, so ordering on the raw double would be engine-dependent.
     """.format(k=_TFIDF_K)
     from mapreduceimplementation_spark.functions.text import word_tokens
+    from pyspark.sql.window import Window
 
     tune(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -289,23 +294,19 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    n = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
-    scored = (
-        tf.join(dfreq, "word")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "doc_id",
-            "word",
-            "tf",
-            "df",
-            F.round(
-                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
-            ).alias("tfidf"),
-        )
+    wdf = tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("word")))
+    n = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs")
     )
-    from pyspark.sql.window import Window
-
+    scored = wdf.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "word",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+        ).alias("tfidf"),
+    )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "word")
     return (
         scored.withColumn("rank", F.row_number().over(w))
