@@ -323,11 +323,13 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide-format report every BI consumer asks for.
 
     The pivot value list is EXPLICIT: with values supplied, Spark skips
-    the extra distinct-scan job it otherwise runs to discover them, the
-    output schema is fixed (a 100 TB pipeline cannot let data content
-    decide its schema), and the plan is a single groupBy exchange with
-    the per-type counts partial-aggregated map-side.  Absent combinations
-    are 0, not null, matching the SQL CASE formulation."""
+    the extra distinct-scan job it otherwise runs to discover them, and
+    the output schema is fixed (a 100 TB pipeline cannot let data content
+    decide its schema).  Spark plans pivot as two phases — groupBy(day,
+    type) cells, then pivot-to-columns per day — so there are two
+    exchanges, but BOTH carry already-aggregated cells (≤ days x types
+    rows), never raw events.  Absent combinations are 0, not null,
+    matching the SQL CASE formulation."""
     tune(spark)
     ev = load_table(spark, sf_dir, "events").select(
         F.date_trunc("day", "ts").alias("day"), "event_type"
