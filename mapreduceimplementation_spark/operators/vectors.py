@@ -553,20 +553,40 @@ def _km_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _km_assign(vq: DataFrame, centroids: dict[int, list[int]]) -> DataFrame:
-    """Row-local assignment against broadcast model state (the centroids
-    are literals in the plan — k-means' tiny model rides the closure, the
-    corpus never shuffles for assignment)."""
-    cands = []
-    for cid in sorted(centroids):
-        w = F.array(*[F.lit(int(x)) for x in centroids[cid]])
-        d = F.aggregate(
-            F.zip_with("q", w, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        cands.append(F.struct(d.alias("d"), F.lit(cid).cast("long").alias("cid")))
-    best = F.array_min(F.array(*cands))
-    return vq.select(
+    """Row-local assignment against broadcast model state.
+
+    The k x dim centroid matrix rides a ONE-ROW broadcast DataFrame (not
+    k x dim literals: embedding the model as literals made Catalyst
+    analyze a 512-node expression tree per assignment plan, ~1 s of
+    driver time per iteration — and would not scale to large k).  The
+    expression is constant-size: a transform over centroid indices
+    computing each squared distance, array_min picking the (dist, cid)
+    argmin with cid tie-break.  Data path unchanged: broadcast join of
+    one row, zero shuffle of the corpus."""
+    spark = vq.sparkSession
+    cids = sorted(centroids)
+    cdf = spark.createDataFrame(
+        [([int(c) for c in cids], [centroids[c] for c in cids])],
+        "cids array<bigint>, mat array<array<bigint>>",
+    )
+    idx = F.sequence(F.lit(0), F.lit(len(cids) - 1))
+    cands = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("q"),
+                    F.element_at("mat", i + F.lit(1)),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            F.element_at("cids", i + F.lit(1)).alias("cid"),
+        ),
+    )
+    best = F.array_min(cands)
+    return vq.crossJoin(F.broadcast(cdf)).select(
         "vec_id",
         "q",
         best.getField("cid").alias("cluster"),
