@@ -232,12 +232,12 @@ _SQL_VERIFY = f"""
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3gram Jaccard near-dup pairs (j >= {tau}).
+    """Exact word-3gram Jaccard near-dup pairs (j >= 0.8, _TAU).
 
     Candidate generation is the full shingle self-join — exact but
     quadratic in per-shingle document frequency.  This is the *baseline*
     that verifies ``dedup_minhash_lsh``; at 100 TB run the LSH variant.
-    """.format(tau=_TAU)
+    """
     tune(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     # pair counts straight from the shingle posting lists: groupBy(sh) +
@@ -546,17 +546,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the final step of a real dedup pipeline (keep one doc per cluster,
     not one per pair).
 
-    Iterative min-label propagation: labels live ONLY on the paired nodes
-    (duplicates are sparse — singletons join back at the end with
-    themselves as cluster), each round is one equi-join + min-aggregation,
-    and convergence is detected by a single scalar (the label sum, which
-    strictly decreases until fixed point).  Rounds needed = component
-    diameter, which for near-dup clusters is tiny (mutually-similar docs
-    are mutually linked).  Pairs and per-round labels are
-    localCheckpoint'ed: the expensive minhash lineage runs ONCE, and
-    iteration lineage cannot snowball — the same discipline a
-    1000-executor CC job needs.  Oracle: DuckDB recursive CTE computes the
-    exact transitive closure independently.
+    Iterative min-label propagation WITH pointer doubling: labels live
+    ONLY on the paired nodes (duplicates are sparse — singletons join
+    back at the end with themselves as cluster).  Each round does (1) an
+    edge-propagation min step and (2) a shortcut step (label ← label of
+    label), so label distances HALVE per round and rounds needed =
+    log2(component diameter), not diameter — chains up to 2^20 hops
+    (the _CC_MAX_ITERS cap) converge instead of silently splitting.  If
+    the cap is ever exhausted without the label sum reaching a fixed
+    point the operator RAISES rather than emit wrong clusters.  Pairs and
+    per-round labels are localCheckpoint'ed: the expensive minhash
+    lineage runs ONCE, and iteration lineage cannot snowball — the same
+    discipline a 1000-executor CC job needs.  Oracle: DuckDB recursive
+    CTE computes the exact transitive closure independently.
     """
     tune(spark)
     pairs = dedup_minhash_lsh(spark, sf_dir).localCheckpoint(eager=True)
@@ -569,20 +571,37 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    converged = prev_sum is None  # no pairs at all -> nothing to propagate
     for _ in range(_CC_MAX_ITERS):
+        if converged:
+            break
         prop = edges.join(labels, edges["s"] == labels["node"]).select(
             F.col("d").alias("node"), "label"
         )
-        labels = (
+        stepped = (
             labels.unionAll(prop)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+        )
+        # pointer doubling: adopt the label of your current label-node
+        # (the label node always exists: labels only hold node ids)
+        lk = stepped.select(
+            F.col("node").alias("lnode"), F.col("label").alias("llabel")
+        )
+        labels = (
+            stepped.join(lk, stepped["label"] == lk["lnode"])
+            .select("node", F.least("label", "llabel").alias("label"))
             .localCheckpoint(eager=True)
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:  # min-labels only decrease; equal sum = fixed point
-            break
+            converged = True
         prev_sum = cur_sum
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters: not converged after {_CC_MAX_ITERS} rounds "
+            "(component diameter > 2^iters?) — refusing to emit split clusters"
+        )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     stamped = docs.join(

@@ -266,7 +266,7 @@ _SQL_TFIDF_WORDS = """
     """,
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{k} TF-IDF terms per document — the canonical continuation of
+    """Top-5 (_TFIDF_K) TF-IDF terms per document — the canonical continuation of
     the reference's inverted index (src/mrapps/indexer.go builds the
     word→docs map; TF-IDF weighs it).
 
@@ -283,7 +283,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ROUNDED score with a word tie-break so the top-k frontier is
     deterministic across engines — ln() may differ by an ulp between libm
     and the JVM, so ordering on the raw double would be engine-dependent.
-    """.format(k=_TFIDF_K)
+    """
     from mapreduceimplementation_spark.functions.text import word_tokens
     from pyspark.sql.window import Window
 

@@ -189,14 +189,15 @@ _SQL_COS = (
     """,
 )
 def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-{k} per query vector (the exact baseline).
+    """Brute-force cosine top-10 per query vector (the exact baseline;
+    see _TOPK/_Q_MAX).
 
-    Broadcasts the bounded query set (vec_id < {q}) and streams the corpus
+    Broadcasts the bounded query set (vec_id < 8) and streams the corpus
     once — a BroadcastNestedLoopJoin by design, NOT an accidental cartesian:
     O(|Q|*n) work that any executor count divides evenly.  Ranking uses the
     *rounded* cosine with neighbor_id tie-break so the top-k frontier is
     deterministic across engines and partitionings.
-    """.format(k=_TOPK, q=_Q_MAX)
+    """
     tune(spark)
     n = _normed(spark, sf_dir)
     q = n.select(
@@ -267,15 +268,16 @@ def _sql_buckets(seed: str, tables: int, bits: int) -> str:
     """,
 )
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed ANN: {L} hash tables x {b} random hyperplanes.
+    """Bucketed ANN: 2 hash tables x 6 random hyperplanes (_LSH_TABLES
+    x _LSH_BITS).
 
     Codes are computed row-local (sign of <v, w> per plane, md5-derived w);
     candidates come from the bucket equi-join, then exact cosine ranks the
-    top-{k}.  Expected candidate volume per query is L*n/2^bits — at larger
+    top-10.  Expected candidate volume per query is L*n/2^bits — at larger
     corpora raise bits to hold bucket sizes constant.  Recall vs ann_topk
     is the LSH tradeoff: P[bucket match] = (1 - theta/pi)^bits per table,
     high for genuinely-close vectors, tiny for random ones.
-    """.format(L=_LSH_TABLES, b=_LSH_BITS, k=_TOPK)
+    """
     tune(spark)
     n = _normed(spark, sf_dir)
     b = _buckets(n, "hp", _LSH_TABLES, _LSH_BITS)
@@ -324,14 +326,16 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: cosine >= {tau} over LSH-blocked candidates.
+    """Embedding near-dup pairs: cosine >= 0.4 (_DE_TAU) over
+    LSH-blocked candidates.
 
-    {L} tables x {b} hyperplane bits: for truly-near pairs (small angle)
+    8 tables x 4 hyperplane bits (_DE_TABLES x _DE_BITS): for
+    truly-near pairs (small angle)
     the any-table collision probability is high; the exact cosine re-check
     removes all false positives.  Candidate volume is L*n²/2^bits — raise
     bits with corpus size to keep buckets bounded (the oracle replays the
     identical blocking, so results are engine-reproducible at any setting).
-    """.format(tau=_DE_TAU, L=_DE_TABLES, b=_DE_BITS)
+    """
     tune(spark)
     n = _normed(spark, sf_dir)
     b = _buckets(n, "de", _DE_TABLES, _DE_BITS)
@@ -452,7 +456,8 @@ def _sql_cell_scores(vec: str) -> list[str]:
 )
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: assign vectors to their nearest of {K} fixed centroids
-    (the inverted file), probe the {p} best cells per query, exact-rank
+    (the inverted file), probe the 4 best cells per query (_IVF_NPROBE),
+    exact-rank
     within the probed cells.
 
     Cell assignment is row-local (16 codegen dot products, argmax via
@@ -460,10 +465,10 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted "lists" are just the cell column, so the candidate step is a
     broadcast equi-join on cell.  At scale this is the partition-pruning
     layout: write the corpus bucketed BY cell and a query touches only
-    nprobe/{K} of the data.  Centroids are md5-derived (deterministic,
+    nprobe/16 of the data.  Centroids are md5-derived (deterministic,
     engine-reproducible); swap in k-means centroids in production without
     touching the query plan.
-    """.format(K=_IVF_K, p=_IVF_NPROBE)
+    """
     tune(spark)
     n = _normed(spark, sf_dir)
     scores = F.array(*_cell_scores(F.col("v")))
@@ -603,9 +608,16 @@ def _km_update(assigned: DataFrame) -> dict[int, list[int]]:
     rows = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"), *sums).collect()
 
     def _round_away(x: float) -> int:
-        # DuckDB/Spark ROUND semantics (half away from zero) — Python's
-        # built-in round() is half-even and would diverge on exact halves
-        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+        # C round()/DuckDB semantics: half away from zero.  Python's
+        # round() is half-even; floor(abs+0.5) is also wrong just BELOW
+        # a half (abs(x)+0.5 can round UP to the next integer in float,
+        # e.g. x=0.49999999999999994 -> floor(1.0)=1 but round(x)=0).
+        # abs/floor/subtract are exact for |x| < 2^52, so the fractional
+        # comparison is exact.
+        a = abs(x)
+        fa = math.floor(a)
+        r = fa + 1 if a - fa >= 0.5 else fa
+        return int(math.copysign(r, x))
 
     return {
         int(r["cluster"]): [
@@ -653,18 +665,20 @@ def kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means over embeddings — the iterative-algorithm
     representative, made exactly deterministic by integer quantization.
 
-    k={k} seed centroids (the vectors with vec_id < {k}), {s} assignment
-    steps with {u} centroid updates between them; output is the final
-    assignment (vec_id, cluster, squared micro-unit distance).
+    k=8 seed centroids (the vectors with vec_id < 8), 3 assignment steps
+    with 2 centroid updates between them (see _KM_K/_KM_ASSIGN_STEPS);
+    output is the final assignment (vec_id, cluster, squared micro-unit
+    distance).
 
-    Scale shape per iteration: one corpus scan with ROW-LOCAL assignment
-    against k x dim literal centroids (model state broadcast in the plan,
-    zero shuffle), then one partial-agg exchange of k x dim running sums.
-    The driver only ever holds the model ({k} x {d} longs), never data —
+    Scale shape per iteration: one read of the localCheckpoint'ed
+    working set with ROW-LOCAL assignment against a one-row broadcast
+    k x dim centroid matrix (constant-size plan, zero shuffle — see
+    _km_assign), then one partial-agg exchange of k x dim running sums.
+    The driver only ever holds the model (8 x 64 longs), never data —
     the MLlib iteration contract.  Ties break on cluster id; distances,
     sums and rounded means are integer-exact, so Spark and the unrolled
     DuckDB CTE chain agree bit-for-bit at every iteration.
-    """.format(k=_KM_K, s=_KM_ASSIGN_STEPS, u=_KM_ASSIGN_STEPS - 1, d=_DIM)
+    """
     tune(spark)
     # cache the working set once: every iteration (2 update collects + the
     # final assignment) reads the materialized quantized vectors instead

@@ -23,16 +23,42 @@ from mapreduceimplementation_spark.sources.tables import load_table
 N_SHARDS = 64
 
 
-@register(
-    "kv_apply_log",
-    oracle="""
-    WITH ops AS (
+#: the (key, op, sval, seq) op-log derivation — ONE definition shared by
+#: kv_apply_log and kv_log_compact on BOTH engines: the lab-3B snapshot
+#: invariant test (test_kv.py) is only meaningful while the two operators
+#: replay the identical log.
+_OPS_SQL = """
         SELECT user_id AS key,
                CASE WHEN event_type = 'signup' THEN 'put' ELSE 'append' END AS op,
                CAST(CAST(ROUND(value * 100, 0) AS BIGINT) AS VARCHAR) AS sval,
                row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
         FROM events
-    ), cut AS (
+"""
+
+
+def _kv_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The op log as a DataFrame: (user_id, op, sval, seq).  The key keeps
+    its source name (user_id) so downstream windows/groupBys reuse one
+    hashpartitioning — operators alias it to `key` only in their final
+    projection (see kv_apply_log's docstring)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    sval = F.round(F.col("value") * 100, 0).cast("long").cast("string")
+    return ev.select(
+        "user_id",
+        F.when(F.col("event_type") == "signup", "put").otherwise("append").alias("op"),
+        sval.alias("sval"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("seq"),
+    )
+
+
+@register(
+    "kv_apply_log",
+    oracle=f"""
+    WITH ops AS ({_OPS_SQL}), cut AS (
         SELECT key, op, sval, seq,
                max(CASE WHEN op = 'put' THEN seq ELSE 0 END)
                    OVER (PARTITION BY key) AS last_put
@@ -58,17 +84,7 @@ def kv_apply_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     mid-plan makes ENSURE_REQUIREMENTS re-shuffle on the "new" column, and
     this plan's one-exchange shape is pinned by tests/test_plan_shapes.py."""
     tune(spark)
-    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id", "value")
-    sval = F.round(F.col("value") * 100, 0).cast("long").cast("string")
-    ops = ev.select(
-        "user_id",
-        F.when(F.col("event_type") == "signup", "put").otherwise("append").alias("op"),
-        sval.alias("sval"),
-        F.row_number()
-        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
-        .alias("seq"),
-    )
-    cut = ops.withColumn(
+    cut = _kv_ops(spark, sf_dir).withColumn(
         "last_put",
         F.max(F.when(F.col("op") == "put", F.col("seq")).otherwise(0)).over(
             Window.partitionBy("user_id")
@@ -177,15 +193,6 @@ def shard_rebalance_hrw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_OPS_SQL = """
-        SELECT user_id AS key,
-               CASE WHEN event_type = 'signup' THEN 'put' ELSE 'append' END AS op,
-               CAST(CAST(ROUND(value * 100, 0) AS BIGINT) AS VARCHAR) AS sval,
-               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
-        FROM events
-"""
-
-
 @register(
     "kv_log_compact",
     oracle=f"""
@@ -236,18 +243,7 @@ def kv_log_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-exchange shape is pinned by tests/test_plan_shapes.py).
     """
     tune(spark)
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts", "event_id", "value"
-    )
-    sval = F.round(F.col("value") * 100, 0).cast("long").cast("string")
-    ops = ev.select(
-        "user_id",
-        F.when(F.col("event_type") == "signup", "put").otherwise("append").alias("op"),
-        sval.alias("sval"),
-        F.row_number()
-        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
-        .alias("seq"),
-    )
+    ops = _kv_ops(spark, sf_dir)
     wk = Window.partitionBy("user_id")
     is_put = F.col("op") == "put"
     cut = ops.select(

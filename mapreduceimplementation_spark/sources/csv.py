@@ -65,7 +65,14 @@ def materialize_events_csv(sf_dir: str) -> str:
 
 
 def read_events_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Events via the CSV source with an explicit schema + header."""
+    """Events via the CSV source with an explicit schema + header.
+
+    multiLine=true: the free-text props column may legally contain quoted
+    embedded newlines; without it Spark splits records at every newline
+    and FAILFAST throws on the half-records.  multiLine disables
+    intra-file input splitting, so parallelism then comes from the file
+    count — which the sharded writer provides (and any real feed should:
+    many medium files beat one giant CSV for exactly this reason)."""
     d = materialize_events_csv(sf_dir)
     return (
         spark.read.schema(EVENTS_SCHEMA)
@@ -73,6 +80,7 @@ def read_events_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("timestampFormat", _TS_FMT)
         .option("quote", '"')
         .option("escape", '"')
+        .option("multiLine", "true")
         .option("mode", "FAILFAST")
         .csv(os.path.join(d, "events-*.csv"))
     )

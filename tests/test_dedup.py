@@ -80,4 +80,24 @@ def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
         assert grp["is_canonical"].sum() == 1
         assert cid == grp["doc_id"].min()
         assert (grp["cluster_size"] == len(grp)).all()
-    assert out["cluster_size"].count() == len(out)
+    # sizes account for every document exactly once
+    assert out.drop_duplicates("cluster_id")["cluster_size"].sum() == len(out)
+
+
+def test_dedup_clusters_long_chain_converges(spark, sf_dir):
+    """A 60-node chain (diameter 59 — far beyond the iteration cap if
+    propagation moved one hop per round) must converge into ONE cluster:
+    pointer doubling makes rounds logarithmic in diameter."""
+    from unittest import mock
+
+    import mapreduceimplementation_spark.operators.dedup as dd
+
+    chain = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(59)], "a_id long, b_id long, jaccard double"
+    )
+    with mock.patch.object(dd, "dedup_minhash_lsh", lambda s, d: chain):
+        out = dd.dedup_clusters(spark, sf_dir).toPandas()
+    chained = out[out["doc_id"] < 60]
+    assert (chained["cluster_id"] == 0).all()
+    assert (chained["cluster_size"] == 60).all()
+    assert chained[chained["is_canonical"]]["doc_id"].tolist() == [0]

@@ -51,32 +51,28 @@ def test_minhash_verify_is_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def _formatted_plan(spark, sf_dir, name) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        eng.QUERIES[name](spark, sf_dir).explain("formatted")
+    return buf.getvalue()
+
+
 @pytest.mark.parametrize("name", ["kv_apply_log", "kv_log_compact"])
 def test_kv_log_single_exchange(spark, sf_dir, name):
     """The op log is shuffled exactly once on its key: row_number window,
     max-windows and the final aggregation all reuse one hashpartitioning
     (the key is renamed only in the final projection — renaming mid-plan
     used to cost a second full-data exchange)."""
-    import io
-    import contextlib
-
-    df = eng.QUERIES[name](spark, sf_dir)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    plan = buf.getvalue()
+    plan = _formatted_plan(spark, sf_dir, name)
     assert plan.count("Exchange ") == 1, f"{name}:\n{plan}"
 
 
 def test_inverted_index_single_exchange(spark, sf_dir):
     """Posting lists are deduped by the map-side partial collect_set —
     exactly one exchange, no separate distinct shuffle."""
-    import io
-    import contextlib
-
-    df = eng.QUERIES["mr_inverted_index"](spark, sf_dir)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    plan = buf.getvalue()
+    plan = _formatted_plan(spark, sf_dir, "mr_inverted_index")
     assert plan.count("Exchange ") == 1, plan
