@@ -35,3 +35,13 @@ SQL_HASH64 = "(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
 
 def sql_hash64(expr: str) -> str:
     return SQL_HASH64.format(expr=expr)
+
+
+def py_hash64(s: str, salt: str = "") -> int:
+    """Pure-Python twin of ``hash64`` (same first-15-md5-hex-chars value)
+    for driver-side parameter derivation (hyperplane weights, permutation
+    seeds).  ONE definition: a drifted copy would silently produce
+    signatures that disagree with the JVM/DuckDB hash64."""
+    import hashlib
+
+    return int(hashlib.md5((salt + s).encode()).hexdigest()[:15], 16)

@@ -26,8 +26,6 @@ dedup's hash-groupBy is wc.go's shuffle with md5(normalized text) as key.
 
 from __future__ import annotations
 
-import hashlib
-
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -35,6 +33,7 @@ from pyspark.sql.window import Window
 from mapreduceimplementation_spark.functions.hashing import (
     MERSENNE_61,
     hash64,
+    py_hash64 as _h64_py,
     sql_hash64,
 )
 from mapreduceimplementation_spark.functions.text import (
@@ -264,11 +263,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MH_K = 24  # signature length
 _MH_BANDS = 6  # bands of 4 rows each: P[miss j=0.97 pair] ~ (1-0.97^4)^6 < 3e-6
 _MH_R = _MH_K // _MH_BANDS
-
-
-def _h64_py(s: str) -> int:
-    """Python twin of functions/hashing.hash64 (first 15 md5 hex chars)."""
-    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
 
 #: universal-hash family constants, md5-derived so Spark, DuckDB and this

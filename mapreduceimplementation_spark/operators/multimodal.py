@@ -5,9 +5,11 @@ extracted by an Arrow-batched ``mapInPandas`` decode — the exact plumbing a
 real image/audio/video pipeline needs (schema, batch shape, partitioning),
 with the codec itself STUBBED:
 
-- ``_decode_media`` is a **deterministic fake**: it parses real bytes out
-  of the payload (header split, byte arithmetic) so the operator is
-  oracle-checkable end-to-end.
+- ``_decode_media`` is a **deterministic fake**: it splits the real byte
+  payload on its header, decodes it, and derives metadata by CHARACTER
+  arithmetic on the decoded content — encoding-independent, so the SQL
+  oracle (which only sees text) computes the identical values even for
+  non-ASCII corpora, and the operator is oracle-checkable end-to-end.
 - The branch that would hand a real container format (PNG/RIFF/MP4 magic
   numbers) to PIL/libav raises ``NotImplementedError`` — this environment
   has no codec libraries; swap that branch for the real decoder in
@@ -37,57 +39,67 @@ from mapreduceimplementation_spark.sources.tables import load_table
 _REAL_MAGIC = (b"\x89PNG", b"\xff\xd8\xff", b"RIFF", b"\x00\x00\x00\x18ftyp")
 
 _OUT_SCHEMA = (
-    "doc_id bigint, kind string, size_bytes bigint, checksum bigint, "
+    "doc_id bigint, kind string, size_chars bigint, checksum bigint, "
     "width bigint, height bigint, duration_ms bigint, n_frames bigint"
 )
 
 
+def _char_at(s: str, i: int) -> int:
+    """Code point at 0-based index i, or 0 past the end — the exact
+    semantics of DuckDB's ascii(substr(s, i+1, 1)) (ascii('') = 0)."""
+    return ord(s[i]) if len(s) > i else 0
+
+
 def _decode_media(payload: bytes) -> dict:
-    """STUB decode: deterministic byte parsing standing in for PIL/libav.
+    """STUB decode: deterministic parsing standing in for PIL/libav.
 
     Real codecs are unavailable in this container — payloads that start
     with an actual container magic number are refused loudly rather than
-    mis-decoded."""
+    mis-decoded.  The header split happens on raw bytes (as a real
+    demuxer would); the derived metadata uses CHARACTER arithmetic on the
+    decoded content so the values are encoding-independent and match the
+    SQL oracle for any corpus, ASCII or not."""
     if payload.startswith(_REAL_MAGIC):
         raise NotImplementedError(
             "real codec decode (PIL/libav) is stubbed in this environment"
         )
     sep = payload.index(b":")
     kind = payload[:sep].decode("utf-8")
-    body = payload[sep + 1 :]
+    body = payload[sep + 1 :].decode("utf-8")
+    content = kind + ":" + body
     meta = {
         "kind": kind,
-        "size_bytes": len(payload),
-        "checksum": sum(payload[:16]) % 997,
+        "size_chars": len(content),
+        "checksum": sum(ord(c) for c in content[:16]) % 997,
         "width": None,
         "height": None,
         "duration_ms": None,
         "n_frames": None,
     }
     if kind == "image":
-        meta["width"] = body[0] * 4
-        meta["height"] = body[1] * 4
+        meta["width"] = _char_at(body, 0) * 4
+        meta["height"] = _char_at(body, 1) * 4
     elif kind == "audio":
-        meta["duration_ms"] = len(payload) * 10
+        meta["duration_ms"] = len(content) * 10
     elif kind == "video":
-        meta["n_frames"] = len(payload) // 100
+        meta["n_frames"] = len(content) // 100
     return meta
 
 
 def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = {k: [] for k in (
-            "doc_id", "kind", "size_bytes", "checksum",
+            "doc_id", "kind", "size_chars", "checksum",
             "width", "height", "duration_ms", "n_frames",
         )}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             meta = _decode_media(bytes(payload))
             out["doc_id"].append(doc_id)
-            for k in ("kind", "size_bytes", "checksum", "width", "height",
+            for k in ("kind", "size_chars", "checksum", "width", "height",
                       "duration_ms", "n_frames"):
                 out[k].append(meta[k])
         pdf_out = pd.DataFrame(out)
-        for c in ("size_bytes", "checksum", "width", "height", "duration_ms",
+        for c in ("size_chars", "checksum", "width", "height", "duration_ms",
                   "n_frames"):
             pdf_out[c] = pdf_out[c].astype("Int64")
         yield pdf_out
@@ -98,7 +110,7 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     oracle="""
     SELECT doc_id,
            kind,
-           CAST(length(kind) + 1 + length(text) AS BIGINT) AS size_bytes,
+           CAST(length(kind) + 1 + length(text) AS BIGINT) AS size_chars,
            CAST(list_sum(list_transform(range(1, 17),
                 i -> ascii(substr(kind || ':' || text, CAST(i AS INT), 1)))) % 997
                 AS BIGINT) AS checksum,
@@ -118,8 +130,8 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The media table is synthesized deterministically from ``documents``
     (payload = '<kind>:' || text as UTF-8 bytes, kind cycling by doc_id) so
-    the byte-level decode is exactly reproducible by the SQL oracle — the
-    honest way to test multimodal *plumbing* without codec libraries."""
+    the decode is exactly reproducible by the SQL oracle — the honest way
+    to test multimodal *plumbing* without codec libraries."""
     tune(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     kind = (

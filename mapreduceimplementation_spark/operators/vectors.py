@@ -27,13 +27,13 @@ word→docs map shape with LSH codes as the words.
 
 from __future__ import annotations
 
-import hashlib
 import math
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from mapreduceimplementation_spark.functions.hashing import py_hash64 as _h64_py
 from mapreduceimplementation_spark.functions.vectors import dot, l2_norm
 from mapreduceimplementation_spark.registry import register
 from mapreduceimplementation_spark.session import spread, tune
@@ -48,11 +48,6 @@ _TOPK = 10
 _LSH_TABLES, _LSH_BITS = 2, 6  # ann_lsh: 2 tables x 6 hyperplanes
 _DE_TABLES, _DE_BITS = 8, 4  # dedup_embedding: 8 tables x 4 hyperplanes
 _DE_TAU = 0.4  # cosine threshold for near-dup pairs
-
-
-def _h64_py(s: str) -> int:
-    """Python twin of functions/hashing.hash64 (first 15 md5 hex chars)."""
-    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
 
 def _weights(seed: str, t: int, p: int) -> list[float]:

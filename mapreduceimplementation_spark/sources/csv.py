@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import csv as _csv
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -25,8 +24,9 @@ def materialize_events_csv(sf_dir: str) -> str:
     Timestamps as 'YYYY-MM-DD HH:MM:SS.ffffff', doubles via repr (shortest
     round-trip), QUOTE_MINIMAL with doubled quotes — value-exact against
     the parquet twin."""
-    name = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    d = os.path.join(tempfile.gettempdir(), f"mri_spark_events_csv_{name}")
+    from mapreduceimplementation_spark.sources.fixtures import fixture_dir
+
+    d = fixture_dir("mri_spark_events_csv", os.path.join(sf_dir, "events.parquet"))
     marker = os.path.join(d, "_SUCCESS")
     if os.path.exists(marker):
         return d

@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import json
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -32,8 +31,9 @@ def materialize_events_jsonl(sf_dir: str) -> str:
     Timestamps are written as 'YYYY-MM-DD HH:MM:SS.ffffff' strings and
     doubles via json's shortest-round-trip repr, so the JSON read is
     bit-identical to the parquet read."""
-    name = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    d = os.path.join(tempfile.gettempdir(), f"mri_spark_events_jsonl_{name}")
+    from mapreduceimplementation_spark.sources.fixtures import fixture_dir
+
+    d = fixture_dir("mri_spark_events_jsonl", os.path.join(sf_dir, "events.parquet"))
     marker = os.path.join(d, "_SUCCESS")
     if os.path.exists(marker):
         return d

@@ -9,7 +9,6 @@ distributed and split-pruned by the scheduler.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -37,8 +36,10 @@ def materialize_text_corpus(sf_dir: str) -> str:
     wholetext read path can be exercised and oracle-checked.  This is test
     fixture preparation, not part of the measured operator — a production
     corpus already IS files."""
-    name = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    d = os.path.join(tempfile.gettempdir(), f"mri_spark_textcorpus_{name}")
+    from mapreduceimplementation_spark.sources.fixtures import fixture_dir
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    d = fixture_dir("mri_spark_textcorpus", src)
     marker = os.path.join(d, "_SUCCESS")
     if os.path.exists(marker):
         return d

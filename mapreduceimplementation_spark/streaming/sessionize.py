@@ -97,7 +97,10 @@ def _session_fn(
             cur = [cur[0] + 1, t, t, 0, Decimal(0)]
         cur[2] = max(cur[2], t)
         cur[3] += 1
-        cur[4] += _quant(float(val))
+        if val is not None and not pd.isna(val):
+            # null values count toward the session but not the total —
+            # the same skip-nulls semantics as the batch twin's F.sum
+            cur[4] += _quant(float(val))
 
     state.update((cur[0], cur[1], cur[2], cur[3], str(cur[4])))
     rows = done + [cur]  # trailing session emitted provisionally

@@ -47,11 +47,24 @@ def _size_stream_state(spark: SparkSession, cap: int = 8) -> None:
     spark.conf.set("spark.sql.shuffle.partitions", str(min(cur, cap)))
 
 
+#: per-path schema cache — the probe read lists and foots the file; doing
+#: it once per path instead of per call saves a job on every stream setup
+_SCHEMA_CACHE: dict[str, object] = {}
+
+
 def _events_stream(spark: SparkSession, path: str, **options) -> DataFrame:
     """events as a file stream with the same nanos→micros ts handling as
-    the batch loader (sources/tables.py load_table)."""
+    the batch loader (sources/tables.py load_table).
+
+    nanosAsLong is a session-wide conf (same one load_table sets, and it
+    must stay set while the stream executes, so it is deliberately not
+    restored): every parquet read of this testdata needs it, and all of
+    this repo's reads go through load_table/_events_stream which handle
+    the long→timestamp fixup."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema  # ts arrives as long (nanos)
+    if path not in _SCHEMA_CACHE:
+        _SCHEMA_CACHE[path] = spark.read.parquet(path).schema  # ts = long nanos
+    schema = _SCHEMA_CACHE[path]
     if os.path.isfile(path):
         # the file-stream source accepts directories and globs but not bare
         # file paths; a single-char class makes an exact-match glob

@@ -77,3 +77,15 @@ def assert_same_result(spark_df, duck_con, sql: str, float_cols: tuple[str, ...]
     dk_rows = _norm_rows(dk)
     for i, (a, b) in enumerate(zip(sp_rows, dk_rows)):
         assert a == b, f"row {i} differs:\n  spark : {a}\n  duckdb: {b}"
+
+
+def formatted_plan(df) -> str:
+    """Capture df.explain('formatted') output — THE shared helper for plan
+    assertions (exchange counts, pushdown markers); per-file copies drift."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()

@@ -112,13 +112,9 @@ def test_determinism_under_repartition(spark, sf_dir):
 
 
 def _plan(df) -> str:
-    import contextlib
-    import io
+    from tests.conftest import formatted_plan
 
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+    return formatted_plan(df)
 
 
 def test_distributed_sort_no_global_window(spark, sf_dir):

@@ -14,10 +14,24 @@ def test_decode_stub_parses_bytes():
     meta = _decode_media(b"image:AB rest of payload")
     assert meta["kind"] == "image"
     assert meta["width"] == ord("A") * 4 and meta["height"] == ord("B") * 4
-    assert meta["size_bytes"] == len(b"image:AB rest of payload")
+    assert meta["size_chars"] == len("image:AB rest of payload")
     audio = _decode_media(b"audio:xyz")
-    assert audio["duration_ms"] == len(b"audio:xyz") * 10
+    assert audio["duration_ms"] == len("audio:xyz") * 10
     assert audio["width"] is None
+
+
+def test_decode_is_encoding_independent():
+    """Character arithmetic: a non-ASCII payload yields the same metadata
+    the SQL oracle (which counts characters/code points) computes —
+    multi-byte UTF-8 must not skew sizes or checksums."""
+    payload = "image:éé café".encode("utf-8")
+    meta = _decode_media(payload)
+    content = "image:éé café"
+    assert meta["size_chars"] == len(content)  # chars, not len(payload) bytes
+    assert meta["checksum"] == sum(ord(c) for c in content[:16]) % 997
+    assert meta["width"] == ord("é") * 4  # code point 233, not a UTF-8 byte
+    # 1-char image body: height index past the end -> 0 (DuckDB ascii(''))
+    assert _decode_media(b"image:X")["height"] == 0
 
 
 def test_decode_refuses_real_containers():

@@ -13,10 +13,9 @@ eng.load_all_operators()
 
 
 def _plan(df) -> str:
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+    from tests.conftest import formatted_plan
+
+    return formatted_plan(df)
 
 
 def test_asof_join_matches_oracle(spark, sf_dir, duck):

@@ -52,13 +52,9 @@ def test_minhash_verify_is_broadcast(spark, sf_dir):
 
 
 def _formatted_plan(spark, sf_dir, name) -> str:
-    import contextlib
-    import io
+    from tests.conftest import formatted_plan
 
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        eng.QUERIES[name](spark, sf_dir).explain("formatted")
-    return buf.getvalue()
+    return formatted_plan(eng.QUERIES[name](spark, sf_dir))
 
 
 @pytest.mark.parametrize("name", ["kv_apply_log", "kv_log_compact"])

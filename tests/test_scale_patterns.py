@@ -19,10 +19,9 @@ from pyspark.sql import functions as F
 
 
 def _plan(df) -> str:
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+    from tests.conftest import formatted_plan
+
+    return formatted_plan(df)
 
 
 _SALT = 8

@@ -16,10 +16,9 @@ from mapreduceimplementation_spark.sources.tables import load_table
 
 
 def _plan(df) -> str:
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+    from tests.conftest import formatted_plan
+
+    return formatted_plan(df)
 
 
 def test_partitioned_write_roundtrip_and_pruning(spark, sf_dir, tmp_path):
