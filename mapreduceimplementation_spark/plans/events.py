@@ -405,3 +405,49 @@ def events_minutely_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("total_value"),
         )
     )
+
+
+@register(
+    "events_moving_avg",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE)
+                 / COUNT(value) OVER w, 6) AS avg_last10,
+           CAST(COUNT(value) OVER w AS BIGINT) AS n_window
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user moving average of the last 10 events — the bounded-frame
+    window staple (smoothing, rate trending), complementing B18's
+    unbounded running total.
+
+    One shuffle on user_id; the bounded ROWS frame means per-row state is
+    10 values regardless of history length (an unbounded frame's state
+    grows with the partition; a bounded one is what you run on an
+    unbounded-retention 100 TB event store).  The numerator accumulates
+    exact decimals and the quotient is rounded at the final projection,
+    so every window's average is bit-identical across engines and
+    partitionings."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(
+            F.sum(F.col("value").cast("decimal(27,6)")).over(w).cast("double")
+            / F.count("value").over(w),
+            6,
+        ).alias("avg_last10"),
+        F.count("value").over(w).cast("long").alias("n_window"),
+    )

@@ -41,6 +41,7 @@ INVENTORY = [
     "events_type_pivot",     # B19: wide-format pivot w/ explicit values
     "events_rollup",         # B20: hierarchical ROLLUP totals in one pass
     "events_minutely_csv",   # B21: CSV ingestion parity for B7
+    "events_moving_avg",     # B22: bounded-frame moving average
     "kv_apply_log",          # B10
     "shard_rebalance",       # B11
     "shard_rebalance_hrw",   # B12: minimal-movement Join/Leave rebalance
