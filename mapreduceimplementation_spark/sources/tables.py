@@ -34,15 +34,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read it as raw nanos and truncate to micros —
-        # the same value DuckDB produces for its micro-resolution TIMESTAMP.
+        # events.ts arrives in whichever parquet timestamp encoding the
+        # data generator used: TIMESTAMP(NANOS) (rejected by Spark's
+        # vectorized reader — surfaced as long under nanosAsLong),
+        # TIMESTAMP(MICROS) isAdjustedToUTC=false (reads as TIMESTAMP_NTZ),
+        # or UTC-adjusted micros (reads as TIMESTAMP already).  Normalize
+        # all three to session-tz TIMESTAMP micros — the value DuckDB's
+        # micro-resolution TIMESTAMP oracle sees.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
-        return spark.read.parquet(path).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        df = spark.read.parquet(path)
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # session tz is UTC (tune()), so the cast is lossless
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 
