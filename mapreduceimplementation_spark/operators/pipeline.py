@@ -194,3 +194,57 @@ def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("split"),
         "n_chars",
     )
+
+
+# Per-language keep rates (percent): the data-mixing knob — downsample the
+# over-represented language, keep more of the rest.  A literal table: the
+# mix is a reviewed config artifact, not something inferred from content.
+_SAMPLE_RATES = {"de": 50, "en": 10, "es": 50, "fr": 50, "zh": 50}
+
+
+def _sample_rate_case() -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {rate}" for lang, rate in sorted(_SAMPLE_RATES.items())
+    )
+    return f"CASE lang {whens} ELSE 0 END"
+
+
+@register(
+    "corpus_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, bucket, n_chars
+    FROM (
+        SELECT doc_id, lang, n_chars,
+               {sql_hash64("'sample-' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+        FROM documents
+    )
+    WHERE bucket < {_sample_rate_case()}
+    """,
+)
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep a per-language fraction of
+    the corpus (the data-mixing step that rebalances language shares
+    before training).  Membership = portable hash of doc_id against a
+    per-stratum rate table, so — like corpus_split, and unlike
+    df.sample()/TABLESAMPLE — the sample is identical on any engine, any
+    cluster size, any rerun, and growth-stable (new docs never flip old
+    docs in or out).  Using the same hash family but a different salt
+    than corpus_split keeps the two decisions independent.
+
+    Row-local scan-speed filter, zero shuffle; languages outside the rate
+    table (or NULL) fall to rate 0 and are dropped."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    bucket = hash64(F.concat(F.lit("sample-"), F.col("doc_id").cast("string"))) % 100
+    rate = None
+    for lang, pct in sorted(_SAMPLE_RATES.items()):
+        rate = (
+            F.when(F.col("lang") == lang, pct)
+            if rate is None
+            else rate.when(F.col("lang") == lang, pct)
+        )
+    rate = rate.otherwise(0)
+    return (
+        docs.select("doc_id", "lang", bucket.alias("bucket"), "n_chars")
+        .where(F.col("bucket") < rate)
+    )

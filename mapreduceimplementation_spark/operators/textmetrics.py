@@ -313,3 +313,62 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _TFIDF_K)
         .select("doc_id", "word", "tf", "df", "tfidf", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# C19. top_terms_per_source
+
+_TV_K = 5
+
+@register(
+    "top_terms_per_source",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, w AS word
+        FROM (
+            SELECT source, unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS w
+            FROM documents
+        )
+        WHERE w <> ''
+    ), tf AS (
+        SELECT source, word, count(*) AS cnt FROM toks GROUP BY source, word
+    )
+    SELECT source, word, cnt, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY source ORDER BY cnt DESC, word) AS INT) AS rank
+        FROM tf
+    ) WHERE rank <= {_TV_K}
+    """,
+)
+def top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term vector per source — the MapReduce paper's "term-vector per
+    host" example (§2.1 of Dean & Ghemawat 2004; the reference implements
+    the sibling examples wc.go / indexer.go): the most frequent words of
+    each document origin, used for source-level profiling and corpus
+    mixing decisions.
+
+    Scale shape: tokenize the corpus once, ONE partial-aggregated exchange
+    on (source, word) — repeats combine map-side so the shuffle carries
+    vocabulary-sized cells, not token occurrences — then a top-k window
+    over the aggregated cells only.  The window partitions by source
+    (bounded cardinality), which is safe AFTER aggregation: per-source
+    cell counts are vocabulary-bounded, while windowing the raw token
+    stream would put every token of a hot source in one task.  Ranking
+    ties break on the word itself, so the frontier is deterministic."""
+    from pyspark.sql.window import Window
+
+    from mapreduceimplementation_spark.functions.text import word_tokens
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    tf = (
+        word_tokens(docs)
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("cnt").desc(), "word")
+    return (
+        tf.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TV_K)
+        .select("source", "word", "cnt", "rank")
+    )

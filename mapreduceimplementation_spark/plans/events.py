@@ -451,3 +451,89 @@ def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_last10"),
         F.count("value").over(w).cast("long").alias("n_window"),
     )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, ts, event_type,
+               min(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t_view
+        FROM events
+    ), s2 AS (
+        SELECT *, min(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+                      OVER (PARTITION BY user_id) AS t_click
+        FROM s1
+    ), s3 AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+                      OVER (PARTITION BY user_id) AS t_purchase
+        FROM s2
+    ), per_user AS (
+        SELECT user_id, max(t_view) AS t_view, max(t_click) AS t_click,
+               max(t_purchase) AS t_purchase
+        FROM s3 GROUP BY user_id
+    ), c AS (
+        SELECT count(t_view) AS n_view, count(t_click) AS n_click,
+               count(t_purchase) AS n_purchase
+        FROM per_user
+    )
+    SELECT '1_view' AS stage, n_view AS n_users FROM c
+    UNION ALL SELECT '2_click', n_click FROM c
+    UNION ALL SELECT '3_purchase', n_purchase FROM c
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel: how many users did view -> click ->
+    purchase *in time order* (each stage strictly after the user's first
+    completion of the previous one) — the product-analytics staple that a
+    plain per-type distinct count gets wrong (it ignores ordering).
+
+    Plan shape: the three stage timestamps are chained whole-partition
+    min-over-window expressions on the SAME partitionBy(user_id) — one
+    exchange, three Window nodes, no self-joins (a join-per-stage
+    formulation shuffles the events table once per stage).  The per-user
+    reduction and the final 3-row stack are a tiny follow-up aggregate on
+    the already-partitioned data."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    s1 = ev.withColumn(
+        "t_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    s2 = s1.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t_click")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    counts = per_user.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click"),
+        F.count("t_purchase").alias("n_purchase"),
+    )
+    return counts.select(
+        F.expr(
+            "stack(3, '1_view', n_view, '2_click', n_click,"
+            " '3_purchase', n_purchase) AS (stage, n_users)"
+        )
+    )

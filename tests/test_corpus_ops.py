@@ -1,0 +1,167 @@
+"""Tests for B23 events_funnel, C19 top_terms_per_source, and C20
+corpus_sample_stratified (SURVEY.md §2)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import mapreduceimplementation_spark as eng
+from tests.conftest import assert_same_result
+
+eng.load_all_operators()
+
+
+# ---------------------------------------------------------------------------
+# B23 events_funnel
+
+
+def test_funnel_matches_oracle(spark, sf_dir, duck):
+    df = eng.QUERIES["events_funnel"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["events_funnel"])
+
+
+def test_funnel_is_monotone(spark, sf_dir):
+    """Each stage requires the previous one, so counts never increase."""
+    rows = {
+        r["stage"]: r["n_users"]
+        for r in eng.QUERIES["events_funnel"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {"1_view", "2_click", "3_purchase"}
+    assert rows["1_view"] >= rows["2_click"] >= rows["3_purchase"]
+    assert rows["1_view"] > 0
+
+
+def test_funnel_ordering_semantics_inline(spark):
+    """Ordering matters: a click BEFORE the first view does not advance the
+    funnel, a click after it does; ties (same ts) do not count (strict >)."""
+    t = datetime
+    rows = [
+        # user 1: full ordered funnel
+        (1, 1, t(2024, 1, 1, 10, 0), "view", 0.0),
+        (2, 1, t(2024, 1, 1, 10, 1), "click", 0.0),
+        (3, 1, t(2024, 1, 1, 10, 2), "purchase", 0.0),
+        # user 2: click precedes view -> stalls at view
+        (4, 2, t(2024, 1, 1, 10, 0), "click", 0.0),
+        (5, 2, t(2024, 1, 1, 10, 1), "view", 0.0),
+        (6, 2, t(2024, 1, 1, 10, 2), "purchase", 0.0),
+        # user 3: click at the SAME instant as view -> strict > rejects it
+        (7, 3, t(2024, 1, 1, 10, 0), "view", 0.0),
+        (8, 3, t(2024, 1, 1, 10, 0), "click", 0.0),
+        # user 4: never views
+        (9, 4, t(2024, 1, 1, 10, 0), "purchase", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    df.createOrReplaceTempView("_funnel_inline")
+
+    from unittest import mock
+
+    import mapreduceimplementation_spark.plans.events as ev_mod
+
+    with mock.patch.object(
+        ev_mod, "load_table", lambda spark, sf_dir, name: spark.table("_funnel_inline")
+    ):
+        out = {
+            r["stage"]: r["n_users"]
+            for r in eng.QUERIES["events_funnel"](spark, "ignored").collect()
+        }
+    assert out == {"1_view": 3, "2_click": 1, "3_purchase": 1}
+
+
+def test_funnel_plan_single_events_scan(spark, sf_dir):
+    """The chained-window formulation reads events ONCE — a join-per-stage
+    funnel would scan and shuffle the table once per stage."""
+    from tests.conftest import formatted_plan
+
+    plan = formatted_plan(eng.QUERIES["events_funnel"](spark, sf_dir))
+    # one "Location:" line per scan node in the detail section
+    assert plan.count("Location:") == 1, plan
+    # and the three stage minima share ONE user_id exchange (the only other
+    # exchange is the tiny single-partition final count)
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# C19 top_terms_per_source
+
+
+def test_top_terms_matches_oracle(spark, sf_dir, duck):
+    df = eng.QUERIES["top_terms_per_source"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["top_terms_per_source"])
+
+
+def test_top_terms_k_per_source(spark, sf_dir):
+    import collections
+
+    rows = eng.QUERIES["top_terms_per_source"](spark, sf_dir).collect()
+    per_source = collections.Counter(r["source"] for r in rows)
+    assert per_source and all(n <= 5 for n in per_source.values())
+    for r in rows:
+        assert 1 <= r["rank"] <= 5
+
+
+# ---------------------------------------------------------------------------
+# C20 corpus_sample_stratified
+
+
+def test_sample_matches_oracle(spark, sf_dir, duck):
+    df = eng.QUERIES["corpus_sample_stratified"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["corpus_sample_stratified"])
+
+
+def test_sample_is_deterministic_and_stratified(spark, sf_dir):
+    """Re-running yields the identical doc set (pure function of doc_id),
+    every kept row respects its language's rate bound, and the kept
+    fraction of each language is in a loose band around its rate."""
+    from mapreduceimplementation_spark.operators.pipeline import _SAMPLE_RATES
+
+    q = eng.QUERIES["corpus_sample_stratified"]
+    a = {r["doc_id"]: (r["lang"], r["bucket"]) for r in q(spark, sf_dir).collect()}
+    b = {r["doc_id"]: (r["lang"], r["bucket"]) for r in q(spark, sf_dir).collect()}
+    assert a == b and a
+    for lang, bucket in a.values():
+        assert bucket < _SAMPLE_RATES[lang]
+
+    from mapreduceimplementation_spark.sources.tables import load_table
+
+    totals = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    import collections
+
+    kept = collections.Counter(lang for lang, _ in a.values())
+    for lang, rate in _SAMPLE_RATES.items():
+        if totals.get(lang, 0) >= 50:
+            frac = kept[lang] / totals[lang]
+            assert abs(frac - rate / 100) < 0.25, (lang, frac, rate)
+
+
+def test_sample_membership_is_pure_function(spark, sf_dir):
+    """Growth stability reduces to: membership is a pure function of
+    (doc_id, lang) via the portable hash — recompute every decision with
+    the Python hash64 twin and require exact agreement.  (A cross-sf
+    subset check is not valid on this testdata: each scale factor draws
+    document langs independently, so the same doc_id can legitimately be
+    in one sf's sample and out of another's.)"""
+    from mapreduceimplementation_spark.functions.hashing import py_hash64
+    from mapreduceimplementation_spark.operators.pipeline import _SAMPLE_RATES
+    from mapreduceimplementation_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang").collect()
+    expected = {
+        r["doc_id"]
+        for r in docs
+        if py_hash64(f"sample-{r['doc_id']}") % 100 < _SAMPLE_RATES.get(r["lang"], 0)
+    }
+    got = {
+        r["doc_id"]
+        for r in eng.QUERIES["corpus_sample_stratified"](spark, sf_dir).collect()
+    }
+    assert got == expected and got

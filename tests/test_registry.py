@@ -42,6 +42,7 @@ INVENTORY = [
     "events_rollup",         # B20: hierarchical ROLLUP totals in one pass
     "events_minutely_csv",   # B21: CSV ingestion parity for B7
     "events_moving_avg",     # B22: bounded-frame moving average
+    "events_funnel",         # B23: ordered view->click->purchase funnel
     "kv_apply_log",          # B10
     "shard_rebalance",       # B11
     "shard_rebalance_hrw",   # B12: minimal-movement Join/Leave rebalance
@@ -67,6 +68,8 @@ INVENTORY = [
     "corpus_split",          # C16: deterministic hash train/val/test split
     "tfidf_top_terms",       # C17: TF-IDF top-k terms per document
     "dedup_clusters",        # C18: near-dup pairs -> connected components
+    "top_terms_per_source",  # C19: MapReduce-paper term-vector per host
+    "corpus_sample_stratified",  # C20: per-language deterministic sampling
     # D. Structured Streaming
     "streaming_windowed_counts",  # D1
     "streaming_sessionize",       # D2
