@@ -689,3 +689,92 @@ def kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids = _km_update(assigned)
         assigned = _km_assign(vq, centroids)
     return assigned.select("vec_id", "cluster", "dist")
+
+
+# ---------------------------------------------------------------------------
+# C21. knn_graph (corpus self-similarity top-k graph, LSH-blocked)
+
+_KNN_TABLES, _KNN_BITS = 4, 6
+_KNN_K = 3
+
+_SQL_KNN_COS = (
+    f"list_reduce(list_transform(range(1, {_DIM + 1}),"
+    " i -> ns.v[i] * nd.v[i]), (a, b) -> a + b) / (ns.nrm * nd.nrm)"
+)
+
+
+@register(
+    "knn_graph",
+    oracle=f"""
+    WITH {_SQL_NORMED},
+    b AS ({_sql_buckets('knn', _KNN_TABLES, _KNN_BITS)}),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS src, c.vec_id AS dst
+        FROM b a JOIN b c ON a.t = c.t AND a.code = c.code
+        WHERE a.vec_id <> c.vec_id
+    ),
+    s AS (
+        SELECT src, dst, ROUND({_SQL_KNN_COS}, 6) AS cos
+        FROM cand JOIN n ns ON ns.vec_id = src JOIN n nd ON nd.vec_id = dst
+    )
+    SELECT src, dst, cos, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY src ORDER BY cos DESC, dst) AS INT) AS rank
+        FROM s
+    ) WHERE rank <= {_KNN_K}
+    """,
+)
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor graph over the whole corpus: each vector's top-3
+    (_KNN_K) cosine neighbors among LSH-blocked candidates — the
+    self-similarity structure behind near-dup auditing, diversity
+    sampling, and graph-based label propagation.  Completes the
+    similarity-search family: ann_topk ranks a bounded external query
+    set, dedup_embedding thresholds unordered pairs, knn_graph ranks
+    per-source over the corpus x corpus space.
+
+    Scale shape: codes are row-local (4 tables x 6 bits, md5-derived
+    hyperplanes); candidate generation is in-bucket pair expansion
+    (groupBy(t, code) + collect_list + a directed-pair array transform)
+    — ONE shuffle on the bucket key, never an O(n²) self-join (SURVEY §6:
+    the pair-expansion form also computes each bucket's lineage once).
+    Expected directed-candidate volume is L*n²/2^bits; raise bits with
+    corpus size to hold per-bucket fanout constant.  The exact-cosine
+    top-k window partitions by src over candidate rows only.  Vectors
+    whose buckets are all singletons emit no rows (no neighbors found —
+    the honest LSH answer; lower bits if that matters)."""
+    tune(spark)
+    n = _normed(spark, sf_dir)
+    b = _buckets(n, "knn", _KNN_TABLES, _KNN_BITS)
+    ids = F.col("ids")
+    pairs = (
+        b.groupBy("t", "code")
+        .agg(F.collect_list("vec_id").alias("ids"))
+        .where(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        ids,
+                        lambda x: F.transform(
+                            F.filter(ids, lambda y: y != x),
+                            lambda y: F.struct(x.alias("src"), y.alias("dst")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
+        .distinct()
+    )
+    ns = n.select(F.col("vec_id").alias("src"), F.col("v").alias("vs"), F.col("nrm").alias("ns"))
+    nd = n.select(F.col("vec_id").alias("dst"), F.col("v").alias("vd"), F.col("nrm").alias("nd"))
+    cos = F.round(dot("vs", "vd") / (F.col("ns") * F.col("nd")), 6)
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
+    return (
+        pairs.join(ns, "src")
+        .join(nd, "dst")
+        .select("src", "dst", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _KNN_K)
+    )

@@ -70,6 +70,7 @@ INVENTORY = [
     "dedup_clusters",        # C18: near-dup pairs -> connected components
     "top_terms_per_source",  # C19: MapReduce-paper term-vector per host
     "corpus_sample_stratified",  # C20: per-language deterministic sampling
+    "knn_graph",             # C21: LSH-blocked corpus kNN graph
     # D. Structured Streaming
     "streaming_windowed_counts",  # D1
     "streaming_sessionize",       # D2

@@ -82,3 +82,37 @@ def test_kmeans_embed_lloyd_properties(spark, sf_dir):
     first = _km_assign(vq, seeds).toPandas()
     merged = out.merge(first, on="vec_id", suffixes=("_final", "_seed"))
     assert (merged["cluster_final"] != merged["cluster_seed"]).any()
+
+
+def test_knn_graph_shape_and_symmetric_candidates(spark, sf_dir):
+    """C21: at most k ranked neighbors per source, ranks contiguous from 1,
+    no self-edges, and every reported cosine is genuinely the cosine of
+    the two vectors (spot-checked via numpy on a sample)."""
+    out = eng.QUERIES["knn_graph"](spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert (out["src"] != out["dst"]).all()
+    g = out.groupby("src")["rank"]
+    assert (g.max() <= 3).all()
+    assert (g.min() == 1).all()
+    assert (g.count() == g.max()).all()  # ranks 1..m with no gaps
+
+    import numpy as np
+
+    from mapreduceimplementation_spark.sources.tables import load_table
+
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype="float64")
+        for r in load_table(spark, sf_dir, "embeddings").limit(2000).collect()
+    }
+    sample = out.head(20)
+    for _, row in sample.iterrows():
+        a, b = vecs[row["src"]], vecs[row["dst"]]
+        expect = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(expect - row["cos"]) < 1e-5
+
+
+def test_knn_graph_matches_oracle(spark, sf_dir, duck):
+    from tests.conftest import assert_same_result
+
+    df = eng.QUERIES["knn_graph"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["knn_graph"])
