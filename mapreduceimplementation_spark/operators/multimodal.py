@@ -144,3 +144,99 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.concat(kind, F.lit(":"), F.col("text")), "UTF-8").alias("payload"),
     )
     return media.mapInPandas(_decode_batches, schema=_OUT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# C22. multimodal_framesample (1:N frame sampling + thumbnail resize, stubbed)
+
+_FRAME_CHARS = 100  # stub "frame" = 100 decoded characters (matches C12 n_frames)
+_FS_STRIDE = 5  # keep every 5th frame
+_FS_SCHEMA = (
+    "doc_id bigint, frame_idx bigint, frame_checksum bigint, "
+    "thumb_w bigint, thumb_h bigint"
+)
+
+
+def _sample_frames(payload: bytes) -> list[dict]:
+    """STUB frame-sample + resize: deterministic chunking standing in for
+    libav frame extraction and a thumbnail resize.  Same refusal contract
+    as _decode_media for real container formats."""
+    if payload.startswith(_REAL_MAGIC):
+        raise NotImplementedError(
+            "real codec decode (PIL/libav) is stubbed in this environment"
+        )
+    sep = payload.index(b":")
+    kind = payload[:sep].decode("utf-8")
+    body = payload[sep + 1 :].decode("utf-8")
+    content = kind + ":" + body
+    n_frames = len(content) // _FRAME_CHARS
+    out = []
+    for i in range(0, n_frames, _FS_STRIDE):
+        frame = content[i * _FRAME_CHARS : (i + 1) * _FRAME_CHARS]
+        out.append(
+            {
+                "frame_idx": i,
+                "frame_checksum": sum(ord(c) for c in frame[:16]) % 997,
+                "thumb_w": _char_at(frame, 0) % 64 + 1,
+                "thumb_h": _char_at(frame, 1) % 64 + 1,
+            }
+        )
+    return out
+
+
+def _framesample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {k: [] for k in (
+            "doc_id", "frame_idx", "frame_checksum", "thumb_w", "thumb_h",
+        )}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            for fr in _sample_frames(bytes(payload)):
+                out["doc_id"].append(doc_id)
+                for k in ("frame_idx", "frame_checksum", "thumb_w", "thumb_h"):
+                    out[k].append(fr[k])
+        yield pd.DataFrame(out).astype("Int64")
+
+
+@register(
+    "multimodal_framesample",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(list_sum(list_transform(range(1, 17),
+                i -> ascii(substr(frame, CAST(i AS INT), 1)))) % 997
+                AS BIGINT) AS frame_checksum,
+           CAST(ascii(substr(frame, 1, 1)) % 64 + 1 AS BIGINT) AS thumb_w,
+           CAST(ascii(substr(frame, 2, 1)) % 64 + 1 AS BIGINT) AS thumb_h
+    FROM (
+        SELECT doc_id, frame_idx,
+               substr(content, CAST(frame_idx * {_FRAME_CHARS} + 1 AS INT),
+                      {_FRAME_CHARS}) AS frame
+        FROM (
+            SELECT doc_id, 'video:' || text AS content
+            FROM documents WHERE text IS NOT NULL AND doc_id % 3 = 2
+        ), UNNEST(range(0, length(content) // {_FRAME_CHARS}, {_FS_STRIDE}))
+           AS t(frame_idx)
+    )
+    """,
+)
+def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling + thumbnail metadata over video payloads — the 1:N
+    ``mapInPandas`` shape C12's 1:1 decode doesn't exercise: each input
+    row expands to a variable number of output rows (every 5th stub
+    "frame" with a per-frame checksum and resized-thumbnail dims), the
+    plumbing behind video frame extraction for vision-model training
+    data.
+
+    Same honesty contract as C12: the chunking stands in for libav frame
+    decode (real container magics are refused loudly), and the values are
+    character-derived so the SQL oracle reproduces them exactly.  Scale
+    shape: payload bytes cross to Python once, Arrow-batched; output is a
+    narrow typed frame; batch memory bounded by
+    spark.sql.execution.arrow.maxRecordsPerBatch."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    media = docs.where(F.col("text").isNotNull() & (F.col("doc_id") % 3 == 2)).select(
+        "doc_id",
+        F.encode(F.concat(F.lit("video:"), F.col("text")), "UTF-8").alias("payload"),
+    )
+    return media.mapInPandas(_framesample_batches, schema=_FS_SCHEMA)

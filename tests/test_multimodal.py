@@ -49,3 +49,34 @@ def test_multimodal_meta_kinds_partition(spark, sf_dir):
     assert img["width"].notna().all() and img["duration_ms"].isna().all()
     aud = out[out["kind"] == "audio"]
     assert aud["duration_ms"].notna().all() and aud["width"].isna().all()
+
+
+def test_framesample_stub_chunks_and_strides():
+    """Frames are 100-char chunks of the decoded content, sampled every
+    5th, with checksum/thumb dims derived from the frame characters."""
+    from mapreduceimplementation_spark.operators.multimodal import _sample_frames
+
+    body = "".join(chr(65 + (i % 26)) for i in range(994))  # content = 1000 chars
+    frames = _sample_frames(b"video:" + body.encode())
+    assert [f["frame_idx"] for f in frames] == [0, 5]
+    f0 = frames[0]
+    content = "video:" + body
+    frame0 = content[:100]
+    assert f0["frame_checksum"] == sum(ord(c) for c in frame0[:16]) % 997
+    assert f0["thumb_w"] == ord(frame0[0]) % 64 + 1
+    # short payloads (< one frame) produce no rows
+    assert _sample_frames(b"video:tiny") == []
+
+
+def test_framesample_refuses_real_containers():
+    from mapreduceimplementation_spark.operators.multimodal import _sample_frames
+
+    with pytest.raises(NotImplementedError):
+        _sample_frames(b"\x00\x00\x00\x18ftypmp42....")
+
+
+def test_framesample_matches_oracle(spark, sf_dir, duck):
+    from tests.conftest import assert_same_result
+
+    df = eng.QUERIES["multimodal_framesample"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["multimodal_framesample"])

@@ -71,6 +71,7 @@ INVENTORY = [
     "top_terms_per_source",  # C19: MapReduce-paper term-vector per host
     "corpus_sample_stratified",  # C20: per-language deterministic sampling
     "knn_graph",             # C21: LSH-blocked corpus kNN graph
+    "multimodal_framesample",  # C22: 1:N frame sampling + thumbnail stub
     # D. Structured Streaming
     "streaming_windowed_counts",  # D1
     "streaming_sessionize",       # D2
