@@ -22,6 +22,7 @@ NO_CARTESIAN = [
     "dedup_embedding",
     "ann_lsh",
     "ann_ivf",
+    "knn_graph",
 ]
 
 
@@ -72,3 +73,13 @@ def test_inverted_index_single_exchange(spark, sf_dir):
     exactly one exchange, no separate distinct shuffle."""
     plan = _formatted_plan(spark, sf_dir, "mr_inverted_index")
     assert plan.count("Exchange ") == 1, plan
+
+
+def test_knn_graph_pair_expansion_single_bucket_exchange(spark, sf_dir):
+    """C21 candidate generation is in-bucket pair expansion: exactly one
+    exchange on the (t, code) bucket key feeding the collect_list — a
+    bucket self-join formulation would hash-exchange the code relation
+    twice."""
+    plan = _plan(spark, sf_dir, "knn_graph")
+    n_bucket_exchanges = plan.count("hashpartitioning(t#")
+    assert n_bucket_exchanges == 1, plan
