@@ -26,6 +26,7 @@ HEADLINE = [
     "q3_shipping_priority",
     "dedup_minhash_lsh",
     "ann_topk",
+    "knn_graph",
     "events_sessionize",
     "events_asof_join",
     "corpus_prep",
