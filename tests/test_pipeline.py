@@ -232,3 +232,26 @@ def test_rollup_levels_are_consistent(spark, sf_dir):
     by_day = cells.groupby("day")["n_events"].sum()
     for _, r in day_subs.iterrows():
         assert int(r["n_events"]) == int(by_day[r["day"]])
+
+
+def test_approx_count_distinct_within_exact_envelope(spark, sf_dir):
+    """B7's scale story: a 100 TB feed swaps countDistinct(user_id) for
+    approx_count_distinct (HLL++, mergeable, bounded memory) — verify the
+    sketch lands within 5% of the exact per-type distinct-user counts at
+    rsd=0.02 so the swap is safe."""
+    from pyspark.sql import functions as F
+
+    from mapreduceimplementation_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    both = (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact"),
+            F.approx_count_distinct("user_id", 0.02).alias("approx"),
+        )
+        .toPandas()
+    )
+    assert len(both) > 0
+    for _, r in both.iterrows():
+        assert abs(r["approx"] - r["exact"]) <= 0.05 * r["exact"], dict(r)
