@@ -694,7 +694,7 @@ def kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # C21. knn_graph (corpus self-similarity top-k graph, LSH-blocked)
 
-_KNN_TABLES, _KNN_BITS = 4, 6
+_KNN_TABLES, _KNN_BITS = 4, 8  # ~n/2^bits = single-digit buckets at sf0.1
 _KNN_K = 3
 
 _SQL_KNN_COS = (
