@@ -537,3 +537,52 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             " '3_purchase', n_purchase) AS (stage, n_users)"
         )
     )
+
+
+@register(
+    "events_retention",
+    oracle="""
+    WITH act AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+        FROM events
+    ), coh AS (
+        SELECT user_id, day,
+               min(day) OVER (PARTITION BY user_id) AS cohort_day
+        FROM act
+    )
+    SELECT cohort_day,
+           date_diff('day', cohort_day, day) AS day_offset,
+           count(*) AS n_users
+    FROM coh GROUP BY 1, 2
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users are cohorted by their first active day;
+    each (cohort_day, day_offset) cell counts how many of them were
+    active that many days later — the growth-analytics staple behind
+    every retention curve.
+
+    Plan shape: ONE exchange on user_id builds each user's active-day
+    set via a partial-aggregated collect_set (bounded by the retention
+    horizon in days — per-user state is ≤ a few hundred dates no matter
+    how many raw events, so no hot-user blowup); the cohort is
+    array_min of that set (no second pass, no window), and the final
+    per-cell count is a second, already-tiny exchange.  Counting rows
+    after the per-user day-dedup equals distinct users without a
+    count-distinct aggregate."""
+    tune(spark)
+    # day stays a midnight TIMESTAMP (not DATE): both engines' pandas
+    # bridges agree on timestamps, and it matches events_minutely's
+    # truncation convention
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    act = ev.groupBy("user_id").agg(F.collect_set("day").alias("days"))
+    per = act.select(
+        F.array_min("days").alias("cohort_day"),
+        F.explode("days").alias("day"),
+    )
+    return per.groupBy(
+        "cohort_day",
+        F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+    ).agg(F.count(F.lit(1)).alias("n_users"))

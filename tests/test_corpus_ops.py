@@ -1,5 +1,5 @@
-"""Tests for B23 events_funnel, C19 top_terms_per_source, and C20
-corpus_sample_stratified (SURVEY.md §2)."""
+"""Tests for B23 events_funnel, B24 events_retention, C19
+top_terms_per_source, and C20 corpus_sample_stratified (SURVEY.md §2)."""
 
 from __future__ import annotations
 
@@ -165,3 +165,33 @@ def test_sample_membership_is_pure_function(spark, sf_dir):
         for r in eng.QUERIES["corpus_sample_stratified"](spark, sf_dir).collect()
     }
     assert got == expected and got
+
+
+# ---------------------------------------------------------------------------
+# B24 events_retention
+
+
+def test_retention_matches_oracle(spark, sf_dir, duck):
+    df = eng.QUERIES["events_retention"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["events_retention"])
+
+
+def test_retention_invariants(spark, sf_dir):
+    """Offset-0 cell equals the cohort's size (every cohorted user is by
+    definition active on their first day), no negative offsets, no cell
+    exceeds its cohort's day-0 count, and cohort sizes sum to the
+    distinct-user total."""
+    from mapreduceimplementation_spark.sources.tables import load_table
+
+    out = eng.QUERIES["events_retention"](spark, sf_dir).toPandas()
+    assert (out["day_offset"] >= 0).all()
+    day0 = out[out["day_offset"] == 0].set_index("cohort_day")["n_users"]
+    for cohort, grp in out.groupby("cohort_day"):
+        assert (grp["n_users"] <= day0[cohort]).all()
+    n_users = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert day0.sum() == n_users

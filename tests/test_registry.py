@@ -43,6 +43,7 @@ INVENTORY = [
     "events_minutely_csv",   # B21: CSV ingestion parity for B7
     "events_moving_avg",     # B22: bounded-frame moving average
     "events_funnel",         # B23: ordered view->click->purchase funnel
+    "events_retention",      # B24: first-active-day cohort retention
     "kv_apply_log",          # B10
     "shard_rebalance",       # B11
     "shard_rebalance_hrw",   # B12: minimal-movement Join/Leave rebalance
