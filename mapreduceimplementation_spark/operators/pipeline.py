@@ -248,3 +248,56 @@ def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", bucket.alias("bucket"), "n_chars")
         .where(F.col("bucket") < rate)
     )
+
+
+@register(
+    "source_mix_weights",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source,
+               CAST(length(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS n
+        FROM documents WHERE text IS NOT NULL
+    ), per AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n) AS BIGINT) AS n_tokens
+        FROM tok GROUP BY source
+    ), tot AS (
+        SELECT sum(sqrt(n_tokens)) AS z FROM per
+    )
+    SELECT source, n_docs, n_tokens,
+           ROUND(sqrt(n_tokens) / z, 6) AS weight
+    FROM per, tot
+    """,
+)
+def source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing weights: each source's sampling
+    weight ∝ its token count raised to α=0.5 (sqrt), normalized — the
+    standard rebalancing between huge and tiny sources when composing a
+    training mix (α=1 is proportional, α=0 is uniform; sqrt is the
+    common middle).
+
+    Scale shape: token counting is a row-local regexp projection over the
+    one corpus scan, the per-source rollup is a partial-aggregated
+    exchange with bounded cardinality (sources), and the normalizer Z
+    rides a one-row broadcast — no driver-side arithmetic, no second
+    scan.  sqrt is correctly-rounded IEEE in both engines and the weight
+    is rounded at the final projection, so the result is engine- and
+    partitioning-stable."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    per = (
+        docs.where(F.col("text").isNotNull())
+        .select(
+            "source",
+            F.regexp_count("text", F.lit(_BPE_RE)).cast("long").alias("n"),
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n").alias("n_tokens"))
+    )
+    tot = per.agg(F.sum(F.sqrt("n_tokens")).alias("z"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.sqrt("n_tokens") / F.col("z"), 6).alias("weight"),
+    )

@@ -255,3 +255,17 @@ def test_approx_count_distinct_within_exact_envelope(spark, sf_dir):
     assert len(both) > 0
     for _, r in both.iterrows():
         assert abs(r["approx"] - r["exact"]) <= 0.05 * r["exact"], dict(r)
+
+
+def test_source_mix_weights_normalized(spark, sf_dir, duck):
+    """C23: weights are a probability distribution (sum ~= 1 up to final
+    rounding), monotone in token count, and match the DuckDB oracle."""
+    from tests.conftest import assert_same_result
+
+    df = eng.QUERIES["source_mix_weights"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["source_mix_weights"])
+
+    out = df.toPandas().sort_values("n_tokens")
+    assert abs(out["weight"].sum() - 1.0) < 1e-4
+    assert out["weight"].is_monotonic_increasing
+    assert (out["weight"] > 0).all()

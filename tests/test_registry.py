@@ -73,6 +73,7 @@ INVENTORY = [
     "corpus_sample_stratified",  # C20: per-language deterministic sampling
     "knn_graph",             # C21: LSH-blocked corpus kNN graph
     "multimodal_framesample",  # C22: 1:N frame sampling + thumbnail stub
+    "source_mix_weights",    # C23: temperature-based source mixing weights
     # D. Structured Streaming
     "streaming_windowed_counts",  # D1
     "streaming_sessionize",       # D2
