@@ -703,9 +703,8 @@ _SQL_KNN_COS = (
 )
 
 
-@register(
-    "knn_graph",
-    oracle=f"""
+#: full knn oracle, shared: C24's PageRank oracle embeds it as its edge CTE
+_KNN_ORACLE = f"""
     WITH {_SQL_NORMED},
     b AS ({_sql_buckets('knn', _KNN_TABLES, _KNN_BITS)}),
     cand AS (
@@ -722,8 +721,10 @@ _SQL_KNN_COS = (
             PARTITION BY src ORDER BY cos DESC, dst) AS INT) AS rank
         FROM s
     ) WHERE rank <= {_KNN_K}
-    """,
-)
+    """
+
+
+@register("knn_graph", oracle=_KNN_ORACLE)
 def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-nearest-neighbor graph over the whole corpus: each vector's top-3
     (_KNN_K) cosine neighbors among LSH-blocked candidates — the
@@ -778,3 +779,97 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= _KNN_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# C24. pagerank_knn (iterative PageRank over the kNN graph, integer-exact)
+
+_PR_UNITS = 1_000_000_000  # rank mass in nano-units: all arithmetic integer
+_PR_ITERS = 2  # rank updates after uniform init
+
+
+def _sql_pr_iters() -> str:
+    """Unrolled PageRank iterations (same technique as _sql_km_iters)."""
+    parts = [
+        f"r0 AS (SELECT vec_id, CAST({_PR_UNITS} // n AS BIGINT) AS u"
+        " FROM nodes, nn)"
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS vec_id,"
+            " CAST(sum(r.u // o.d) AS BIGINT) AS s"
+            f" FROM edges e JOIN r{i - 1} r ON r.vec_id = e.src"
+            " JOIN outdeg o ON o.src = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT v.vec_id,"
+            f" CAST(CAST({3 * _PR_UNITS} AS BIGINT) // (20 * n)"
+            f" + (17 * COALESCE(c.s, 0)) // 20 AS BIGINT) AS u"
+            f" FROM nodes v LEFT JOIN c{i} c ON c.vec_id = v.vec_id, nn)"
+        )
+    return ",\n    ".join(parts)
+
+
+@register(
+    "pagerank_knn",
+    oracle=f"""
+    WITH edges AS (SELECT src, dst FROM ({_KNN_ORACLE})),
+    nodes AS (SELECT vec_id FROM embeddings WHERE len(embedding) > 0),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    {_sql_pr_iters()}
+    SELECT vec_id, u AS rank_units FROM r{_PR_ITERS}
+    """,
+)
+def pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the corpus kNN graph — the MapReduce lineage's
+    flagship iterative graph workload (link analysis over the
+    reverse-web-link shape), run on C21's similarity edges to rank
+    "centrally similar" documents (useful as a representativeness prior
+    when curating training data).  Third fully-oracle-checked iterative
+    algorithm after k-means (C15) and connected components (C18).
+
+    Exactness: rank mass lives in integer nano-units; per-edge
+    contribution is u div outdeg, damping is (17*s) div 20 and teleport
+    (3*UNITS) div (20*N) — every operation is integral (truncating
+    division, all values positive), so Spark and the unrolled DuckDB CTE
+    chain agree bit-for-bit at every iteration.  Truncation leaks a few
+    nano-units of mass per step (and dangling kNN-isolated nodes leak
+    their out-mass) — deterministic, documented, and irrelevant at rank
+    resolution.
+
+    Scale shape per iteration: edges join ranks on src (both partitioned
+    by node id — the canonical PageRank shuffle), one partial-agg
+    exchange summing per-dst contributions, a left join back to the node
+    list; N rides a one-row broadcast.  The expensive LSH edge relation
+    is localCheckpoint'ed ONCE and reused by outdeg + every iteration
+    (SURVEY §6: checkpoint tiny-but-expensive relations before fan-out)."""
+    tune(spark)
+    edges = (
+        knn_graph(spark, sf_dir).select("src", "dst").localCheckpoint(eager=True)
+    )
+    nodes = _normed(spark, sf_dir).select("vec_id")
+    n_row = nodes.agg(F.count(F.lit(1)).alias("n"))
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    r = nodes.crossJoin(F.broadcast(n_row)).select(
+        "vec_id", F.expr(f"CAST({_PR_UNITS}L div n AS LONG)").alias("u")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(r.withColumnRenamed("vec_id", "src"), "src")
+            .join(outdeg, "src")
+            .select(F.col("dst").alias("vec_id"), F.expr("u div d").alias("c"))
+        )
+        insum = contrib.groupBy("vec_id").agg(F.sum("c").alias("s"))
+        r = (
+            nodes.join(insum, "vec_id", "left")
+            .crossJoin(F.broadcast(n_row))
+            .select(
+                "vec_id",
+                F.expr(
+                    f"CAST({3 * _PR_UNITS}L div (20 * n)"
+                    " + (17 * coalesce(s, 0L)) div 20 AS LONG)"
+                ).alias("u"),
+            )
+        )
+    return r.select("vec_id", F.col("u").alias("rank_units"))

@@ -74,6 +74,7 @@ INVENTORY = [
     "knn_graph",             # C21: LSH-blocked corpus kNN graph
     "multimodal_framesample",  # C22: 1:N frame sampling + thumbnail stub
     "source_mix_weights",    # C23: temperature-based source mixing weights
+    "pagerank_knn",          # C24: integer-exact PageRank over the kNN graph
     # D. Structured Streaming
     "streaming_windowed_counts",  # D1
     "streaming_sessionize",       # D2

@@ -116,3 +116,25 @@ def test_knn_graph_matches_oracle(spark, sf_dir, duck):
 
     df = eng.QUERIES["knn_graph"](spark, sf_dir)
     assert_same_result(df, duck, eng.ORACLES["knn_graph"])
+
+
+def test_pagerank_knn_invariants(spark, sf_dir):
+    """C24: every node gets a rank row; total mass never exceeds the
+    initial unit budget (truncating division only leaks mass); no rank
+    falls below the teleport floor; and nodes with no in-edges sit
+    exactly AT the floor."""
+    from mapreduceimplementation_spark.operators.vectors import (
+        _PR_UNITS,
+        knn_graph,
+    )
+
+    out = eng.QUERIES["pagerank_knn"](spark, sf_dir).toPandas()
+    n = len(out)
+    assert n == eng.QUERIES["embed_normalize"](spark, sf_dir).count()
+    base = (3 * _PR_UNITS) // (20 * n)
+    assert (out["rank_units"] >= base).all()
+    assert out["rank_units"].sum() <= _PR_UNITS
+    dsts = {r["dst"] for r in knn_graph(spark, sf_dir).select("dst").collect()}
+    no_in = out[~out["vec_id"].isin(dsts)]
+    assert len(no_in) > 0  # LSH-isolated nodes exist at this sf
+    assert (no_in["rank_units"] == base).all()
