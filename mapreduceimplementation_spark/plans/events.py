@@ -586,3 +586,63 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort_day",
         F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
     ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@register(
+    "events_anomaly",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day, event_type, count(*) AS c
+        FROM events GROUP BY 1, 2
+    ), stats AS (
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(c) AS BIGINT) AS s1,
+               CAST(sum(c * c) AS BIGINT) AS s2
+        FROM daily GROUP BY event_type
+    )
+    SELECT day, d.event_type, c,
+           ROUND((c - s1 * 1.0 / n)
+                 / sqrt((n * s2 - s1 * s1) * 1.0 / (n * n)), 4) AS z
+    FROM daily d JOIN stats s ON s.event_type = d.event_type
+    WHERE n * s2 > s1 * s1
+    """,
+)
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily volume anomaly score: each (day, event_type) count's z-score
+    against that type's distribution over the whole window — the ops
+    staple behind traffic-spike and outage detection.
+
+    Determinism is the point of the formulation: counts are integers, so
+    n, Σc and Σc² are EXACT longs (a float stddev aggregate would vary
+    with partition merge order); mean and population variance are derived
+    from those integer sums in a fixed expression order, and the z-score
+    is rounded at the final projection — bit-stable on any engine or
+    partitioning.  Plan: the daily rollup is one partial-agg exchange,
+    the per-type stats a second (bounded-cardinality) one, and the stats
+    join back is a broadcast of a handful of rows.  Constant-count types
+    (zero variance) are excluded rather than divided by zero."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    joined = daily.join(F.broadcast(stats), "event_type")
+    var = (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")) * 1.0 / (
+        F.col("n") * F.col("n")
+    )
+    return joined.where(
+        F.col("n") * F.col("s2") > F.col("s1") * F.col("s1")
+    ).select(
+        "day",
+        "event_type",
+        "c",
+        F.round((F.col("c") - F.col("s1") * 1.0 / F.col("n")) / F.sqrt(var), 4).alias(
+            "z"
+        ),
+    )

@@ -264,3 +264,79 @@ def order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     )
     return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+# ---------------------------------------------------------------------------
+# B25. basket_pairs
+
+_BASKET_CAP = 50  # skew guard: a degenerate mega-basket would emit cap² pairs
+_BASKET_TOPN = 20
+
+
+@register(
+    "basket_pairs",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), sized AS (
+        SELECT l_orderkey FROM items GROUP BY l_orderkey
+        HAVING count(*) BETWEEN 2 AND {_BASKET_CAP}
+    ), p AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+        JOIN sized s ON s.l_orderkey = a.l_orderkey
+    )
+    SELECT part_a, part_b, count(*) AS n_orders
+    FROM p GROUP BY part_a, part_b
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT {_BASKET_TOPN}
+    """,
+)
+def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top-20 part pairs most often
+    bought in the same order — the canonical MapReduce co-occurrence
+    workload ("people also bought"), the join-free pair-counting shape
+    the reference's generic Map/Reduce API exists for.
+
+    Scale shape: ONE exchange on l_orderkey builds each order's distinct
+    part set via partial-agg collect_set; pairs are expanded row-local
+    from the set (the in-bucket pair-expansion rule — a self-join of the
+    items relation would shuffle it twice); baskets above _BASKET_CAP are
+    dropped BEFORE expansion (a degenerate mega-basket would emit cap-squared
+    pairs — the classic co-occurrence skew bomb, bounded by policy and
+    documented in the output contract); the pair count partial-aggregates
+    on (part_a, part_b) and the final top-20 is TakeOrderedAndProject
+    (per-partition heaps, 20-row driver merge) with full (count, a, b)
+    tie-break determinism."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
+        .where((F.size("parts") >= 2) & (F.size("parts") <= _BASKET_CAP))
+        .select(F.array_sort("parts").alias("parts"))
+    )
+    ps = F.col("parts")
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ps) - 1),
+                    lambda i: F.transform(
+                        F.slice(ps, i + 1, F.size(ps) - i),
+                        lambda y: F.struct(
+                            F.element_at(ps, i).alias("part_a"), y.alias("part_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(_BASKET_TOPN)
+    )

@@ -1,4 +1,5 @@
-"""Tests for B23 events_funnel, B24 events_retention, C19
+"""Tests for the analytics/corpus operators B23 events_funnel, B24
+events_retention, B25 basket_pairs, B26 events_anomaly, C19
 top_terms_per_source, and C20 corpus_sample_stratified (SURVEY.md §2)."""
 
 from __future__ import annotations
@@ -195,3 +196,56 @@ def test_retention_invariants(spark, sf_dir):
         .count()
     )
     assert day0.sum() == n_users
+
+
+# ---------------------------------------------------------------------------
+# B25 basket_pairs
+
+
+def test_basket_pairs_matches_oracle(spark, sf_dir, duck):
+    df = eng.QUERIES["basket_pairs"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["basket_pairs"])
+
+
+def test_basket_pairs_shape(spark, sf_dir):
+    """Pairs are canonical (a < b), counts descending, at most 20 rows,
+    and the top pair's count is verifiable by brute force."""
+    out = eng.QUERIES["basket_pairs"](spark, sf_dir).toPandas()
+    assert 0 < len(out) <= 20
+    assert (out["part_a"] < out["part_b"]).all()
+    assert out["n_orders"].is_monotonic_decreasing
+
+    from mapreduceimplementation_spark.sources.tables import load_table
+
+    top = out.iloc[0]
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders_a = {
+        r["l_orderkey"]
+        for r in li.where(f"l_partkey = {top['part_a']}").collect()
+    }
+    orders_b = {
+        r["l_orderkey"]
+        for r in li.where(f"l_partkey = {top['part_b']}").collect()
+    }
+    assert len(orders_a & orders_b) == top["n_orders"]
+
+
+# ---------------------------------------------------------------------------
+# B26 events_anomaly
+
+
+def test_anomaly_matches_oracle(spark, sf_dir, duck):
+    df = eng.QUERIES["events_anomaly"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["events_anomaly"])
+
+
+def test_anomaly_zscores_standardized(spark, sf_dir):
+    """Per type: z-scores average to ~0 with population variance ~1 (the
+    definition of standardization, up to final rounding), and every
+    (day, type) daily cell appears exactly once."""
+    out = eng.QUERIES["events_anomaly"](spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert not out.duplicated(["day", "event_type"]).any()
+    for _, grp in out.groupby("event_type"):
+        assert abs(grp["z"].mean()) < 1e-3
+        assert abs(grp["z"].pow(2).mean() - 1.0) < 1e-2

@@ -44,6 +44,8 @@ INVENTORY = [
     "events_moving_avg",     # B22: bounded-frame moving average
     "events_funnel",         # B23: ordered view->click->purchase funnel
     "events_retention",      # B24: first-active-day cohort retention
+    "basket_pairs",          # B25: market-basket co-occurrence top pairs
+    "events_anomaly",        # B26: integer-exact daily z-score anomalies
     "kv_apply_log",          # B10
     "shard_rebalance",       # B11
     "shard_rebalance_hrw",   # B12: minimal-movement Join/Leave rebalance
