@@ -24,6 +24,7 @@ HEADLINE = [
     "mr_inverted_index",
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "basket_pairs",
     "dedup_minhash_lsh",
     "ann_topk",
     "knn_graph",
