@@ -276,13 +276,16 @@ def source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     training mix (α=1 is proportional, α=0 is uniform; sqrt is the
     common middle).
 
-    Scale shape: token counting is a row-local regexp projection over the
-    one corpus scan, the per-source rollup is a partial-aggregated
-    exchange with bounded cardinality (sources), and the normalizer Z
-    rides a one-row broadcast — no driver-side arithmetic, no second
-    scan.  sqrt is correctly-rounded IEEE in both engines and the weight
-    is rounded at the final projection, so the result is engine- and
-    partitioning-stable."""
+    Scale shape: token counting is a row-local regexp projection over ONE
+    corpus scan; the per-source rollup (bounded cardinality) is
+    localCheckpoint'ed before fan-out, so the normalizer branch reads the
+    materialized few-row rollup instead of re-scanning and re-tokenizing
+    the corpus (Spark does not reuse the rollup subtree across consumers
+    — SURVEY §6's checkpoint-before-fan-out rule); Z then rides a one-row
+    broadcast.  The normalizer's float sum of sqrt values is computed
+    over ≤|sources| rows in one task, and the weight is rounded at the
+    final projection — engine-stable (sqrt is correctly-rounded IEEE in
+    both engines)."""
     tune(spark)
     docs = load_table(spark, sf_dir, "documents").select("source", "text")
     per = (
@@ -293,6 +296,7 @@ def source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n").alias("n_tokens"))
+        .localCheckpoint(eager=True)
     )
     tot = per.agg(F.sum(F.sqrt("n_tokens")).alias("z"))
     return per.crossJoin(F.broadcast(tot)).select(

@@ -618,25 +618,32 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     with partition merge order); mean and population variance are derived
     from those integer sums in a fixed expression order, and the z-score
     is rounded at the final projection — bit-stable on any engine or
-    partitioning.  Plan: the daily rollup is one partial-agg exchange,
-    the per-type stats a second (bounded-cardinality) one, and the stats
-    join back is a broadcast of a handful of rows.  Constant-count types
-    (zero variance) are excluded rather than divided by zero."""
+    partitioning.  Plan: ONE scan and one partial-agg exchange build the
+    daily cells; the per-type stats are whole-partition window sums over
+    those already-aggregated cells (bounded by the day horizon), so the
+    events table is never read or aggregated a second time — a
+    groupBy-stats + join-back formulation plans two full scans because
+    Spark does not reuse the daily subtree across consumers (same lesson
+    as tfidf's df window).  Constant-count types (zero variance) are
+    excluded rather than divided by zero."""
     tune(spark)
     ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
     daily = ev.groupBy(
         F.date_trunc("day", "ts").alias("day"), "event_type"
     ).agg(F.count(F.lit(1)).alias("c"))
-    stats = daily.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("c").alias("s1"),
-        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    w = Window.partitionBy("event_type")
+    stats = daily.select(
+        "day",
+        "event_type",
+        "c",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("c").over(w).alias("s1"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("s2"),
     )
-    joined = daily.join(F.broadcast(stats), "event_type")
     var = (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")) * 1.0 / (
         F.col("n") * F.col("n")
     )
-    return joined.where(
+    return stats.where(
         F.col("n") * F.col("s2") > F.col("s1") * F.col("s1")
     ).select(
         "day",
