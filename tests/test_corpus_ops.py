@@ -249,3 +249,24 @@ def test_anomaly_zscores_standardized(spark, sf_dir):
     for _, grp in out.groupby("event_type"):
         assert abs(grp["z"].mean()) < 1e-3
         assert abs(grp["z"].pow(2).mean() - 1.0) < 1e-2
+
+
+def test_anomaly_plan_single_events_scan(spark, sf_dir):
+    """B26 reads events ONCE: per-type stats are window sums over the
+    aggregated daily cells, not a second aggregation branch."""
+    from tests.conftest import formatted_plan
+
+    plan = formatted_plan(eng.QUERIES["events_anomaly"](spark, sf_dir))
+    assert plan.count("Location:") == 1, plan
+
+
+def test_mix_weights_plan_no_second_tokenize(spark, sf_dir):
+    """C23's normalizer fan-out reads the checkpointed rollup: the final
+    plan contains no parquet scan at all (the single corpus scan ran
+    inside the eager checkpoint) and exactly one regexp-count projection
+    would have fed it."""
+    from tests.conftest import formatted_plan
+
+    plan = formatted_plan(eng.QUERIES["source_mix_weights"](spark, sf_dir))
+    assert plan.count("Location:") == 0, plan
+    assert "Scan ExistingRDD" in plan, plan
