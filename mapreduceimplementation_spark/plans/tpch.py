@@ -340,3 +340,64 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
         .limit(_BASKET_TOPN)
     )
+
+
+# ---------------------------------------------------------------------------
+# B27. q18_large_orders
+
+_Q18_QTY = 250
+_Q18_TOPN = 20
+
+
+@register(
+    "q18_large_orders",
+    oracle=f"""
+    WITH big AS (
+        SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS BIGINT)) > {_Q18_QTY}
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+    FROM big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT {_Q18_TOPN}
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (Large Volume Customer): orders whose total quantity
+    exceeds a threshold, with their customers, top-20 by order value —
+    the HAVING-subquery shape where a fact table filters itself by its
+    own aggregate before joining upward.
+
+    Scale shape: the quantity rollup partial-aggregates lineitem on its
+    natural key and the HAVING filter reduces it to a tiny order-id set
+    BEFORE any join — AQE sees the post-filter size at runtime and
+    broadcasts it into both subsequent joins (this is the query pattern
+    adaptive planning exists for: a static planner sees only the
+    pre-filter estimate).  Quantities are integral doubles; summing them
+    as BIGINT makes the HAVING frontier exact on any partitioning.
+    Top-20 is TakeOrderedAndProject on the stored (not aggregated)
+    o_totalprice with an orderkey tie-break."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .where(F.col("sum_qty") > _Q18_QTY)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(_Q18_TOPN)
+    )

@@ -270,3 +270,19 @@ def test_mix_weights_plan_no_second_tokenize(spark, sf_dir):
     plan = formatted_plan(eng.QUERIES["source_mix_weights"](spark, sf_dir))
     assert plan.count("Location:") == 0, plan
     assert "Scan ExistingRDD" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# B27 q18_large_orders
+
+
+def test_q18_matches_oracle(spark, sf_dir, duck):
+    df = eng.QUERIES["q18_large_orders"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["q18_large_orders"])
+
+
+def test_q18_threshold_and_order(spark, sf_dir):
+    out = eng.QUERIES["q18_large_orders"](spark, sf_dir).toPandas()
+    assert 0 < len(out) <= 20
+    assert (out["sum_qty"] > 250).all()
+    assert out["o_totalprice"].is_monotonic_decreasing

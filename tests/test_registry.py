@@ -46,6 +46,7 @@ INVENTORY = [
     "events_retention",      # B24: first-active-day cohort retention
     "basket_pairs",          # B25: market-basket co-occurrence top pairs
     "events_anomaly",        # B26: integer-exact daily z-score anomalies
+    "q18_large_orders",      # B27: TPC-H Q18 HAVING-subquery join
     "kv_apply_log",          # B10
     "shard_rebalance",       # B11
     "shard_rebalance_hrw",   # B12: minimal-movement Join/Leave rebalance
