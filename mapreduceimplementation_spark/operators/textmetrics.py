@@ -372,3 +372,109 @@ def top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _TV_K)
         .select("source", "word", "cnt", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# C25. heavy_hitters_cms
+
+_CMS_D = 4  # hash rows
+_CMS_W = 64  # buckets per row
+_CMS_TOPN = 10
+
+
+@register(
+    "heavy_hitters_cms",
+    oracle=f"""
+    WITH cells AS (
+        SELECT d, bucket, count(*) AS cell
+        FROM (
+            SELECT t.d,
+                   {sql_hash64("'cms-' || t.d || '-' || CAST(user_id AS VARCHAR)")}
+                       % {_CMS_W} AS bucket
+            FROM events, (SELECT unnest(range({_CMS_D})) AS d) t
+        )
+        GROUP BY d, bucket
+    ), exact AS (
+        SELECT user_id, count(*) AS exact_n
+        FROM events GROUP BY user_id
+        ORDER BY exact_n DESC, user_id LIMIT {_CMS_TOPN}
+    )
+    SELECT user_id, exact_n, CAST(min(cell) AS BIGINT) AS cms_n
+    FROM (
+        SELECT e.user_id, e.exact_n, t.d,
+               {sql_hash64("'cms-' || t.d || '-' || CAST(e.user_id AS VARCHAR)")}
+                   % {_CMS_W} AS bucket
+        FROM exact e, (SELECT unnest(range({_CMS_D})) AS d) t
+    ) q JOIN cells USING (d, bucket)
+    GROUP BY user_id, exact_n
+    """,
+)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a count-min sketch: the top-10 users by event
+    volume with their CMS frequency estimate next to the exact count —
+    the bounded-state sketch family member beyond minhash/simhash/HLL.
+
+    The sketch is _CMS_D hash rows x _CMS_W buckets of COUNTS — constant
+    memory regardless of key cardinality; estimate = min over rows of
+    the key's bucket (never an undercount, collisions only inflate).
+    Hashing is the portable md5-derived hash64, so the whole sketch —
+    cell values included — is bit-identical in the DuckDB oracle: a
+    DETERMINISTIC sketch, reproducible across engines, cluster sizes
+    and reruns.
+
+    Scale shape: the sketch is one explode(x_CMS_D) + partial-agg exchange
+    into at most D x W cells (the shuffle carries bounded cells, not
+    users); the exact side is a second aggregation kept deliberately —
+    in production only the sketch path runs over the stream, and the
+    exact path is the verification harness (here it also picks which
+    keys to report).  Estimate >= exact always (pytest-asserted)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    d = F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("d")
+    keyed = ev.select("user_id", d).select(
+        "d",
+        "user_id",
+        (
+            hash64(
+                F.concat(
+                    F.lit("cms-"),
+                    F.col("d").cast("string"),
+                    F.lit("-"),
+                    F.col("user_id").cast("string"),
+                )
+            )
+            % _CMS_W
+        ).alias("bucket"),
+    )
+    cells = keyed.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cell"))
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "user_id")
+        .limit(_CMS_TOPN)
+    )
+    probes = exact.select(
+        "user_id",
+        "exact_n",
+        F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("d"),
+    ).select(
+        "user_id",
+        "exact_n",
+        "d",
+        (
+            hash64(
+                F.concat(
+                    F.lit("cms-"),
+                    F.col("d").cast("string"),
+                    F.lit("-"),
+                    F.col("user_id").cast("string"),
+                )
+            )
+            % _CMS_W
+        ).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cell").cast("long").alias("cms_n"))
+    )

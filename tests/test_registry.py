@@ -78,6 +78,7 @@ INVENTORY = [
     "multimodal_framesample",  # C22: 1:N frame sampling + thumbnail stub
     "source_mix_weights",    # C23: temperature-based source mixing weights
     "pagerank_knn",          # C24: integer-exact PageRank over the kNN graph
+    "heavy_hitters_cms",     # C25: deterministic count-min sketch top-k
     # D. Structured Streaming
     "streaming_windowed_counts",  # D1
     "streaming_sessionize",       # D2

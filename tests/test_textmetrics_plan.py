@@ -34,3 +34,17 @@ def test_tfidf_top_terms_properties(spark, sf_dir):
     n_docs = out["doc_id"].nunique()
     ubiquitous = out[out["df"] == n_docs]
     assert (ubiquitous["tfidf"].abs() <= 1e-9).all()
+
+
+def test_cms_never_undercounts(spark, sf_dir, duck):
+    """C25: the count-min estimate is >= the exact count for every
+    reported key (collisions only inflate), exactly 10 keys are reported,
+    and the sketch matches the DuckDB oracle cell-for-cell."""
+    import mapreduceimplementation_spark as eng
+    from tests.conftest import assert_same_result
+
+    df = eng.QUERIES["heavy_hitters_cms"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["heavy_hitters_cms"])
+    out = df.toPandas()
+    assert len(out) == 10
+    assert (out["cms_n"] >= out["exact_n"]).all()
