@@ -37,6 +37,22 @@ def test_no_cartesian_product(spark, sf_dir, name):
     assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
 
 
+def test_no_cartesian_anywhere(spark, sf_dir):
+    """Blanket gate over the WHOLE registered surface: no query's plan may
+    contain a CartesianProduct — broadcast nested-loop joins against
+    provably-bounded sides (ann_topk's query set, one-row scalar frames)
+    are the only sanctioned non-equi joins.  Streaming queries are
+    skipped (building their plan executes the stream; their batch twins
+    are covered)."""
+    offenders = []
+    for name in sorted(eng.QUERIES):
+        if name.startswith("streaming_"):
+            continue
+        if "CartesianProduct" in _plan(spark, sf_dir, name):
+            offenders.append(name)
+    assert not offenders, f"cartesian products in: {offenders}"
+
+
 def test_ann_topk_is_broadcast_nested_loop(spark, sf_dir):
     """The brute-force baseline must broadcast the bounded query side —
     a shuffle-based cartesian over the corpus would not scale it."""
