@@ -48,3 +48,41 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Read back a hive-partitioned dataset (partition columns recovered
     from directory names)."""
     return spark.read.parquet(path)
+
+
+def compact(
+    df: DataFrame,
+    path: str,
+    target_rows_per_file: int,
+    *,
+    mode: str = "overwrite",
+) -> None:
+    """Rewrite ``df`` as parquet with bounded, roughly-uniform file sizes —
+    the small-files compaction job every long-lived 100 TB table needs
+    (streaming ingestion and fine-grained partitioning both accrete
+    thousands of KB-sized files; scans then pay per-file open/footer cost
+    that dwarfs the I/O).
+
+    Two dials, both required for bounded output:
+
+    - ``repartition(ceil(n / target))`` sets the number of write tasks —
+      a round-robin exchange, so files come out uniform even when the
+      input partitioning was skewed;
+    - ``maxRecordsPerFile`` caps any single file as a backstop (a task
+      can still receive more rows than target when the input count
+      estimate is off — the cap turns that into an extra file, not a
+      giant one).
+
+    Row-count is the proxy for size here because it is exactly
+    computable; production compactors aim at bytes
+    (spark.sql.files.maxRecordsPerFile + target file size on the table
+    format's side).
+    """
+    n = df.count()
+    n_files = max(1, -(-n // target_rows_per_file))
+    (
+        df.repartition(n_files)
+        .write.mode(mode)
+        .option("maxRecordsPerFile", target_rows_per_file)
+        .parquet(path)
+    )

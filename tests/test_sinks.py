@@ -56,3 +56,32 @@ def test_partitioned_write_requires_columns(spark, sf_dir, tmp_path):
     ev = load_table(spark, sf_dir, "events")
     with pytest.raises(ValueError):
         write_partitioned(ev, str(tmp_path / "x"))
+
+
+def test_compact_bounds_file_count_and_size(spark, sf_dir, tmp_path):
+    """Compaction of a many-partition frame yields ceil(n/target) files,
+    none exceeding the per-file record cap, with all rows intact."""
+    import glob
+
+    from mapreduceimplementation_spark.sources.sinks import compact
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id")
+        .repartition(64)  # simulate small-files accretion: 64 tiny parts
+    )
+    n = ev.count()
+    target = 2500
+    out = str(tmp_path / "compacted")
+    compact(ev, out, target)
+
+    files = glob.glob(out + "/part-*.parquet")
+    expected = max(1, -(-n // target))
+    assert len(files) == expected, (len(files), expected)
+
+    back = spark.read.parquet(out)
+    assert back.count() == n
+    import pyarrow.parquet as pq
+
+    for f in files:
+        assert pq.read_metadata(f).num_rows <= target
