@@ -873,3 +873,101 @@ def pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return r.select("vec_id", F.col("u").alias("rank_units"))
+
+
+# ---------------------------------------------------------------------------
+# C26. pca_power_iter (top principal direction via power iteration, integer-exact)
+
+_PCA_ITERS = 2
+_PCA_S = 1_000_000  # fixed-point scale of the direction vector
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Truncating integer division (toward zero) — the shared semantics of
+    Spark's `div` and DuckDB's `//` verified on negatives; Python's //
+    floors, so the driver-side model update must not use it directly."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def _sql_pca_iters() -> str:
+    """Unrolled power-iteration CTE chain (same technique as k-means/PageRank)."""
+    parts = [
+        f"v0 AS (SELECT j, CAST({_PCA_S} AS BIGINT) AS v"
+        f" FROM (SELECT unnest(range({_DIM})) AS j))"
+    ]
+    for i in range(1, _PCA_ITERS + 1):
+        parts.append(
+            f"s{i} AS (SELECT vec_id, q,"
+            f" CAST(CAST(sum(q[j + 1] * v) AS BIGINT) // {_PCA_S} AS BIGINT) AS s"
+            f" FROM vq, v{i - 1} GROUP BY vec_id, q)"
+        )
+        parts.append(
+            f"y{i} AS (SELECT j, CAST(sum(q[j + 1] * s) AS BIGINT) AS y"
+            f" FROM s{i}, (SELECT unnest(range({_DIM})) AS j) t GROUP BY j)"
+        )
+        parts.append(f"m{i} AS (SELECT max(abs(y)) AS m FROM y{i})")
+        parts.append(
+            f"v{i} AS (SELECT j,"
+            f" CAST(y // GREATEST(m // {_PCA_S}, 1) AS BIGINT) AS v"
+            f" FROM y{i}, m{i})"
+        )
+    return ",\n    ".join(parts)
+
+
+@register(
+    "pca_power_iter",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    vq AS (
+        SELECT vec_id,
+               list_transform(v, x -> CAST(round(x * {_PCA_S}) AS BIGINT)) AS q
+        FROM e WHERE len(v) > 0
+    ),
+    {_sql_pca_iters()}
+    SELECT CAST(j AS INT) AS dim, v AS component FROM v{_PCA_ITERS}
+    """,
+)
+def pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding cloud via power iteration
+    (v ← Xᵀ(Xv), renormalized) — the dimensionality-reduction
+    representative, and the fourth fully-oracle-checked iterative
+    algorithm (after k-means, connected components, PageRank).
+
+    Exactness: embeddings are micro-unit ints (k-means' quantizer); each
+    iteration computes s_i = (q_i·v) div S row-local against a one-row
+    broadcast direction, per-dimension sums y_j = Σ_i q_ij·s_i as ONE
+    posexplode + partial-agg exchange on 64 keys (map-side combine makes
+    the shuffle d-sized per task — the tall-skinny Gram trick), and
+    renormalizes v ← y div max(|y|/S) with truncating division — every
+    op integral, verified identical (toward zero, negatives included) in
+    Spark `div`, DuckDB `//`, and the driver-side _trunc_div, so the
+    unrolled oracle CTE chain matches bit-for-bit.  The driver holds
+    only the 64-long direction (model-only contract); the quantized
+    working set is localCheckpoint'ed once.  Magnitude bounds fit long:
+    |q·v| ≤ d·S² = 6.4e13, |y| ≤ n·S·(d·S) ≈ 1.3e17 at n=2000."""
+    tune(spark)
+    vq = _km_quantized(spark, sf_dir).localCheckpoint(eager=True)
+    v = [_PCA_S] * _DIM
+    for _ in range(_PCA_ITERS):
+        vdf = spark.createDataFrame([([int(x) for x in v],)], "v array<bigint>")
+        s = vq.crossJoin(F.broadcast(vdf)).select(
+            "q",
+            F.expr(
+                f"aggregate(zip_with(q, v, (a, b) -> a * b), 0L,"
+                f" (acc, x) -> acc + x) div {_PCA_S}"
+            ).alias("s"),
+        )
+        y = (
+            s.select("s", F.posexplode("q").alias("j", "x"))
+            .groupBy("j")
+            .agg(F.sum(F.col("x") * F.col("s")).alias("y"))
+        )
+        rows = {r["j"]: int(r["y"]) for r in y.collect()}
+        m = max(abs(x) for x in rows.values())
+        d = max(_trunc_div(m, _PCA_S), 1)
+        v = [_trunc_div(rows[j], d) for j in range(_DIM)]
+    out = spark.createDataFrame(
+        [(j, v[j]) for j in range(_DIM)], "dim int, component bigint"
+    )
+    return out

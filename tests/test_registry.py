@@ -79,6 +79,7 @@ INVENTORY = [
     "source_mix_weights",    # C23: temperature-based source mixing weights
     "pagerank_knn",          # C24: integer-exact PageRank over the kNN graph
     "heavy_hitters_cms",     # C25: deterministic count-min sketch top-k
+    "pca_power_iter",        # C26: integer-exact power-iteration PCA
     # D. Structured Streaming
     "streaming_windowed_counts",  # D1
     "streaming_sessionize",       # D2

@@ -138,3 +138,39 @@ def test_pagerank_knn_invariants(spark, sf_dir):
     no_in = out[~out["vec_id"].isin(dsts)]
     assert len(no_in) > 0  # LSH-isolated nodes exist at this sf
     assert (no_in["rank_units"] == base).all()
+
+
+def test_pca_power_iter_matches_python_twin(spark, sf_dir):
+    """C26: replicate the exact integer algorithm in plain Python (numpy
+    int64 would also work) and require bit-identical output — the
+    strongest oracle-independent check for an iterative op.  Also sanity:
+    the direction is not degenerate (non-zero in many dimensions)."""
+    from mapreduceimplementation_spark.operators.vectors import (
+        _DIM,
+        _PCA_ITERS,
+        _PCA_S,
+        _km_quantized,
+        _trunc_div,
+    )
+
+    q = {
+        int(r["vec_id"]): [int(x) for x in r["q"]]
+        for r in _km_quantized(spark, sf_dir).collect()
+    }
+    v = [_PCA_S] * _DIM
+    for _ in range(_PCA_ITERS):
+        y = [0] * _DIM
+        for row in q.values():
+            s = _trunc_div(sum(a * b for a, b in zip(row, v)), _PCA_S)
+            for j in range(_DIM):
+                y[j] += row[j] * s
+        m = max(abs(x) for x in y)
+        d = max(_trunc_div(m, _PCA_S), 1)
+        v = [_trunc_div(x, d) for x in y]
+
+    out = {
+        r["dim"]: r["component"]
+        for r in eng.QUERIES["pca_power_iter"](spark, sf_dir).collect()
+    }
+    assert out == {j: v[j] for j in range(_DIM)}
+    assert sum(1 for x in v if x != 0) > _DIM // 2
