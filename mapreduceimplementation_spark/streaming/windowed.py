@@ -126,3 +126,71 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(_SINK)
+
+
+_JSON_SINK = "d5_windowed_counts_json_sink"
+
+
+@register(
+    "streaming_windowed_counts_json",
+    oracle=f"""
+    SELECT date_trunc('minute', ts) AS minute,
+           event_type,
+           count(*) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_windowed_counts_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1's windowed aggregation fed by a JSON-lines FILE STREAM — the
+    production drop-folder ingestion path (collectors append .jsonl
+    shards; the stream discovers and drains them).  Completes the
+    streaming x format matrix cell: the same query, watermark and sink
+    semantics as D1, with the source swapped to the materialized .jsonl
+    twin of the events table — so its oracle is IDENTICAL to D1's, and a
+    green row proves the JSON streaming ingest is value-exact end to end
+    (µs timestamps and doubles included).
+
+    Same scale rules as the batch JSON reader (sources/jsonl.py):
+    explicit schema (inference on a stream is a full re-list + read per
+    trigger), explicit timestampFormat, FAILFAST.  maxFilesPerTrigger
+    bounds each microbatch: 3 triggers drain the 8 shards, exercising
+    multi-batch accumulation in the sink."""
+    from mapreduceimplementation_spark.sources.jsonl import (
+        _TS_FMT,
+        EVENTS_SCHEMA,
+        materialize_events_jsonl,
+    )
+
+    tune(spark)
+    _size_stream_state(spark)
+    _stop_query(spark, _JSON_SINK)
+    d = materialize_events_jsonl(sf_dir)
+    ev = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("timestampFormat", _TS_FMT)
+        .option("mode", "FAILFAST")
+        .option("maxFilesPerTrigger", "3")
+        .json(os.path.join(d, "events-*.jsonl"))
+    )
+    agg = (
+        ev.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 minute").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("minute"), "event_type", "n_events", "total_value"
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(_JSON_SINK)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(_JSON_SINK)

@@ -85,6 +85,7 @@ INVENTORY = [
     "streaming_sessionize",       # D2
     "streaming_dedup",            # D3: watermark-evicted dropDuplicates
     "streaming_stream_join",      # D4: watermarked stream-stream interval join
+    "streaming_windowed_counts_json",  # D5: D1 over a JSON-lines file stream
 ]
 
 #: SURVEY rows not yet implemented — MUST shrink to empty; a key may not

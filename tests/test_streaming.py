@@ -161,3 +161,18 @@ def test_streaming_join_state_survives_microbatches(spark, sf_dir, tmp_path):
     b = sorted(map(tuple, batch.collect()))
     assert len(b) > 0
     assert a == b
+
+
+def test_streaming_json_equals_parquet_stream(spark, sf_dir):
+    """D5: the JSON-lines-fed stream produces exactly the rows of the
+    parquet-fed D1 stream — format-parity under streaming execution."""
+    a = sorted(
+        map(repr, eng.QUERIES["streaming_windowed_counts"](spark, sf_dir).collect())
+    )
+    b = sorted(
+        map(
+            repr,
+            eng.QUERIES["streaming_windowed_counts_json"](spark, sf_dir).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
