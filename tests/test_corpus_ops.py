@@ -286,3 +286,101 @@ def test_q18_threshold_and_order(spark, sf_dir):
     assert 0 < len(out) <= 20
     assert (out["sum_qty"] > 250).all()
     assert out["o_totalprice"].is_monotonic_decreasing
+
+
+# ---------------------------------------------------------------------------
+# randomized Python-model cross-checks (seeded): catches a semantic
+# misreading that the Spark query and its SQL oracle might share
+
+
+def _random_events(seed: int, n: int = 300, n_users: int = 12):
+    import random
+    from datetime import timedelta
+
+    rng = random.Random(seed)
+    types = ["view", "click", "purchase", "signup", "error"]
+    base = datetime(2024, 1, 1)
+    return [
+        (
+            i,
+            rng.randrange(n_users),
+            base + timedelta(seconds=rng.randrange(40 * 86400)),
+            rng.choice(types),
+            0.0,
+        )
+        for i in range(n)
+    ]
+
+
+def _with_inline_events(spark, rows, fn):
+    from unittest import mock
+
+    import mapreduceimplementation_spark.plans.events as ev_mod
+
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    df.createOrReplaceTempView("_model_inline")
+    with mock.patch.object(
+        ev_mod, "load_table", lambda spark, sf_dir, name: spark.table("_model_inline")
+    ):
+        return fn()
+
+
+def test_funnel_matches_python_model_on_random_events(spark):
+    rows = _random_events(seed=7)
+    out = _with_inline_events(
+        spark,
+        rows,
+        lambda: {
+            r["stage"]: r["n_users"]
+            for r in eng.QUERIES["events_funnel"](spark, "ignored").collect()
+        },
+    )
+
+    by_user: dict = {}
+    for _, uid, ts, et, _v in rows:
+        by_user.setdefault(uid, []).append((ts, et))
+    n_view = n_click = n_purchase = 0
+    for evs in by_user.values():
+        t_view = min((t for t, e in evs if e == "view"), default=None)
+        if t_view is None:
+            continue
+        n_view += 1
+        t_click = min(
+            (t for t, e in evs if e == "click" and t > t_view), default=None
+        )
+        if t_click is None:
+            continue
+        n_click += 1
+        if any(e == "purchase" and t > t_click for t, e in evs):
+            n_purchase += 1
+    assert out == {
+        "1_view": n_view,
+        "2_click": n_click,
+        "3_purchase": n_purchase,
+    }
+
+
+def test_retention_matches_python_model_on_random_events(spark):
+    rows = _random_events(seed=11)
+    out = _with_inline_events(
+        spark,
+        rows,
+        lambda: {
+            (r["cohort_day"], r["day_offset"]): r["n_users"]
+            for r in eng.QUERIES["events_retention"](spark, "ignored").collect()
+        },
+    )
+
+    days: dict = {}
+    for _, uid, ts, _et, _v in rows:
+        days.setdefault(uid, set()).add(ts.replace(hour=0, minute=0, second=0))
+    model: dict = {}
+    for uds in days.values():
+        cohort = min(uds)
+        for d in uds:
+            key = (cohort, (d - cohort).days)
+            model[key] = model.get(key, 0) + 1
+    assert out == model
