@@ -1,6 +1,7 @@
-"""Tests for the analytics/corpus operators B23 events_funnel, B24
-events_retention, B25 basket_pairs, B26 events_anomaly, C19
-top_terms_per_source, and C20 corpus_sample_stratified (SURVEY.md §2)."""
+"""Tests for the analytics/corpus operators (SURVEY.md §2): B23 funnel,
+B24 retention, B25 basket pairs, B26 anomaly z-scores, B27 TPC-H Q18,
+C19 term vectors, C20 stratified sampling — oracle parity, invariants,
+and seeded-random Python-model cross-checks."""
 
 from __future__ import annotations
 

@@ -83,7 +83,11 @@ def compare(sp, dk):
     dk_t = [dk[c].dtype.kind for c in cols]
     detail = ""
     if sp_t != dk_t:
-        detail = f" [dtype kinds differ: {list(zip(cols, sp_t, dk_t))}]"
+        # a kind mismatch (e.g. DuckDB HUGEINT->float vs Spark long) is a
+        # schema failure even when the values happen to compare equal —
+        # the driver's gate checks schema, so catch it here first
+        mism = [t for t in zip(cols, sp_t, dk_t) if t[1] != t[2]]
+        return False, f" dtype kinds differ: {mism}"
     a = sorted(
         (tuple(norm_cell(v) for v in row) for row in sp.itertuples(index=False, name=None)),
         key=repr,
