@@ -653,3 +653,62 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z"
         ),
     )
+
+
+_INC_CUT = "2024-01-26 12:30:30"  # deliberately mid-minute: windows straddle it
+
+
+@register(
+    "events_minutely_incremental",
+    oracle=f"""
+    SELECT date_trunc('minute', ts) AS minute,
+           event_type,
+           count(*) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_minutely_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup refresh: the B7/D1 minutely aggregate computed
+    as BASE (events before a cut) merged with DELTA (events after),
+    re-aggregated — the materialized-view maintenance pattern that lets a
+    100 TB rollup absorb a day's delta without re-scanning history.
+
+    The oracle is the FULL single-pass aggregation, so the green row IS
+    the proof that the merge is exact: counts add, and the value sums
+    are merged as exact DECIMAL partials (only the merged result is cast
+    to double — merging the rounded doubles would drift).  countDistinct
+    is deliberately absent: it is not mergeable, which is exactly why
+    production rollups carry HLL sketches instead (the envelope pytest
+    covers that swap).  The cut falls MID-minute, so straddled windows
+    exist in both halves and the merge visibly re-combines them.
+
+    Plan: each half's scan carries the pushed ts predicate (base and
+    delta read disjoint row sets — at scale the delta scan touches only
+    new partitions), each partial-aggregates before its exchange, and
+    the merge is a second tiny aggregation over rollup-sized rows."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    cut = F.lit(_INC_CUT).cast("timestamp")
+
+    def half(pred):
+        return (
+            ev.where(pred)
+            .groupBy(F.date_trunc("minute", "ts").alias("minute"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(27,6)")).alias("tv"),
+            )
+        )
+
+    base = half(F.col("ts") < cut)
+    delta = half(F.col("ts") >= cut)
+    return (
+        base.unionByName(delta)
+        .groupBy("minute", "event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("tv").cast("double").alias("total_value"),
+        )
+    )

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 from datetime import datetime
 
+from pyspark.sql import functions as F
+
 import mapreduceimplementation_spark as eng
 from tests.conftest import assert_same_result
 
@@ -385,3 +387,69 @@ def test_retention_matches_python_model_on_random_events(spark):
             key = (cohort, (d - cohort).days)
             model[key] = model.get(key, 0) + 1
     assert out == model
+
+
+# ---------------------------------------------------------------------------
+# B28 events_minutely_incremental
+
+
+def test_incremental_rollup_matches_oracle(spark, sf_dir, duck):
+    df = eng.QUERIES["events_minutely_incremental"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["events_minutely_incremental"])
+
+
+def test_incremental_rollup_merges_straddled_window(spark):
+    """A window with events on BOTH sides of the cut must come out as one
+    merged row with the combined count and the exact decimal-merged sum —
+    proven on inline events placed around the cut (the sf0.001 fixture's
+    cut minute may legitimately be empty)."""
+    from unittest import mock
+
+    import mapreduceimplementation_spark.plans.events as ev_mod
+    from mapreduceimplementation_spark.plans.events import _INC_CUT
+
+    cut = datetime.strptime(_INC_CUT, "%Y-%m-%d %H:%M:%S")
+    rows = [
+        # same minute, either side of the mid-minute cut
+        (1, 1, cut.replace(second=5), "click", 0.1),
+        (2, 2, cut.replace(second=45), "click", 0.2),
+        # base-only and delta-only minutes
+        (3, 1, cut.replace(hour=1, second=0), "view", 1.5),
+        (4, 2, cut.replace(hour=23, second=0), "view", 2.5),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    df.createOrReplaceTempView("_inc_inline")
+    with mock.patch.object(
+        ev_mod, "load_table", lambda spark, sf_dir, name: spark.table("_inc_inline")
+    ):
+        out = {
+            (r["minute"].strftime("%H:%M"), r["event_type"]): (
+                r["n_events"],
+                round(r["total_value"], 6),
+            )
+            for r in eng.QUERIES["events_minutely_incremental"](
+                spark, "ignored"
+            ).collect()
+        }
+    assert out == {
+        ("12:30", "click"): (2, 0.3),  # merged across the cut
+        ("01:30", "view"): (1, 1.5),
+        ("23:30", "view"): (1, 2.5),
+    }
+
+
+def test_incremental_rollup_equals_full(spark, sf_dir):
+    """On the fixture, the incremental result equals B7's full rollup on
+    the shared columns."""
+    inc = {
+        (r["minute"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in eng.QUERIES["events_minutely_incremental"](spark, sf_dir).collect()
+    }
+    full = {
+        (r["minute"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in eng.QUERIES["events_minutely"](spark, sf_dir).collect()
+    }
+    assert inc == full
