@@ -734,8 +734,8 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     set, dedup_embedding thresholds unordered pairs, knn_graph ranks
     per-source over the corpus x corpus space.
 
-    Scale shape: codes are row-local (4 tables x 6 bits, md5-derived
-    hyperplanes); candidate generation is in-bucket pair expansion
+    Scale shape: codes are row-local (_KNN_TABLES x _KNN_BITS =
+    4 tables x 8 bits, md5-derived hyperplanes); candidate generation is in-bucket pair expansion
     (groupBy(t, code) + collect_list + a directed-pair array transform)
     — ONE shuffle on the bucket key, never an O(n²) self-join (SURVEY §6:
     the pair-expansion form also computes each bucket's lineage once).

@@ -618,7 +618,12 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     with partition merge order); mean and population variance are derived
     from those integer sums in a fixed expression order, and the z-score
     is rounded at the final projection — bit-stable on any engine or
-    partitioning.  Plan: ONE scan and one partial-agg exchange build the
+    partitioning.  The variance products n*s2 and s1*s1 are computed in
+    DECIMAL(38,0): as longs they would overflow silently once a type's
+    total count nears ~3e9 (s2 ~ 9e18 > 2^63) — exactly the 100 TB scale
+    this formulation targets — while DuckDB promotes to HUGEINT; decimal
+    keeps both engines exact to 1e38.  Plan: ONE scan and one partial-agg
+    exchange build the
     daily cells; the per-type stats are whole-partition window sums over
     those already-aggregated cells (bounded by the day horizon), so the
     events table is never read or aggregated a second time — a
@@ -640,12 +645,13 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").over(w).alias("s1"),
         F.sum(F.col("c") * F.col("c")).over(w).alias("s2"),
     )
-    var = (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")) * 1.0 / (
+    nd = F.col("n").cast("decimal(38,0)")
+    s1d = F.col("s1").cast("decimal(38,0)")
+    s2d = F.col("s2").cast("decimal(38,0)")
+    var = (nd * s2d - s1d * s1d).cast("double") / (
         F.col("n") * F.col("n")
     )
-    return stats.where(
-        F.col("n") * F.col("s2") > F.col("s1") * F.col("s1")
-    ).select(
+    return stats.where(nd * s2d > s1d * s1d).select(
         "day",
         "event_type",
         "c",

@@ -129,3 +129,20 @@ def test_todo_is_empty():
     round adds SURVEY rows before code, they go in TODO and this test is
     updated deliberately — no silent shrinkage."""
     assert TODO == frozenset()
+
+
+def test_certification_rotation():
+    """The driver's correctness gate only records the first ~50 entries of
+    queries() (see BASELINE.md).  The entry-file rotation must (a) expose
+    the FULL registry — nothing dropped, (b) order never-driver-certified
+    queries before ever-certified ones so the uncovered tail rotates into
+    the driver's window each round."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    assert set(qs) == set(eng.QUERIES)
+    assert list(entrymod.oracle_sql()) == [k for k in qs if k in eng.ORACLES]
+
+    last = entrymod._last_certified_round()
+    recency = [last.get(n, -1) for n in qs]
+    assert recency == sorted(recency), "queries() not ordered by cert recency"

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
+
 import mapreduceimplementation_spark as eng
 
 eng.load_all_operators()
@@ -100,11 +102,14 @@ def test_knn_graph_shape_and_symmetric_candidates(spark, sf_dir):
 
     from mapreduceimplementation_spark.sources.tables import load_table
 
+    sample = out.head(20)
+    needed = set(sample["src"]) | set(sample["dst"])
     vecs = {
         r["vec_id"]: np.array(r["embedding"], dtype="float64")
-        for r in load_table(spark, sf_dir, "embeddings").limit(2000).collect()
+        for r in load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id").isin(*needed))
+        .collect()
     }
-    sample = out.head(20)
     for _, row in sample.iterrows():
         a, b = vecs[row["src"]], vecs[row["dst"]]
         expect = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
