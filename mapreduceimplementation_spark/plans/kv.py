@@ -380,3 +380,176 @@ def raft_committed_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         commit.alias("commit_idx"),
         (F.col("log_len") - commit).alias("n_uncommitted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B29. config_log_replay (shardctrler Join/Leave/Move -> numbered configs)
+
+#: shardctrler's fixed shard count (reference src/shardctrler/common.go:21
+#: `const NShards = 10`); equals shardkv's NShards by design.
+N_CTRL_SHARDS = 10
+
+#: deterministic ctrler op log derived from the nation dim (gids 0..24):
+#:   idx  1..25  Join(gid)            one per nation, ordered by gid
+#:   idx 26..29  Move(s, ...)         s in {0,3,6,9} — cleared by the leaves
+#:   idx 30..34  Leave(gid)           gid % 5 == 3 ({3,8,13,18,23})
+#:   idx 35..37  Move(s, ...)         s in {1,4,7} — survive to the last config
+#: Move targets 5*(s%5) + (s%3): mod 5 that is s%3 in {0,1} != 3, so a Move
+#: never targets a leaver — every pin's group is alive (pytest-asserted).
+_CTRL_LAST_CFG = 37
+
+_CTRL_HRW_H = "'hrw-' || CAST(gid AS VARCHAR) || '-' || CAST(shard AS VARCHAR)"
+
+
+@register(
+    "config_log_replay",
+    oracle=f"""
+    WITH gids AS (SELECT CAST(n_nationkey AS BIGINT) AS gid FROM nation),
+    shards AS (SELECT CAST(unnest(range(0, {N_CTRL_SHARDS})) AS BIGINT) AS shard),
+    configs AS (SELECT CAST(unnest(range(1, {_CTRL_LAST_CFG} + 1)) AS BIGINT) AS num),
+    ops_join AS (SELECT gid, gid + 1 AS idx FROM gids),
+    ops_leave AS (SELECT gid, 30 + (gid - 3) // 5 AS idx FROM gids WHERE gid % 5 = 3),
+    ops_move AS (
+        SELECT shard, 5 * (shard % 5) + (shard % 3) AS gid,
+               CASE WHEN shard % 3 = 0 THEN 26 + shard // 3
+                    ELSE 35 + shard // 3 END AS idx
+        FROM shards WHERE shard % 3 IN (0, 1)
+    ),
+    lastmem AS (
+        SELECT num, max(idx) AS last_mem
+        FROM configs JOIN (SELECT idx FROM ops_join
+                           UNION ALL SELECT idx FROM ops_leave) m ON m.idx <= num
+        GROUP BY num
+    ),
+    alive AS (
+        SELECT num, j.gid
+        FROM configs c JOIN ops_join j ON j.idx <= c.num
+        LEFT JOIN ops_leave l ON l.gid = j.gid AND l.idx <= c.num
+        WHERE l.gid IS NULL
+    ),
+    hrw AS (
+        SELECT num, shard, arg_max(gid, h) AS hrw_gid
+        FROM (SELECT a.num, s.shard, a.gid, {sql_hash64(_CTRL_HRW_H)} AS h
+              FROM alive a CROSS JOIN shards s)
+        GROUP BY num, shard
+    ),
+    pins AS (
+        SELECT c.num, m.shard, arg_max(m.gid, m.idx) AS pin_gid
+        FROM configs c JOIN lastmem lm ON lm.num = c.num
+        JOIN ops_move m ON m.idx <= c.num AND m.idx > lm.last_mem
+        GROUP BY c.num, m.shard
+    )
+    SELECT num, shard,
+           coalesce(pin_gid, hrw_gid) AS gid,
+           pin_gid IS NOT NULL AS pinned
+    FROM hrw LEFT JOIN pins USING (num, shard)
+    UNION ALL
+    SELECT 0 AS num, shard, 0 AS gid, false AS pinned FROM shards
+    """,
+)
+def config_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shardctrler config history: replay a Join/Leave/Move op log into
+    numbered configs, so Query(num) is a filter over the output — the
+    reference's full ctrler RPC surface (src/shardctrler/common.go:7-10:
+    Join adds groups, Leave removes them, Move(shard, gid) pins one
+    shard, Query(num) fetches historical Config #num; config 0 assigns
+    every shard to the invalid group 0).
+
+    Deterministic replay semantics (the reference leaves the rebalance
+    algorithm to the implementer; ours is the set-oriented one B12
+    introduced): at config N the base assignment is rendezvous (HRW)
+    hashing over the groups alive at N — Join/Leave therefore move the
+    provable minimum of unpinned shards — and the latest Move per shard
+    since the last membership change overrides its HRW owner (a
+    Join/Leave triggers a full rebalance, clearing pins, which is why
+    the op log exercises Moves both before and after the Leave wave).
+
+    Scale shape: this is control-plane data — all relations are bounded
+    by #configs x #groups x NShards (38 x 25 x 10), the crossJoins are
+    explicit bounded broadcasts, and the two argmax aggregations are
+    max_by over those bounded sets.  The point of shipping it as a plan
+    is composition: shardkv_migration_diff joins the config DIFF against
+    a 100 TB KV state, so the history itself must be a DataFrame, not a
+    driver-side loop."""
+    tune(spark)
+    gids = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("gid")
+    )
+    shards = spark.range(N_CTRL_SHARDS).select(F.col("id").alias("shard"))
+    configs = spark.range(1, _CTRL_LAST_CFG + 1).select(F.col("id").alias("num"))
+
+    ops_join = gids.select("gid", (F.col("gid") + 1).alias("idx"))
+    ops_leave = gids.where(F.col("gid") % 5 == 3).select(
+        "gid", (F.lit(30) + (F.col("gid") - 3) / 5).cast("long").alias("idx")
+    )
+    ops_move = shards.where(F.col("shard") % 3 < 2).select(
+        "shard",
+        (5 * (F.col("shard") % 5) + F.col("shard") % 3).alias("gid"),
+        F.when(F.col("shard") % 3 == 0, 26 + F.col("shard") / 3)
+        .otherwise(35 + F.floor(F.col("shard") / 3))
+        .cast("long")
+        .alias("idx"),
+    )
+
+    mem = ops_join.select("idx").unionByName(ops_leave.select("idx"))
+    lastmem = (
+        configs.join(F.broadcast(mem), mem["idx"] <= configs["num"])
+        .groupBy("num")
+        .agg(F.max("idx").alias("last_mem"))
+    )
+    alive = (
+        configs.join(F.broadcast(ops_join), ops_join["idx"] <= configs["num"])
+        .select("num", "gid")
+        .join(
+            F.broadcast(
+                ops_leave.select("gid", F.col("idx").alias("lidx"))
+            ),
+            "gid",
+            "left",
+        )
+        .where(F.col("lidx").isNull() | (F.col("lidx") > F.col("num")))
+        .select("num", "gid")
+    )
+    hrw = (
+        alive.crossJoin(F.broadcast(shards))
+        .select(
+            "num",
+            "shard",
+            "gid",
+            hash64(
+                F.concat(
+                    F.lit("hrw-"),
+                    F.col("gid").cast("string"),
+                    F.lit("-"),
+                    F.col("shard").cast("string"),
+                )
+            ).alias("h"),
+        )
+        .groupBy("num", "shard")
+        .agg(F.max_by("gid", "h").alias("hrw_gid"))
+    )
+    pins = (
+        configs.join(F.broadcast(lastmem), "num")
+        .join(
+            F.broadcast(ops_move),
+            (ops_move["idx"] <= configs["num"]) & (ops_move["idx"] > F.col("last_mem")),
+        )
+        .groupBy("num", "shard")
+        .agg(F.max_by("gid", "idx").alias("pin_gid"))
+    )
+    cfg0 = shards.select(
+        F.lit(0).cast("long").alias("num"),
+        "shard",
+        F.lit(0).cast("long").alias("gid"),
+        F.lit(False).alias("pinned"),
+    )
+    return (
+        hrw.join(pins, ["num", "shard"], "left")
+        .select(
+            "num",
+            "shard",
+            F.coalesce("pin_gid", "hrw_gid").alias("gid"),
+            F.col("pin_gid").isNotNull().alias("pinned"),
+        )
+        .unionByName(cfg0)
+    )

@@ -84,3 +84,70 @@ def test_raft_commit_matches_pure_python_model(spark, sf_dir):
         commit = match[2]  # majority (3 of 5) ack point
         assert out[shard] == (log_len, commit, log_len - commit)
         assert 1 <= commit <= log_len
+
+
+def test_config_log_replay_semantics(spark, sf_dir):
+    """B29 shardctrler config history: config 0 is all-shards->gid0; every
+    later config covers all 10 shards with alive owners; Move pins the
+    exact shard and moves nothing else; Join/Leave move the minimum
+    (joiner-stolen / leaver-owned + cleared-pin shards only); Query(num)
+    is reproducible (historical configs immutable)."""
+    from mapreduceimplementation_spark.plans.kv import (
+        _CTRL_LAST_CFG,
+        N_CTRL_SHARDS,
+    )
+
+    out = eng.QUERIES["config_log_replay"](spark, sf_dir).toPandas()
+    assert len(out) == (_CTRL_LAST_CFG + 1) * N_CTRL_SHARDS
+
+    cfg = {
+        num: g.set_index("shard")[["gid", "pinned"]].sort_index()
+        for num, g in out.groupby("num")
+    }
+    # config 0: the invalid group owns everything (common.go: Config #0)
+    assert (cfg[0]["gid"] == 0).all() and not cfg[0]["pinned"].any()
+
+    # op log shape mirrored from the plan (kv.py _CTRL op table)
+    join_at = {g + 1: g for g in range(25)}
+    leave_at = {30 + (g - 3) // 5: g for g in range(25) if g % 5 == 3}
+    move_at = {}
+    for s in range(N_CTRL_SHARDS):
+        if s % 3 == 0:
+            move_at[26 + s // 3] = (s, 5 * (s % 5) + s % 3)
+        elif s % 3 == 1:
+            move_at[35 + s // 3] = (s, 5 * (s % 5) + s % 3)
+
+    alive = set()
+    for num in range(1, _CTRL_LAST_CFG + 1):
+        if num in join_at:
+            alive.add(join_at[num])
+        elif num in leave_at:
+            alive.discard(leave_at[num])
+        cur, prev = cfg[num], cfg[num - 1]
+        assert sorted(cur.index) == list(range(N_CTRL_SHARDS))
+        # every owner is alive (pins always target living groups)
+        assert set(cur["gid"]) <= alive
+        changed = cur.index[cur["gid"] != prev["gid"]]
+        if num in move_at:
+            s, g = move_at[num]
+            assert cur.loc[s, "gid"] == g and cur.loc[s, "pinned"]
+            assert set(changed) <= {s}  # nothing else moved
+        elif num in join_at and num > 1:
+            # a Join steals only the shards whose HRW argmax is the joiner
+            assert (cur.loc[changed, "gid"] == join_at[num]).all()
+        elif num in leave_at:
+            # only the leaver's shards and cleared pins may move
+            was_pinned = prev.index[prev["pinned"]]
+            leaver_owned = prev.index[prev["gid"] == leave_at[num]]
+            assert set(changed) <= set(was_pinned) | set(leaver_owned)
+            assert leave_at[num] not in set(cur["gid"])
+
+    # the final config carries exactly the surviving pin wave {1,4,7}
+    last = cfg[_CTRL_LAST_CFG]
+    assert set(last.index[last["pinned"]]) == {1, 4, 7}
+
+    # Query(num) reproducibility: a second run returns identical history
+    again = eng.QUERIES["config_log_replay"](spark, sf_dir).toPandas()
+    a = out.sort_values(["num", "shard"]).reset_index(drop=True)
+    b = again.sort_values(["num", "shard"]).reset_index(drop=True)
+    assert a.equals(b)
