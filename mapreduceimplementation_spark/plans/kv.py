@@ -400,11 +400,12 @@ _CTRL_LAST_CFG = 37
 
 _CTRL_HRW_H = "'hrw-' || CAST(gid AS VARCHAR) || '-' || CAST(shard AS VARCHAR)"
 
-
-@register(
-    "config_log_replay",
-    oracle=f"""
-    WITH gids AS (SELECT CAST(n_nationkey AS BIGINT) AS gid FROM nation),
+#: the full config-history derivation as a shared CTE block ending in
+#: cfg(num, shard, gid, pinned) — config_log_replay's oracle SELECTs from
+#: it and shardkv_migration_diff's oracle joins its self-diff against the
+#: replayed KV state (the same reuse pattern as _KNN_ORACLE / PageRank).
+_CTRL_CFG_CTES = f"""
+    gids AS (SELECT CAST(n_nationkey AS BIGINT) AS gid FROM nation),
     shards AS (SELECT CAST(unnest(range(0, {N_CTRL_SHARDS})) AS BIGINT) AS shard),
     configs AS (SELECT CAST(unnest(range(1, {_CTRL_LAST_CFG} + 1)) AS BIGINT) AS num),
     ops_join AS (SELECT gid, gid + 1 AS idx FROM gids),
@@ -438,13 +439,23 @@ _CTRL_HRW_H = "'hrw-' || CAST(gid AS VARCHAR) || '-' || CAST(shard AS VARCHAR)"
         FROM configs c JOIN lastmem lm ON lm.num = c.num
         JOIN ops_move m ON m.idx <= c.num AND m.idx > lm.last_mem
         GROUP BY c.num, m.shard
+    ),
+    cfg AS (
+        SELECT num, shard,
+               coalesce(pin_gid, hrw_gid) AS gid,
+               pin_gid IS NOT NULL AS pinned
+        FROM hrw LEFT JOIN pins USING (num, shard)
+        UNION ALL
+        SELECT 0 AS num, shard, 0 AS gid, false AS pinned FROM shards
     )
-    SELECT num, shard,
-           coalesce(pin_gid, hrw_gid) AS gid,
-           pin_gid IS NOT NULL AS pinned
-    FROM hrw LEFT JOIN pins USING (num, shard)
-    UNION ALL
-    SELECT 0 AS num, shard, 0 AS gid, false AS pinned FROM shards
+    """
+
+
+@register(
+    "config_log_replay",
+    oracle=f"""
+    WITH {_CTRL_CFG_CTES}
+    SELECT num, shard, gid, pinned FROM cfg
     """,
 )
 def config_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -552,4 +563,92 @@ def config_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pin_gid").isNotNull().alias("pinned"),
         )
         .unionByName(cfg0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# B30. shardkv_migration_diff (cross-config shard migration data plane)
+
+
+@register(
+    "shardkv_migration_diff",
+    oracle=f"""
+    WITH {_CTRL_CFG_CTES},
+    diff AS (
+        SELECT b.num, b.shard, a.gid AS from_gid, b.gid AS to_gid
+        FROM cfg a JOIN cfg b ON b.num = a.num + 1 AND b.shard = a.shard
+        WHERE a.gid <> b.gid
+    ),
+    ops AS ({_OPS_SQL}),
+    cut AS (
+        SELECT key, op, sval, seq,
+               max(CASE WHEN op = 'put' THEN seq ELSE 0 END)
+                   OVER (PARTITION BY key) AS last_put
+        FROM ops
+    ),
+    state AS (
+        SELECT key,
+               string_agg(sval, ';' ORDER BY seq) AS value,
+               {sql_hash64("'shard-' || CAST(key AS VARCHAR)")}
+                   % {N_CTRL_SHARDS} AS shard
+        FROM cut WHERE seq >= last_put GROUP BY key
+    )
+    SELECT num, key, s.shard, from_gid, to_gid, value
+    FROM state s JOIN diff d ON d.shard = s.shard
+    """,
+)
+def shardkv_migration_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shardkv cross-config migration (lab 4B, src/shardkv/server.go):
+    for every consecutive config pair (N-1, N) in the ctrler history,
+    emit exactly the KV rows that must move — (num, key, shard,
+    from_gid, to_gid, value) — i.e. the InstallShard payloads a group
+    hands off when a reconfiguration strips it of a shard.  Keys on
+    shards whose owner did not change between N-1 and N never appear
+    for that N (the lab invariant that non-moving shards' data is
+    untouched — pytest-asserted, along with the per-shard custody chain
+    from gid 0 onward).
+
+    The key→shard map is the portable hash shared with
+    raft_committed_prefix ('shard-'||key mod NShards=10), and the value
+    is the key's replayed kvraft state (kv_apply_log), so the output is
+    the literal byte payload that would travel.
+
+    Scale shape: the config DIFF is control-plane-sized (≤ #configs ×
+    NShards rows) and is BROADCAST against the state; the state relation
+    (the 100 TB side) is scanned once, its replay is the same
+    one-exchange window/groupBy as kv_apply_log, and the join fans each
+    state row out only to the configs that actually move its shard —
+    no shuffle of the state on the diff key, no driver loop over
+    configs."""
+    tune(spark)
+    cfg = config_log_replay(spark, sf_dir).select("num", "shard", "gid")
+    nxt = cfg.select(
+        (F.col("num") - 1).alias("pnum"),
+        F.col("shard").alias("pshard"),
+        F.col("gid").alias("to_gid"),
+        F.col("num").alias("num"),
+    )
+    diff = (
+        cfg.join(
+            nxt,
+            (cfg["num"] == nxt["pnum"]) & (cfg["shard"] == nxt["pshard"]),
+        )
+        .where(F.col("gid") != F.col("to_gid"))
+        .select(
+            nxt["num"].alias("num"),
+            "shard",
+            F.col("gid").alias("from_gid"),
+            "to_gid",
+        )
+    )
+    state = kv_apply_log(spark, sf_dir).select(
+        "key",
+        "value",
+        (
+            hash64(F.concat(F.lit("shard-"), F.col("key").cast("string")))
+            % N_CTRL_SHARDS
+        ).alias("shard"),
+    )
+    return state.join(F.broadcast(diff), "shard").select(
+        "num", "key", "shard", "from_gid", "to_gid", "value"
     )

@@ -151,3 +151,58 @@ def test_config_log_replay_semantics(spark, sf_dir):
     a = out.sort_values(["num", "shard"]).reset_index(drop=True)
     b = again.sort_values(["num", "shard"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_migration_diff_invariants(spark, sf_dir):
+    """B30 lab-4B invariants: (1) a key appears for config N iff its
+    shard's owner changed at N — non-moving shards' data is untouched;
+    (2) per shard the (from_gid, to_gid) hops chain without gaps from
+    the initial owner gid 0 (custody is never teleported); (3) every
+    moving shard carries its complete key set each hop, with the exact
+    kv_apply_log values (the InstallShard payload is the full state)."""
+    import pandas as pd
+
+    from mapreduceimplementation_spark.plans.kv import N_CTRL_SHARDS
+
+    mig = eng.QUERIES["shardkv_migration_diff"](spark, sf_dir).toPandas()
+    cfg = eng.QUERIES["config_log_replay"](spark, sf_dir).toPandas()
+    state = eng.QUERIES["kv_apply_log"](spark, sf_dir).toPandas()
+    state["shard"] = state["key"].map(
+        lambda k: _py_hash64(f"shard-{k}") % N_CTRL_SHARDS
+    )
+    keys_of = state.groupby("shard")["key"].apply(set).to_dict()
+    val_of = state.set_index("key")["value"].to_dict()
+
+    owner = {
+        (r["num"], r["shard"]): r["gid"] for _, r in cfg.iterrows()
+    }
+    # (1) + (3): per (num, shard) the migration rows are exactly the
+    # shard's full key set when the owner changed, absent otherwise
+    mg = mig.groupby(["num", "shard"])
+    seen = set(mg.groups)
+    for num in sorted(cfg["num"].unique()):
+        if num == 0:
+            continue
+        for s in range(N_CTRL_SHARDS):
+            moved = owner[(num, s)] != owner[(num - 1, s)]
+            has_keys = bool(keys_of.get(s))
+            if moved and has_keys:
+                g = mg.get_group((num, s))
+                assert set(g["key"]) == keys_of[s], (num, s)
+                assert (g["from_gid"] == owner[(num - 1, s)]).all()
+                assert (g["to_gid"] == owner[(num, s)]).all()
+                assert (g["value"] == g["key"].map(val_of)).all()
+            else:
+                assert (num, s) not in seen or not moved, (num, s)
+
+    # (2) custody chain: consecutive hops of a shard link exactly
+    hops = (
+        mig[["num", "shard", "from_gid", "to_gid"]]
+        .drop_duplicates()
+        .sort_values("num")
+    )
+    for s, g in hops.groupby("shard"):
+        prev_to = 0  # config 0: the invalid group owns everything
+        for _, r in g.iterrows():
+            assert r["from_gid"] == prev_to, (s, r["num"])
+            prev_to = r["to_gid"]

@@ -53,6 +53,8 @@ INVENTORY = [
     "shard_rebalance_hrw",   # B12: minimal-movement Join/Leave rebalance
     "raft_committed_prefix", # B15: Raft majority commit rule over shard logs
     "kv_log_compact",        # B16: kvraft lab-3B snapshot/log compaction
+    "config_log_replay",     # B29: shardctrler config history + Query(num)
+    "shardkv_migration_diff",  # B30: lab-4B cross-config shard migration
     # C. LLM-data-pipeline
     "dedup_exact",           # C1
     "token_count",           # C2
