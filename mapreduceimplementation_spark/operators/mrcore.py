@@ -122,15 +122,23 @@ def mr_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mr_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed grep (MapReduce paper §2.3 example): emit matching docs
-    with true match counts.  The rlike filter is evaluated in the scan stage;
-    only matching rows flow downstream (no shuffle at all)."""
+    with true match counts.  The registered query fixes the pattern for
+    the oracle; the reference's grep is parameterized, so the real API is
+    ``grep(df, pattern)`` below — this entry is grep(documents, 'spark')."""
     tune(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    pat = "spark"
-    return docs.where(F.col("text").rlike(pat)).select(
-        "doc_id",
-        "source",
-        F.regexp_count("text", F.lit(pat)).cast("long").alias("n_hits"),
+    return grep(docs, "spark")
+
+
+def grep(df: DataFrame, pattern: str, text_col: str = "text") -> DataFrame:
+    """Parameterized distributed grep over any DataFrame with a text
+    column: rows matching the Java regex ``pattern``, with true match
+    counts.  The rlike filter is evaluated in the scan stage; only
+    matching rows flow downstream (no shuffle at all)."""
+    other = [c for c in df.columns if c != text_col]
+    return df.where(F.col(text_col).rlike(pattern)).select(
+        *other,
+        F.regexp_count(text_col, F.lit(pattern)).cast("long").alias("n_hits"),
     )
 
 

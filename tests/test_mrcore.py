@@ -33,6 +33,28 @@ def test_grep_matches_oracle(spark, sf_dir, duck):
     assert_same_result(df, duck, eng.ORACLES["mr_grep"])
 
 
+def test_grep_is_parameterized(spark, sf_dir, duck):
+    """The grep API takes any pattern (the registered query is just one
+    instantiation) — run a second pattern and check it against the same
+    oracle shape re-parameterized."""
+    from mapreduceimplementation_spark.operators.mrcore import grep
+    from mapreduceimplementation_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    df = grep(docs, "data[a-z]*")
+    assert_same_result(
+        df,
+        duck,
+        r"""
+        SELECT doc_id, source,
+               CAST(length(regexp_extract_all(text, 'data[a-z]*')) AS BIGINT)
+                   AS n_hits
+        FROM documents
+        WHERE regexp_matches(text, 'data[a-z]*')
+        """,
+    )
+
+
 def test_file_lengths_matches_oracle(spark, sf_dir, duck):
     df = eng.QUERIES["mr_file_lengths"](spark, sf_dir)
     assert_same_result(df, duck, eng.ORACLES["mr_file_lengths"])
