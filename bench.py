@@ -33,6 +33,11 @@ HEADLINE = [
     "corpus_prep",
     "streaming_windowed_counts",
     "streaming_stream_join",
+    # both sessionize streaming paths, timed side by side: the native
+    # session_window JVM-state path should beat the applyInPandasWithState
+    # Python-state path (BASELINE.md tracks the pair)
+    "streaming_sessionize",
+    "streaming_sessionize_native",
     "kmeans_embed",
 ]
 

@@ -37,9 +37,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.window import Window as PsWindow
 
 from mapreduceimplementation_spark.registry import ORACLES, register
 from mapreduceimplementation_spark.session import tune
+from mapreduceimplementation_spark.functions.stable import dsum
 from mapreduceimplementation_spark.streaming.windowed import (
     _events_stream,
     _size_stream_state,
@@ -166,3 +168,82 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py with maxFilesPerTrigger=1."""
     tune(spark)
     return run_sessionize_stream(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# D6. streaming_sessionize_native (built-in session_window aggregation)
+
+_NATIVE_SINK = "d6_sessionize_native_sink"
+
+#: B8 merges an event at EXACTLY last_ts + 30min into the session
+#: (`ts > lag + 30min` opens); session_window's half-open [start, last+gap)
+#: would not.  One extra microsecond makes the native merge condition
+#: `e < last + 30min + 1µs` ⟺ `e <= last + 30min` at the data's µs
+#: resolution — boundary-identical to the batch twin.
+_NATIVE_GAP = "30 minutes 1 microsecond"
+
+
+@register("streaming_sessionize_native", oracle=ORACLES["events_sessionize"])
+def streaming_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2's sessionization on the built-in ``session_window`` aggregation:
+    session state lives in the JVM state store (RocksDB/HDFS-backed at
+    deploy) instead of Python workers — no Arrow transfer, no pickled
+    per-group state, and state-store metrics/checkpointing come for free.
+    This is the metrics-only production path; D2 remains the demo of the
+    generic custom-state API (applyInPandasWithState) for operators the
+    built-ins can't express.
+
+    Output is defined to equal the batch twin B8 exactly (same full
+    rows+schema+hash oracle): session_start/end are the window bounds
+    un-padded by the gap, total_value is the same exact-decimal dsum, and
+    session ids are assigned by a post-stream row_number over the
+    session-level sink rows (a window over ~sessions, not events —
+    streaming queries cannot contain window functions, and the sink
+    relation is aggregate-sized).
+
+    Complete output mode + availableNow: the state store merges sessions
+    across microbatches and the sink holds every finalized session at
+    end-of-input — no watermark-stranded trailing sessions, no
+    provisional-row reconciliation (D2's trade)."""
+    tune(spark)
+    return run_sessionize_native_stream(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+
+
+def run_sessionize_native_stream(
+    spark: SparkSession, path: str, sink: str = _NATIVE_SINK, **source_options
+) -> DataFrame:
+    """Run the session_window stream over `path` to completion and return
+    the B8-shaped session table (see streaming_sessionize_native)."""
+    _size_stream_state(spark)
+    _stop_query(spark, sink)
+    ev = _events_stream(spark, path, **source_options).select(
+        "user_id", "ts", "value"
+    )
+    agg = (
+        ev.withWatermark("ts", "30 minutes")
+        .groupBy("user_id", F.session_window("ts", _NATIVE_GAP).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    mem = spark.table(sink)
+    w = PsWindow.partitionBy("user_id").orderBy("win.start")
+    return mem.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("session_id"),
+        "n_events",
+        F.col("win.start").alias("session_start"),
+        (F.col("win.end") - F.expr(f"INTERVAL {_NATIVE_GAP}")).alias("session_end"),
+        "total_value",
+    )

@@ -176,3 +176,19 @@ def test_streaming_json_equals_parquet_stream(spark, sf_dir):
         )
     )
     assert a == b and len(a) > 0
+
+
+def test_sessionize_native_multibatch_equals_batch(spark, sf_dir, tmp_path):
+    """D6: the built-in session_window aggregation fed one file per
+    microbatch must stitch cross-batch sessions in the JVM state store and
+    equal the batch twin B8 exactly (same gate as D2's multibatch test)."""
+    from mapreduceimplementation_spark.streaming.sessionize import (
+        run_sessionize_native_stream,
+    )
+
+    path = _split_events(spark, sf_dir, tmp_path)
+    out = run_sessionize_native_stream(
+        spark, path, sink="d6_multibatch_sink", maxFilesPerTrigger=1
+    )
+    batch = eng.QUERIES["events_sessionize"](spark, sf_dir)
+    assert _rows(out) == _rows(batch)
