@@ -594,32 +594,65 @@ def _km_assign(vq: DataFrame, centroids: dict[int, list[int]]) -> DataFrame:
     )
 
 
-def _km_update(assigned: DataFrame) -> dict[int, list[int]]:
-    """New centroids: per-cluster element-wise integer-rounded mean.  One
-    partial-agg shuffle of k x dim running sums — the corpus itself stays
-    put; only the bounded model state (k x dim longs) reaches the driver,
-    exactly like MLlib's iteration contract."""
+def _km_matrix(cdf: DataFrame) -> DataFrame:
+    """(cid, c) centroid rows -> ONE row (cids, mat), sorted by cid.
+
+    The one-row shape _km_assign broadcasts — but built executor-side by
+    an aggregation instead of a driver collect + createDataFrame, so an
+    iteration chain never round-trips the model through the driver."""
+    return cdf.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("z")
+    ).select(
+        F.transform("z", lambda s: s["cid"]).alias("cids"),
+        F.transform("z", lambda s: s["c"]).alias("mat"),
+    )
+
+
+def _km_assign_mat(vq: DataFrame, cmat: DataFrame) -> DataFrame:
+    """Row-local assignment against a one-row broadcast centroid matrix
+    (same expression as _km_assign, with the candidate count taken from
+    size(cids) at runtime instead of Python len — the matrix is a plan
+    subtree here, not driver data)."""
+    idx = F.sequence(F.lit(0), F.size("cids") - 1)
+    cands = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("q"),
+                    F.element_at("mat", i + F.lit(1)),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            F.element_at("cids", i + F.lit(1)).alias("cid"),
+        ),
+    )
+    best = F.array_min(cands)
+    return vq.crossJoin(F.broadcast(cmat)).select(
+        "vec_id",
+        "q",
+        best.getField("cid").alias("cluster"),
+        best.getField("d").alias("dist"),
+    )
+
+
+def _km_means(assigned: DataFrame) -> DataFrame:
+    """New centroids as (cid, c) rows: per-cluster element-wise
+    integer-rounded mean.  One partial-agg shuffle of k x dim running
+    sums; the rounded mean is computed executor-side with F.round
+    (HALF_UP on the shortest-decimal value — the same half-away-from-zero
+    result as DuckDB round(), which the oracle gate pins bit-for-bit)."""
     sums = [F.sum(F.col("q").getItem(j)).alias(f"s{j}") for j in range(_DIM)]
-    rows = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"), *sums).collect()
-
-    def _round_away(x: float) -> int:
-        # C round()/DuckDB semantics: half away from zero.  Python's
-        # round() is half-even; floor(abs+0.5) is also wrong just BELOW
-        # a half (abs(x)+0.5 can round UP to the next integer in float,
-        # e.g. x=0.49999999999999994 -> floor(1.0)=1 but round(x)=0).
-        # abs/floor/subtract are exact for |x| < 2^52, so the fractional
-        # comparison is exact.
-        a = abs(x)
-        fa = math.floor(a)
-        r = fa + 1 if a - fa >= 0.5 else fa
-        return int(math.copysign(r, x))
-
-    return {
-        int(r["cluster"]): [
-            _round_away(r[f"s{j}"] / r["n"]) for j in range(_DIM)
+    agg = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"), *sums)
+    c = F.array(
+        *[
+            F.round(F.col(f"s{j}") / F.col("n"), 0).cast("long")
+            for j in range(_DIM)
         ]
-        for r in rows
-    }
+    )
+    return agg.select(F.col("cluster").alias("cid"), c.alias("c"))
 
 
 def _sql_km_iters() -> str:
@@ -675,19 +708,25 @@ def kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB CTE chain agree bit-for-bit at every iteration.
     """
     tune(spark)
-    # cache the working set once: every iteration (2 update collects + the
-    # final assignment) reads the materialized quantized vectors instead
-    # of re-scanning and re-quantizing the corpus — the canonical Spark
-    # iterative-algorithm pattern (persist your iteration input)
+    # cache the working set once: every assignment pass reads the
+    # materialized quantized vectors instead of re-scanning and
+    # re-quantizing the corpus — the canonical Spark iterative-algorithm
+    # pattern (persist your iteration input)
     vq = _km_quantized(spark, sf_dir).localCheckpoint(eager=True)
-    centroids = {
-        int(r["vec_id"]): [int(x) for x in r["q"]]
-        for r in vq.where(F.col("vec_id") < _KM_K).collect()
-    }
-    assigned = _km_assign(vq, centroids)
+    # the whole iteration chains into ONE job: each centroid generation is
+    # a one-row aggregate broadcast back into the next assignment, so the
+    # model never round-trips through the driver (r4 rewrite — the
+    # collect-per-iteration version spent more wall time on fixed job
+    # launches than on data; at scale the pass count over the corpus is
+    # identical, but the per-iteration scheduling barrier is gone)
+    cmat = _km_matrix(
+        vq.where(F.col("vec_id") < _KM_K).select(
+            F.col("vec_id").alias("cid"), F.col("q").alias("c")
+        )
+    )
+    assigned = _km_assign_mat(vq, cmat)
     for _ in range(_KM_ASSIGN_STEPS - 1):
-        centroids = _km_update(assigned)
-        assigned = _km_assign(vq, centroids)
+        assigned = _km_assign_mat(vq, _km_matrix(_km_means(assigned)))
     return assigned.select("vec_id", "cluster", "dist")
 
 
