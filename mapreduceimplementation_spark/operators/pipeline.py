@@ -118,19 +118,24 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             cond = cond & (F.col(f"s_{li}") >= F.col(f"s_{lj}"))
         pred = F.when(cond, li) if pred is None else pred.when(cond, li)
 
-    # Catalyst pushes this filter through the projections, inlining the
-    # score/lang regex tree into the scan-stage Filter and re-computing
-    # the word/stop/punct regexes in the projection for surviving rows.
-    # Accepted deliberately: counted per-regex, the pushed plan is ~9.8N
-    # evaluations vs ~9N for a pushdown-barrier plan (the filter halves
-    # the rows reaching the bpe-token regex), and unlike dedup's
-    # per-array-element pathology (BASELINE.md) this is a one-shot row
-    # predicate — a barrier would buy ~8% regex work at the price of an
-    # optimizer-fighting trick.
+    # Without a fence, Catalyst pushes the kept-filter through the
+    # projections, inlining the score/lang regex tree into the scan-stage
+    # Filter and re-computing the word/stop/punct regexes in the
+    # projection for surviving rows (~9.8N regex evaluations).  The
+    # never-true non-deterministic guard woven into n_bpe_tokens makes
+    # this projection non-pushable-past (and, being part of a needed
+    # output expression, it survives column pruning — a bare marker
+    # column does not): the filter stays ABOVE the metrics projection, so
+    # one codegen stage computes every regex exactly once per row and the
+    # filter consumes the projected values (r4: the lever BASELINE.md
+    # §perf named).
+    nondet_guard = F.monotonically_increasing_id() < 0  # always false
     scored = base.select(
         "doc_id",
         "text_hash",
-        "n_bpe_tokens",
+        F.when(nondet_guard, F.lit(None).cast("long"))
+        .otherwise(F.col("n_bpe_tokens"))
+        .alias("n_bpe_tokens"),
         F.round(
             stop_ratio * 0.5 + (1.0 - punct_ratio) * 0.3 + length_sat * 0.2, 6
         ).alias("score"),

@@ -101,6 +101,22 @@ def test_corpus_prep_single_shuffle(spark, sf_dir):
     assert plan.count(") Scan parquet") == 1, plan
 
 
+def test_corpus_prep_regexes_evaluated_once(spark, sf_dir):
+    """The r4 pushdown fence: the score/lang filter must NOT be inlined
+    into the scan stage (that re-evaluates the whole regex tree per row in
+    the filter AND the projection — BASELINE.md's named corpus_prep
+    lever).  The scan's data filters stay regex-free; the metrics
+    projection is the only place regexes appear."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    df = eng.QUERIES["corpus_prep"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("FileScan") :]
+    datafilters = scan.split("DataFilters: [", 1)
+    if len(datafilters) > 1:
+        assert "regexp" not in datafilters[1].split("]", 1)[0], scan[:2000]
+
+
 def test_events_minutely_json_equals_parquet_twin(spark, sf_dir):
     """B14 format parity: the JSON-lines read must be value-identical to
     the parquet read, so both plans produce the same rows."""
