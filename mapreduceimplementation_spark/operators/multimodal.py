@@ -10,10 +10,12 @@ with the codec itself STUBBED:
   arithmetic on the decoded content — encoding-independent, so the SQL
   oracle (which only sees text) computes the identical values even for
   non-ASCII corpora, and the operator is oracle-checkable end-to-end.
-- The branch that would hand a real container format (PNG/RIFF/MP4 magic
-  numbers) to PIL/libav raises ``NotImplementedError`` — this environment
-  has no codec libraries; swap that branch for the real decoder in
-  production and nothing else changes.
+- Real container formats (PNG/RIFF/MP4 magic numbers) take the
+  ``_decode_real`` branch: decoded with PIL when it is installed (r4 —
+  exercised against a committed PNG fixture), refused loudly with
+  ``NotImplementedError`` when it is not.  This sandbox has no codec
+  libraries, so the refusal path is what runs here; nothing else changes
+  at deploy.
 
 Scale notes: payloads ride the scan as opaque bytes (no JVM<->Python copy
 until the decode projection), the decode is Arrow-batched (no per-row
@@ -35,8 +37,41 @@ from mapreduceimplementation_spark.registry import register
 from mapreduceimplementation_spark.session import tune
 from mapreduceimplementation_spark.sources.tables import load_table
 
-#: container magic numbers a real decoder would claim (stub refuses them)
+#: container magic numbers a real decoder would claim (stub refuses them
+#: unless a real codec library is importable — see _decode_real)
 _REAL_MAGIC = (b"\x89PNG", b"\xff\xd8\xff", b"RIFF", b"\x00\x00\x00\x18ftyp")
+
+try:  # optional real-codec dependency: absent in this sandbox, present at deploy
+    from PIL import Image as _PILImage  # type: ignore
+except ImportError:  # pragma: no cover - environment-dependent
+    _PILImage = None
+
+
+def _decode_real(payload: bytes) -> dict:
+    """Real-codec branch: decode an actual image container with PIL when
+    it is installed; refuse loudly otherwise (never silently mis-decode).
+    Metadata here is byte-based (real media has no character content):
+    size = payload bytes, checksum = first-16-BYTES sum mod 997, real
+    pixel dimensions.  The registered queries never hit this branch (the
+    synthetic corpus carries stub payloads); tests/test_multimodal.py
+    exercises it against a committed PNG fixture whenever PIL exists."""
+    if _PILImage is None:
+        raise NotImplementedError(
+            "real codec decode (PIL/libav) is unavailable in this environment"
+        )
+    import io
+
+    with _PILImage.open(io.BytesIO(payload)) as im:
+        width, height = im.size
+    return {
+        "kind": "image",
+        "size_chars": len(payload),
+        "checksum": sum(payload[:16]) % 997,
+        "width": width,
+        "height": height,
+        "duration_ms": None,
+        "n_frames": None,
+    }
 
 _OUT_SCHEMA = (
     "doc_id bigint, kind string, size_chars bigint, checksum bigint, "
@@ -60,9 +95,7 @@ def _decode_media(payload: bytes) -> dict:
     decoded content so the values are encoding-independent and match the
     SQL oracle for any corpus, ASCII or not."""
     if payload.startswith(_REAL_MAGIC):
-        raise NotImplementedError(
-            "real codec decode (PIL/libav) is stubbed in this environment"
-        )
+        return _decode_real(payload)
     sep = payload.index(b":")
     kind = payload[:sep].decode("utf-8")
     body = payload[sep + 1 :].decode("utf-8")

@@ -80,3 +80,35 @@ def test_framesample_matches_oracle(spark, sf_dir, duck):
 
     df = eng.QUERIES["multimodal_framesample"](spark, sf_dir)
     assert_same_result(df, duck, eng.ORACLES["multimodal_framesample"])
+
+
+def test_real_codec_branch_with_pil():
+    """C12 real-codec path: when PIL is installed the PNG fixture decodes
+    to its true pixel dimensions (skipped where PIL is absent — the
+    refusal test below covers that environment)."""
+    import pytest
+
+    from mapreduceimplementation_spark.operators import multimodal as mm
+
+    if mm._PILImage is None:
+        pytest.skip("PIL not installed in this environment")
+    payload = open("tests/fixtures/tiny.png", "rb").read()
+    meta = mm._decode_media(payload)
+    assert (meta["kind"], meta["width"], meta["height"]) == ("image", 3, 2)
+    assert meta["size_chars"] == len(payload)
+    assert meta["checksum"] == sum(payload[:16]) % 997
+
+
+def test_real_codec_refuses_without_pil():
+    """Without PIL, a real container payload must refuse loudly — never
+    silently mis-decode (the stub's honesty contract)."""
+    import pytest
+
+    from mapreduceimplementation_spark.operators import multimodal as mm
+
+    if mm._PILImage is not None:
+        pytest.skip("PIL installed: the decode test above covers this payload")
+    payload = open("tests/fixtures/tiny.png", "rb").read()
+    assert payload.startswith(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        mm._decode_media(payload)
