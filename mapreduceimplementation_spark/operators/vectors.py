@@ -733,8 +733,24 @@ def kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # C21. knn_graph (corpus self-similarity top-k graph, LSH-blocked)
 
-_KNN_TABLES, _KNN_BITS = 4, 8  # ~n/2^bits = single-digit buckets at sf0.1
+_KNN_TABLES, _KNN_BITS = 4, 8  # = lsh_bits_for(2000): sf0.1's corpus size
 _KNN_K = 3
+
+
+def lsh_bits_for(n: int, target_bucket: int = 8) -> int:
+    """Derive hyperplane-LSH code width from corpus size.
+
+    The candidate law (knn_graph docstring): expected directed candidates
+    ≈ L·n²/2^bits, i.e. expected bucket occupancy n/2^bits.  Holding
+    occupancy at ``target_bucket`` as the corpus grows gives
+    bits = ceil(log2(n / target_bucket)) — the rule that stops a 100×
+    deploy from shipping this file's sf0.1 constants (SURVEY §6 table;
+    tests/test_vectors.py pins _KNN_BITS == lsh_bits_for(2000) and the
+    resulting occupancy at two corpus sizes).  MinHash banding is
+    deliberately NOT derived from n: its (b, r) recall law (1-j^r)^b
+    depends only on the similarity threshold, and md5-uniform band
+    hashes make random collisions negligible at any n (dedup.py)."""
+    return max(1, math.ceil(math.log2(max(2, n) / target_bucket)))
 
 _SQL_KNN_COS = (
     f"list_reduce(list_transform(range(1, {_DIM + 1}),"

@@ -179,3 +179,38 @@ def test_pca_power_iter_matches_python_twin(spark, sf_dir):
     }
     assert out == {j: v[j] for j in range(_DIM)}
     assert sum(1 for x in v if x != 0) > _DIM // 2
+
+
+def test_lsh_bits_derivation_and_occupancy(spark):
+    """C21 parameter-scaling law: the shipped _KNN_BITS must equal the
+    bits-from-n derivation at the sf0.1 corpus size (no hand-tuned magic
+    that silently ships to a 100x deploy), and deriving bits at two real
+    corpus sizes must keep expected bucket occupancy near the target —
+    the quantity the candidate volume L*n^2/2^bits is linear in."""
+    from mapreduceimplementation_spark.operators.vectors import (
+        _KNN_BITS,
+        _buckets,
+        _normed,
+        lsh_bits_for,
+    )
+
+    assert lsh_bits_for(2000) == _KNN_BITS
+    # monotone + ~linear scaling: 100x corpus -> 2^bits within 2x of 100x
+    assert lsh_bits_for(200_000) - lsh_bits_for(2000) in (6, 7)
+
+    target = 8
+    for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.1"):
+        n_df = _normed(spark, d)
+        n = n_df.count()
+        bits = lsh_bits_for(n, target)
+        occ = (
+            _buckets(n_df, "knn", 1, bits)
+            .groupBy("code")
+            .count()
+            .agg(F.avg("count").alias("mean"), F.max("count").alias("mx"))
+            .collect()[0]
+        )
+        # mean occupancy within [target/4, 4*target]; no hot bucket beyond
+        # hash-variance range (hyperplane codes are not perfectly uniform)
+        assert target / 4 <= occ["mean"] <= 4 * target, (d, n, bits, occ)
+        assert occ["mx"] <= 16 * target, (d, n, bits, occ)
