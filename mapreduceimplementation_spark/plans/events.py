@@ -718,3 +718,40 @@ def events_minutely_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tv").cast("double").alias("total_value"),
         )
     )
+
+
+@register(
+    "events_minutely_orc",
+    oracle=f"""
+    SELECT date_trunc('minute', ts) AS minute,
+           event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           {sql_dsum('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_minutely_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7's plan over the ORC source — the fourth ingestion-format parity
+    gate, and the typed-columnar one (parquet == ORC beside the text
+    feeds JSON-lines == CSV == wholetext).  The oracle is IDENTICAL to
+    events_minutely's, so a green row proves the ORC read round-trips
+    µs timestamps (under the UTC session) and doubles value-exactly —
+    the type-system drift class of bug, which no string-format parity
+    query can catch (sources/orc.py)."""
+    from mapreduceimplementation_spark.sources.orc import read_events_orc
+
+    tune(spark)
+    ev = read_events_orc(spark, sf_dir).select("ts", "event_type", "user_id", "value")
+    return (
+        ev.groupBy(
+            F.date_trunc("minute", "ts").alias("minute"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value").alias("total_value"),
+        )
+    )

@@ -117,6 +117,18 @@ def test_corpus_prep_regexes_evaluated_once(spark, sf_dir):
         assert "regexp" not in datafilters[1].split("]", 1)[0], scan[:2000]
 
 
+def test_events_minutely_orc_equals_parquet_twin(spark, sf_dir):
+    """B31 format parity: the ORC read must be value-identical to the
+    parquet read (typed-columnar round-trip incl. µs timestamps)."""
+    a = sorted(
+        map(repr, eng.QUERIES["events_minutely"](spark, sf_dir).collect())
+    )
+    b = sorted(
+        map(repr, eng.QUERIES["events_minutely_orc"](spark, sf_dir).collect())
+    )
+    assert a == b
+
+
 def test_events_minutely_json_equals_parquet_twin(spark, sf_dir):
     """B14 format parity: the JSON-lines read must be value-identical to
     the parquet read, so both plans produce the same rows."""

@@ -48,6 +48,7 @@ INVENTORY = [
     "events_anomaly",        # B26: integer-exact daily z-score anomalies
     "q18_large_orders",      # B27: TPC-H Q18 HAVING-subquery join
     "events_minutely_incremental",  # B28: base+delta rollup merge == full
+    "events_minutely_orc",   # B31: ORC ingestion parity for B7
     "kv_apply_log",          # B10
     "shard_rebalance",       # B11
     "shard_rebalance_hrw",   # B12: minimal-movement Join/Leave rebalance
