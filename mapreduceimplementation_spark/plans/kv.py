@@ -621,7 +621,15 @@ def shardkv_migration_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle of the state on the diff key, no driver loop over
     configs."""
     tune(spark)
-    cfg = config_log_replay(spark, sf_dir).select("num", "shard", "gid")
+    # the config history is control-plane-sized ((K+1) x NShards rows);
+    # checkpoint it once so the self-diff below doesn't re-derive the whole
+    # ctrler replay for each join side (halves the plan's exchanges) — at
+    # deploy this relation would be a materialized ctrler table anyway
+    cfg = (
+        config_log_replay(spark, sf_dir)
+        .select("num", "shard", "gid")
+        .localCheckpoint(eager=True)
+    )
     nxt = cfg.select(
         (F.col("num") - 1).alias("pnum"),
         F.col("shard").alias("pshard"),
