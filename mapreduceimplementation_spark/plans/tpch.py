@@ -21,7 +21,7 @@ from mapreduceimplementation_spark.functions.stable import (
     sql_dsum,
 )
 from mapreduceimplementation_spark.registry import register
-from mapreduceimplementation_spark.session import tune
+from mapreduceimplementation_spark.session import spread, tune
 from mapreduceimplementation_spark.sources.tables import load_table
 
 
@@ -49,9 +49,17 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    # spread(): the 7-decimal-sum partial aggregate runs in the scan
+    # stage; a single-row-group local file would serialize it onto one
+    # core (no-op on real multi-split scans — see session.spread)
+    fl = spread(
+        li.where(
+            F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp")
+        ),
+        spark,
+    )
     return (
-        li.where(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
+        fl.groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity").alias("sum_qty"),
             dsum("l_extendedprice").alias("sum_base_price"),
