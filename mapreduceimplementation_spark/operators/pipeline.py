@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from mapreduceimplementation_spark.functions.hashing import hash64, sql_hash64
+from mapreduceimplementation_spark.functions.text import sql_word_ngrams
 from mapreduceimplementation_spark.operators.textmetrics import (
     _argmax_sql,
     _BPE_RE,
@@ -309,4 +310,90 @@ def source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "n_tokens",
         F.round(F.sqrt("n_tokens") / F.col("z"), 6).alias("weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C27. corpus_decontaminate (benchmark n-gram overlap check)
+
+#: decontamination shingle width.  Real pipelines use 8-13 word-grams
+#: (the GPT-3/PaLM overlap rule) on natural text; this synthetic corpus
+#: has far less long-range verbatim repetition, so 4 plays the same role
+#: (shared shingles mean real overlap, ~4% of docs flagged at sf0.01 —
+#: a meaningful gate signal where 8 leaves a 1-row result).  Raise with
+#: the corpus's natural duplication at deploy.
+_DECON_N = 4
+#: the benchmark stand-in: every 50th doc (~2% of the corpus) plays the
+#: role of the held-out eval set a real pipeline loads from a fixed list
+_DECON_EVAL_MOD = 50
+
+
+@register(
+    "corpus_decontaminate",
+    oracle=f"""
+    WITH sh AS ({sql_word_ngrams(_DECON_N)}),
+    ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % {_DECON_EVAL_MOD} = 0),
+    tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % {_DECON_EVAL_MOD} <> 0),
+    tot AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id),
+    m AS (SELECT doc_id, count(*) AS n_shared
+          FROM tr JOIN ev USING (sh) GROUP BY doc_id)
+    SELECT doc_id, n_shared, n_shingles,
+           ROUND(n_shared * 1.0 / n_shingles, 6) AS overlap_frac
+    FROM m JOIN tot USING (doc_id)
+    """,
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training documents that share any word
+    n-gram (_DECON_N) with the eval set, with how much of each document overlaps —
+    the contamination check every LLM training pipeline runs before a
+    data release (eval answers leaking into training data inflate
+    benchmark scores silently).  Output: one row per contaminated
+    training doc (doc_id, n_shared distinct shingles, n_shingles total,
+    overlap_frac); clean docs emit nothing.
+
+    Scale shape: the eval side is small BY NATURE (benchmarks are
+    thousands of documents, the corpus is billions), so its distinct
+    shingle set is BROADCAST — the 100 TB training side is scanned once,
+    shingled row-locally (the two-step projection rule from dedup.py),
+    checkpointed, and joined without any corpus-sized shuffle of text;
+    the two aggregations exchange only (doc_id, counts).  Word n-gram
+    semantics are shared with the dedup family (functions/text.py), so
+    the DuckDB oracle replays the identical shingle relation."""
+    from mapreduceimplementation_spark.functions.text import (
+        ngrams_of_words,
+        word_array,
+    )
+    from mapreduceimplementation_spark.session import spread
+
+    tune(spark)
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), spark
+    )
+    sh = (
+        docs.where(F.col("text").isNotNull())
+        .select("doc_id", word_array("text").alias("ws"))
+        .where(F.size("ws") >= _DECON_N)
+        .select(
+            "doc_id",
+            F.array_distinct(ngrams_of_words("ws", _DECON_N)).alias("sh_arr"),
+        )
+        .select("doc_id", F.explode_outer("sh_arr").alias("sh"))
+        .localCheckpoint()
+    )
+    is_eval = F.col("doc_id") % _DECON_EVAL_MOD == 0
+    ev = sh.where(is_eval).select("sh").distinct()
+    tr = sh.where(~is_eval)
+    tot = tr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    m = (
+        tr.join(F.broadcast(ev), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return m.join(tot, "doc_id").select(
+        "doc_id",
+        "n_shared",
+        "n_shingles",
+        F.round(F.col("n_shared") * 1.0 / F.col("n_shingles"), 6).alias(
+            "overlap_frac"
+        ),
     )

@@ -297,3 +297,42 @@ def test_source_mix_weights_normalized(spark, sf_dir, duck):
     assert abs(out["weight"].sum() - 1.0) < 1e-4
     assert out["weight"].is_monotonic_increasing
     assert (out["weight"] > 0).all()
+
+
+def test_corpus_decontaminate_semantics(spark, sf_dir, duck):
+    """C27: flagged docs are never eval docs, overlap counts are sane
+    (0 < n_shared <= n_shingles), and a brute-force Python recheck of one
+    flagged doc confirms it really shares an n-gram with the eval set."""
+    import re
+
+    from mapreduceimplementation_spark.operators.pipeline import (
+        _DECON_EVAL_MOD,
+        _DECON_N,
+    )
+    from mapreduceimplementation_spark.sources.tables import load_table
+    from tests.conftest import assert_same_result
+
+    df = eng.QUERIES["corpus_decontaminate"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["corpus_decontaminate"])
+
+    out = df.toPandas()
+    assert len(out) > 0
+    assert (out["doc_id"] % _DECON_EVAL_MOD != 0).all()
+    assert ((out["n_shared"] > 0) & (out["n_shared"] <= out["n_shingles"])).all()
+
+    def shingles(text):
+        ws = [w for w in re.split(r"[^A-Za-z]+", text) if w]
+        return {
+            " ".join(ws[i : i + _DECON_N])
+            for i in range(len(ws) - _DECON_N + 1)
+        }
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").toPandas()
+    ev_sh = set()
+    for _, r in docs[docs["doc_id"] % _DECON_EVAL_MOD == 0].iterrows():
+        if r["text"]:
+            ev_sh |= shingles(r["text"])
+    flagged = int(out.iloc[0]["doc_id"])
+    text = docs.set_index("doc_id").loc[flagged, "text"]
+    shared = shingles(text) & ev_sh
+    assert len(shared) == int(out.iloc[0]["n_shared"])

@@ -84,6 +84,7 @@ INVENTORY = [
     "pagerank_knn",          # C24: integer-exact PageRank over the kNN graph
     "heavy_hitters_cms",     # C25: deterministic count-min sketch top-k
     "pca_power_iter",        # C26: integer-exact power-iteration PCA
+    "corpus_decontaminate",  # C27: benchmark n-gram contamination check
     # D. Structured Streaming
     "streaming_windowed_counts",  # D1
     "streaming_sessionize",       # D2
