@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from mapreduceimplementation_spark.functions.hashing import hash64, sql_hash64
 from mapreduceimplementation_spark.functions.text import char_ngrams
 from mapreduceimplementation_spark.registry import register
-from mapreduceimplementation_spark.session import tune
+from mapreduceimplementation_spark.session import spread, tune
 from mapreduceimplementation_spark.sources.tables import load_table
 
 # BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation —
@@ -477,4 +477,107 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         probes.join(F.broadcast(cells), ["d", "bucket"])
         .groupBy("user_id", "exact_n")
         .agg(F.min("cell").cast("long").alias("cms_n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# C28. quality_lm_score (char-trigram LM perplexity proxy)
+
+#: deterministic LM-training sample: every 10th doc.  At 100 TB you never
+#: build n-gram statistics from the full corpus — a hash-sample this size
+#: already pins trigram frequencies to ~4 significant digits, and the
+#: sample is a pure function of doc_id (rerun/growth-stable like C16).
+_LM_SAMPLE_MOD = 10
+
+#: trigram relation over lowercased text — shared Spark/DuckDB semantics.
+_SQL_LM_TRIS = """
+    SELECT doc_id, substr(lt, CAST(i AS INT), 3) AS tg
+    FROM (SELECT doc_id, lower(text) AS lt FROM documents
+          WHERE text IS NOT NULL AND length(text) >= 3),
+         UNNEST(range(1, length(lt) - 1)) AS t(i)
+"""
+
+
+@register(
+    "quality_lm_score",
+    oracle=f"""
+    WITH tris AS ({_SQL_LM_TRIS}),
+    freq AS (SELECT tg, count(*) AS c FROM tris
+             WHERE doc_id % {_LM_SAMPLE_MOD} = 0 GROUP BY tg),
+    stats AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                     CAST(ROUND(ln(0.5 / sum(c)), 9) AS DECIMAL(18,9)) AS pen
+              FROM freq),
+    logp AS (SELECT tg, CAST(ROUND(ln(c * 1.0 / n), 9) AS DECIMAL(18,9)) AS lp
+             FROM freq CROSS JOIN stats)
+    SELECT doc_id,
+           count(*) AS n_trigrams,
+           ROUND(CAST(sum(coalesce(lp, pen)) AS DOUBLE) / count(*), 6)
+               AS lm_score
+    FROM tris LEFT JOIN logp USING (tg) CROSS JOIN stats
+    GROUP BY doc_id
+    """,
+)
+def quality_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: each document's mean char-trigram
+    log-probability under trigram statistics built from a deterministic
+    10% sample of the corpus itself — the CCNet-style LM quality filter
+    (low score = atypical text: mojibake, boilerplate, non-language),
+    with the reference model made self-contained and oracle-checkable
+    instead of an external KenLM binary.
+
+    Determinism discipline: each trigram's log-probability is rounded to
+    9 decimals and summed as DECIMAL (exact, order-independent — summing
+    raw doubles would vary with partition merge order, and ln() may
+    differ by an ulp between libm and the JVM: the tfidf lesson); the
+    mean is rounded at the final projection.  Out-of-vocabulary trigrams
+    take a half-count penalty ln(0.5/N).
+
+    Scale shape: the trigram VOCABULARY is bounded (charset³), so the
+    frequency table and its one-row (N, penalty) stats ride broadcasts;
+    the corpus-side trigram stream is row-local (explode of a
+    transform), joined to the broadcast model with no shuffle, and the
+    only exchange carries (doc_id, decimal partial sums) via map-side
+    partial aggregation.  The sample pass re-scans the sampled tenth
+    with the doc_id predicate pushed down.  Docs shorter than 3 chars
+    emit nothing (no trigrams — the honest answer)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = (
+        docs.where(F.col("text").isNotNull() & (F.length("text") >= 3))
+        .select("doc_id", F.lower("text").alias("lt"))
+    )
+
+    def tris(df):
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(1, length(lt) - 2), i -> substring(lt, i, 3))")
+            ).alias("tg"),
+        )
+
+    freq = (
+        tris(spread(base.where(F.col("doc_id") % _LM_SAMPLE_MOD == 0), spark))
+        .groupBy("tg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = freq.agg(
+        F.sum("c").alias("n"),
+        F.round(F.log(0.5 / F.sum("c")), 9).cast("decimal(18,9)").alias("pen"),
+    )
+    logp = freq.crossJoin(F.broadcast(stats.select("n"))).select(
+        "tg",
+        F.round(F.log(F.col("c") / F.col("n")), 9).cast("decimal(18,9)").alias("lp"),
+    )
+    return (
+        tris(spread(base, spark))
+        .join(F.broadcast(logp), "tg", "left")
+        .crossJoin(F.broadcast(stats.select("pen")))
+        .select("doc_id", F.coalesce("lp", "pen").alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 6).alias(
+                "lm_score"
+            ),
+        )
     )

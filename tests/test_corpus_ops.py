@@ -453,3 +453,47 @@ def test_incremental_rollup_equals_full(spark, sf_dir):
         for r in eng.QUERIES["events_minutely"](spark, sf_dir).collect()
     }
     assert inc == full
+
+
+def test_quality_lm_score_matches_python_model(spark, sf_dir, duck):
+    """C28 against a from-scratch Python model: rebuild the sampled
+    trigram stats and recompute one doc's mean log-prob with the same
+    9-dp quantization — must match to the rounded digit.  Plus
+    invariants: every score is negative (log-probs), every doc with >= 3
+    chars scores, and OOV-free docs score above the penalty floor."""
+    import math
+    from decimal import Decimal
+
+    from mapreduceimplementation_spark.operators.textmetrics import (
+        _LM_SAMPLE_MOD,
+    )
+    from mapreduceimplementation_spark.sources.tables import load_table
+    from tests.conftest import assert_same_result
+
+    df = eng.QUERIES["quality_lm_score"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["quality_lm_score"])
+    out = df.toPandas().set_index("doc_id")
+    assert (out["lm_score"] < 0).all()
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").toPandas()
+    eligible = docs[docs["text"].map(lambda t: t is not None and len(t) >= 3)]
+    assert set(out.index) == set(eligible["doc_id"])
+
+    def tgs(t):
+        lt = t.lower()
+        return [lt[i : i + 3] for i in range(len(lt) - 2)]
+
+    freq = {}
+    for _, r in eligible[eligible["doc_id"] % _LM_SAMPLE_MOD == 0].iterrows():
+        for tg in tgs(r["text"]):
+            freq[tg] = freq.get(tg, 0) + 1
+    n = sum(freq.values())
+    pen = Decimal(str(round(math.log(0.5 / n), 9)))
+    doc = eligible.iloc[0]
+    lps = [
+        Decimal(str(round(math.log(freq[tg] / n), 9))) if tg in freq else pen
+        for tg in tgs(doc["text"])
+    ]
+    expect = round(float(sum(lps)) / len(lps), 6)
+    assert out.loc[doc["doc_id"], "lm_score"] == expect
+    assert out.loc[doc["doc_id"], "n_trigrams"] == len(lps)

@@ -85,6 +85,7 @@ INVENTORY = [
     "heavy_hitters_cms",     # C25: deterministic count-min sketch top-k
     "pca_power_iter",        # C26: integer-exact power-iteration PCA
     "corpus_decontaminate",  # C27: benchmark n-gram contamination check
+    "quality_lm_score",      # C28: char-trigram LM perplexity proxy
     # D. Structured Streaming
     "streaming_windowed_counts",  # D1
     "streaming_sessionize",       # D2
