@@ -397,3 +397,90 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overlap_frac"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# C29. corpus_pack_sequences (concat-and-chunk training-sequence packing)
+
+_PACK_BUDGET = 4096  # tokens per packed training sequence
+#: pack-order buckets: packing is a running sum, i.e. a total order — the
+#: scalable form partitions the corpus into hash buckets and packs within
+#: each independently (one window exchange, no global sort); at deploy
+#: raise with corpus size to keep per-bucket state flat
+_PACK_BUCKETS = 64
+
+
+@register(
+    "corpus_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(length(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS n_tokens,
+               {sql_hash64("'pack-' || CAST(doc_id AS VARCHAR)")} AS h
+        FROM documents WHERE text IS NOT NULL
+    ),
+    placed AS (
+        SELECT doc_id, n_tokens, h % {_PACK_BUCKETS} AS bucket,
+               CAST(sum(n_tokens) OVER (
+                   PARTITION BY h % {_PACK_BUCKETS} ORDER BY h, doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) - n_tokens AS BIGINT) AS start_tok
+        FROM toks
+    )
+    SELECT doc_id, bucket,
+           CAST(bucket * 1000000 + start_tok // {_PACK_BUDGET} AS BIGINT) AS seq_id,
+           CAST(start_tok % {_PACK_BUDGET} AS BIGINT) AS offset_tokens,
+           n_tokens
+    FROM placed
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: assign every document a position in a
+    stream of fixed-budget (4096-token) sequences — the concat-and-chunk
+    step every pretraining dataloader runs (docs are concatenated in a
+    deterministic shuffle order and sliced into equal sequences; a doc
+    whose tokens straddle a boundary continues into the next sequence,
+    which is why offset + n_tokens may exceed the budget).
+
+    Output: (doc_id, bucket, seq_id, offset_tokens, n_tokens) — seq_id
+    is the sequence in which the doc STARTS, offset_tokens its position
+    there.  The order is the portable hash of doc_id: a deterministic
+    global shuffle (same property as C16's split — rerun-stable on any
+    engine or cluster), not ingestion order, which would correlate
+    neighboring training examples.
+
+    Scale shape: a running sum is a total order, so the scalable form
+    hash-partitions the corpus into _PACK_BUCKETS independent streams
+    and packs within each — ONE window exchange on the uniform bucket
+    key, exact integer cumulative sums, no global sort and no driver
+    state.  Each bucket yields its own seq_id namespace
+    (bucket * 1e6 + local), exactly how a 1000-executor packing job
+    would shard its output files."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    h = hash64(F.concat(F.lit("pack-"), F.col("doc_id").cast("string")))
+    toks = docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_BPE_RE)).cast("long").alias("n_tokens"),
+        h.alias("h"),
+    )
+    w = (
+        Window.partitionBy(F.col("h") % _PACK_BUCKETS)
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    placed = toks.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("h") % _PACK_BUCKETS).alias("bucket"),
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_tok"),
+    )
+    return placed.select(
+        "doc_id",
+        "bucket",
+        (F.col("bucket") * 1000000 + F.floor(F.col("start_tok") / _PACK_BUDGET)).alias(
+            "seq_id"
+        ),
+        (F.col("start_tok") % _PACK_BUDGET).alias("offset_tokens"),
+        "n_tokens",
+    )

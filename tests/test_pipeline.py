@@ -336,3 +336,31 @@ def test_corpus_decontaminate_semantics(spark, sf_dir, duck):
     text = docs.set_index("doc_id").loc[flagged, "text"]
     shared = shingles(text) & ev_sh
     assert len(shared) == int(out.iloc[0]["n_shared"])
+
+
+def test_corpus_pack_sequences_invariants(spark, sf_dir, duck):
+    """C29: within each bucket, the hash-ordered docs tile the token
+    stream with no gaps or overlaps (each doc starts exactly where the
+    previous ended), offsets stay inside the budget, and seq_ids are the
+    cumulative-sum chunks they claim to be."""
+    from mapreduceimplementation_spark.functions.hashing import py_hash64
+    from mapreduceimplementation_spark.operators.pipeline import (
+        _PACK_BUCKETS,
+        _PACK_BUDGET,
+    )
+    from tests.conftest import assert_same_result
+
+    df = eng.QUERIES["corpus_pack_sequences"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["corpus_pack_sequences"])
+
+    out = df.toPandas()
+    assert out["offset_tokens"].between(0, _PACK_BUDGET - 1).all()
+    out["h"] = out["doc_id"].map(lambda d: py_hash64(f"pack-{d}"))
+    assert (out["bucket"] == out["h"] % _PACK_BUCKETS).all()
+    for bucket, g in out.groupby("bucket"):
+        g = g.sort_values(["h", "doc_id"])
+        start = 0
+        for _, r in g.iterrows():
+            assert r["seq_id"] == bucket * 1_000_000 + start // _PACK_BUDGET
+            assert r["offset_tokens"] == start % _PACK_BUDGET
+            start += r["n_tokens"]

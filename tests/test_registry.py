@@ -86,6 +86,7 @@ INVENTORY = [
     "pca_power_iter",        # C26: integer-exact power-iteration PCA
     "corpus_decontaminate",  # C27: benchmark n-gram contamination check
     "quality_lm_score",      # C28: char-trigram LM perplexity proxy
+    "corpus_pack_sequences", # C29: concat-and-chunk sequence packing
     # D. Structured Streaming
     "streaming_windowed_counts",  # D1
     "streaming_sessionize",       # D2
