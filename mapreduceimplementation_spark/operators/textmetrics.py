@@ -555,10 +555,14 @@ def quality_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tg"),
         )
 
+    # vocab-sized (charset³-bounded) and consumed by three subtrees (the
+    # N stat, the penalty stat, the logp table) — checkpoint once so the
+    # sample scan+explode+aggregate lineage doesn't run three times
     freq = (
         tris(spread(base.where(F.col("doc_id") % _LM_SAMPLE_MOD == 0), spark))
         .groupBy("tg")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
     )
     stats = freq.agg(
         F.sum("c").alias("n"),
