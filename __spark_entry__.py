@@ -31,7 +31,10 @@ _REPO = Path(__file__).resolve().parent
 
 
 def _last_certified_round() -> dict[str, int]:
-    """Map query name -> latest round with any driver CORRECTNESS row."""
+    """Map query name -> latest round with a PASSING driver CORRECTNESS
+    row.  A failed row (err set, or any match flag false) must NOT count
+    as certification — counting it would rotate a failing query to the
+    back of the window exactly when it most needs re-checking."""
     last: dict[str, int] = {}
     for p in sorted(_REPO.glob("CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", p.name)
@@ -44,8 +47,16 @@ def _last_certified_round() -> dict[str, int]:
             continue
         if not isinstance(rows, dict):
             continue
-        for name in rows:
-            last[name] = max(rnd, last.get(name, 0))
+        for name, row in rows.items():
+            if not isinstance(row, dict) or row.get("err") is not None:
+                continue
+            flags = [
+                row[k]
+                for k in ("rows_match", "schema_match", "hash_match")
+                if k in row
+            ]
+            if flags and all(flags):
+                last[name] = max(rnd, last.get(name, 0))
     return last
 
 

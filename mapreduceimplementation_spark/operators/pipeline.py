@@ -334,12 +334,13 @@ _DECON_EVAL_MOD = 50
     WITH sh AS ({sql_word_ngrams(_DECON_N)}),
     ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % {_DECON_EVAL_MOD} = 0),
     tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % {_DECON_EVAL_MOD} <> 0),
-    tot AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id),
-    m AS (SELECT doc_id, count(*) AS n_shared
-          FROM tr JOIN ev USING (sh) GROUP BY doc_id)
+    agg AS (
+        SELECT tr.doc_id, count(*) AS n_shingles, count(ev.sh) AS n_shared
+        FROM tr LEFT JOIN ev ON tr.sh = ev.sh GROUP BY tr.doc_id
+    )
     SELECT doc_id, n_shared, n_shingles,
            ROUND(n_shared * 1.0 / n_shingles, 6) AS overlap_frac
-    FROM m JOIN tot USING (doc_id)
+    FROM agg WHERE n_shared > 0
     """,
 )
 def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -355,8 +356,10 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     thousands of documents, the corpus is billions), so its distinct
     shingle set is BROADCAST — the 100 TB training side is scanned once,
     shingled row-locally (the two-step projection rule from dedup.py),
-    checkpointed, and joined without any corpus-sized shuffle of text;
-    the two aggregations exchange only (doc_id, counts).  Word n-gram
+    and STREAMED through one broadcast left join + one aggregation
+    (shared + total counts in the same partial agg — nothing
+    corpus-sized is ever materialized or shuffled; only (doc_id, counts)
+    reach the exchange).  Word n-gram
     semantics are shared with the dedup family (functions/text.py), so
     the DuckDB oracle replays the identical shingle relation."""
     from mapreduceimplementation_spark.functions.text import (
@@ -378,24 +381,31 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(ngrams_of_words("ws", _DECON_N)).alias("sh_arr"),
         )
         .select("doc_id", F.explode_outer("sh_arr").alias("sh"))
-        .localCheckpoint()
     )
+    # NO checkpoint of sh: it is corpus-sized (every distinct n-gram of
+    # every doc — larger than the text itself at scale); the training
+    # side streams through ONE left join + ONE aggregation instead.  The
+    # eval side re-derives its 2% subset with the doc_id predicate pushed
+    # to the scan — a recompute far cheaper than materializing sh.
     is_eval = F.col("doc_id") % _DECON_EVAL_MOD == 0
-    ev = sh.where(is_eval).select("sh").distinct()
-    tr = sh.where(~is_eval)
-    tot = tr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    m = (
-        tr.join(F.broadcast(ev), "sh")
+    ev = sh.where(is_eval).select(F.col("sh").alias("ev_sh")).distinct()
+    return (
+        sh.where(~is_eval)
+        .join(F.broadcast(ev), F.col("sh") == F.col("ev_sh"), "left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    return m.join(tot, "doc_id").select(
-        "doc_id",
-        "n_shared",
-        "n_shingles",
-        F.round(F.col("n_shared") * 1.0 / F.col("n_shingles"), 6).alias(
-            "overlap_frac"
-        ),
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("ev_sh").alias("n_shared"),
+        )
+        .where(F.col("n_shared") > 0)
+        .select(
+            "doc_id",
+            "n_shared",
+            "n_shingles",
+            F.round(F.col("n_shared") * 1.0 / F.col("n_shingles"), 6).alias(
+                "overlap_frac"
+            ),
+        )
     )
 
 
@@ -428,7 +438,7 @@ _PACK_BUCKETS = 64
         FROM toks
     )
     SELECT doc_id, bucket,
-           CAST(bucket * 1000000 + start_tok // {_PACK_BUDGET} AS BIGINT) AS seq_id,
+           CAST(bucket * {1 << 40} + start_tok // {_PACK_BUDGET} AS BIGINT) AS seq_id,
            CAST(start_tok % {_PACK_BUDGET} AS BIGINT) AS offset_tokens,
            n_tokens
     FROM placed
@@ -454,8 +464,10 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     and packs within each — ONE window exchange on the uniform bucket
     key, exact integer cumulative sums, no global sort and no driver
     state.  Each bucket yields its own seq_id namespace
-    (bucket * 1e6 + local), exactly how a 1000-executor packing job
-    would shard its output files."""
+    (bucket << 40 | local — 2^40 sequences ≈ 4.5e15 tokens per bucket,
+    headroom past the 100 TB target; a 1e6-width namespace would collide
+    ~400x below it), exactly how a 1000-executor packing job would shard
+    its output files."""
     tune(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     h = hash64(F.concat(F.lit("pack-"), F.col("doc_id").cast("string")))
@@ -478,7 +490,7 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return placed.select(
         "doc_id",
         "bucket",
-        (F.col("bucket") * 1000000 + F.floor(F.col("start_tok") / _PACK_BUDGET)).alias(
+        (F.col("bucket") * (1 << 40) + F.floor(F.col("start_tok") / _PACK_BUDGET)).alias(
             "seq_id"
         ),
         (F.col("start_tok") % _PACK_BUDGET).alias("offset_tokens"),

@@ -608,13 +608,14 @@ def _km_matrix(cdf: DataFrame) -> DataFrame:
     )
 
 
-def _km_assign_mat(vq: DataFrame, cmat: DataFrame) -> DataFrame:
-    """Row-local assignment against a one-row broadcast centroid matrix
-    (same expression as _km_assign, with the candidate count taken from
-    size(cids) at runtime instead of Python len — the matrix is a plan
-    subtree here, not driver data)."""
+def _km_cand_structs(id_alias: str = "cid"):
+    """(d, <id_alias>) struct per centroid of the broadcast (cids, mat)
+    matrix row — d the exact integer squared L2 from the row's q.  ONE
+    definition: assignment (argmin via array_min) and IVF cell probing
+    (explode + rank) must rank by the SAME distance or trained cells and
+    query probes silently disagree."""
     idx = F.sequence(F.lit(0), F.size("cids") - 1)
-    cands = F.transform(
+    return F.transform(
         idx,
         lambda i: F.struct(
             F.aggregate(
@@ -626,16 +627,41 @@ def _km_assign_mat(vq: DataFrame, cmat: DataFrame) -> DataFrame:
                 F.lit(0).cast("long"),
                 lambda acc, x: acc + x,
             ).alias("d"),
-            F.element_at("cids", i + F.lit(1)).alias("cid"),
+            F.element_at("cids", i + F.lit(1)).alias(id_alias),
         ),
     )
-    best = F.array_min(cands)
+
+
+def _km_assign_mat(vq: DataFrame, cmat: DataFrame) -> DataFrame:
+    """Row-local assignment against a one-row broadcast centroid matrix
+    (same expression as _km_assign, with the candidate count taken from
+    size(cids) at runtime instead of Python len — the matrix is a plan
+    subtree here, not driver data)."""
+    best = F.array_min(_km_cand_structs("cid"))
     return vq.crossJoin(F.broadcast(cmat)).select(
         "vec_id",
         "q",
         best.getField("cid").alias("cluster"),
         best.getField("d").alias("dist"),
     )
+
+
+def _km_train(vq: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The full Lloyd's chain as one lazy plan: seeds -> _KM_ASSIGN_STEPS
+    assignments with a centroid update between each.  Returns (cm, a):
+    the FINAL one-row centroid matrix and the final assignment — shared
+    by kmeans_embed (wants a) and ann_ivf_kmeans (wants cm) so the
+    training recipe exists exactly once."""
+    cm = _km_matrix(
+        vq.where(F.col("vec_id") < _KM_K).select(
+            F.col("vec_id").alias("cid"), F.col("q").alias("c")
+        )
+    )
+    a = _km_assign_mat(vq, cm)
+    for _ in range(_KM_ASSIGN_STEPS - 1):
+        cm = _km_matrix(_km_means(a))
+        a = _km_assign_mat(vq, cm)
+    return cm, a
 
 
 def _km_means(assigned: DataFrame) -> DataFrame:
@@ -719,14 +745,7 @@ def kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collect-per-iteration version spent more wall time on fixed job
     # launches than on data; at scale the pass count over the corpus is
     # identical, but the per-iteration scheduling barrier is gone)
-    cmat = _km_matrix(
-        vq.where(F.col("vec_id") < _KM_K).select(
-            F.col("vec_id").alias("cid"), F.col("q").alias("c")
-        )
-    )
-    assigned = _km_assign_mat(vq, cmat)
-    for _ in range(_KM_ASSIGN_STEPS - 1):
-        assigned = _km_assign_mat(vq, _km_matrix(_km_means(assigned)))
+    _, assigned = _km_train(vq)
     return assigned.select("vec_id", "cluster", "dist")
 
 
@@ -1090,39 +1109,18 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions."""
     tune(spark)
     vq = _km_quantized(spark, sf_dir).localCheckpoint(eager=True)
-    cm = _km_matrix(
-        vq.where(F.col("vec_id") < _KM_K).select(
-            F.col("vec_id").alias("cid"), F.col("q").alias("c")
-        )
-    )
-    a = _km_assign_mat(vq, cm)
-    for _ in range(_KM_ASSIGN_STEPS - 1):
-        cm = _km_matrix(_km_means(a))
-        a = _km_assign_mat(vq, cm)
+    cm, _ = _km_train(vq)
     cm = cm.localCheckpoint(eager=True)  # model-sized; train once, use twice
     cells = _km_assign_mat(vq, cm).select(
         "vec_id", F.col("cluster").alias("cell")
     )
-
-    dists = F.transform(
-        F.sequence(F.lit(0), F.size("cids") - 1),
-        lambda i: F.struct(
-            F.aggregate(
-                F.zip_with(
-                    F.col("q"),
-                    F.element_at("mat", i + F.lit(1)),
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("d"),
-            F.element_at("cids", i + F.lit(1)).alias("cell"),
-        ),
-    )
     qd = (
         vq.where(F.col("vec_id") < _Q_MAX)
         .crossJoin(F.broadcast(cm))
-        .select(F.col("vec_id").alias("q_id"), F.explode(dists).alias("dc"))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.explode(_km_cand_structs("cell")).alias("dc"),
+        )
         .select("q_id", "dc.d", "dc.cell")
     )
     wq = Window.partitionBy("q_id").orderBy("d", "cell")

@@ -613,16 +613,16 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     against that type's distribution over the whole window — the ops
     staple behind traffic-spike and outage detection.
 
-    Determinism is the point of the formulation: counts are integers, so
-    n, Σc and Σc² are EXACT longs (a float stddev aggregate would vary
-    with partition merge order); mean and population variance are derived
-    from those integer sums in a fixed expression order, and the z-score
-    is rounded at the final projection — bit-stable on any engine or
-    partitioning.  The variance products n*s2 and s1*s1 are computed in
-    DECIMAL(38,0): as longs they would overflow silently once a type's
-    total count nears ~3e9 (s2 ~ 9e18 > 2^63) — exactly the 100 TB scale
-    this formulation targets — while DuckDB promotes to HUGEINT; decimal
-    keeps both engines exact to 1e38.  Plan: ONE scan and one partial-agg
+    Determinism is the point of the formulation: counts are integers and
+    n, Σc and Σc² are EXACT (a float stddev aggregate would vary with
+    partition merge order); mean and population variance are derived from
+    those exact sums in a fixed expression order, and the z-score is
+    rounded at the final projection — bit-stable on any engine or
+    partitioning.  Σc² and the variance products n*s2 / s1*s1 are
+    computed in DECIMAL(38,0) — with the c*c cast INSIDE the sum: a long
+    c*c wraps silently once a cell's count nears ~3e9 (c² ~ 9e18 > 2^63),
+    exactly the 100 TB scale this formulation targets — while DuckDB
+    promotes to HUGEINT; decimal keeps both engines exact to 1e38.  Plan: ONE scan and one partial-agg
     exchange build the
     daily cells; the per-type stats are whole-partition window sums over
     those already-aggregated cells (bounded by the day horizon), so the
@@ -637,13 +637,17 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", "ts").alias("day"), "event_type"
     ).agg(F.count(F.lit(1)).alias("c"))
     w = Window.partitionBy("event_type")
+    # the c*c product is cast to DECIMAL(38,0) BEFORE the sum — summing
+    # long products would overflow at exactly the ~3e9-events-per-type
+    # scale the decimal formulation exists for
+    cd = F.col("c").cast("decimal(38,0)")
     stats = daily.select(
         "day",
         "event_type",
         "c",
         F.count(F.lit(1)).over(w).alias("n"),
-        F.sum("c").over(w).alias("s1"),
-        F.sum(F.col("c") * F.col("c")).over(w).alias("s2"),
+        F.sum(cd).over(w).alias("s1"),
+        F.sum(cd * F.col("c")).over(w).alias("s2"),
     )
     nd = F.col("n").cast("decimal(38,0)")
     s1d = F.col("s1").cast("decimal(38,0)")

@@ -361,6 +361,6 @@ def test_corpus_pack_sequences_invariants(spark, sf_dir, duck):
         g = g.sort_values(["h", "doc_id"])
         start = 0
         for _, r in g.iterrows():
-            assert r["seq_id"] == bucket * 1_000_000 + start // _PACK_BUDGET
+            assert r["seq_id"] == (bucket << 40) + start // _PACK_BUDGET
             assert r["offset_tokens"] == start % _PACK_BUDGET
             start += r["n_tokens"]

@@ -198,8 +198,13 @@ def test_lsh_bits_derivation_and_occupancy(spark):
     # monotone + ~linear scaling: 100x corpus -> 2^bits within 2x of 100x
     assert lsh_bits_for(200_000) - lsh_bits_for(2000) in (6, 7)
 
+    import os
+
+    from tests.conftest import SF_DIR
+
+    base = os.path.dirname(SF_DIR.rstrip("/"))
     target = 8
-    for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.1"):
+    for d in (SF_DIR, os.path.join(base, "sf0.1")):
         n_df = _normed(spark, d)
         n = n_df.count()
         bits = lsh_bits_for(n, target)
