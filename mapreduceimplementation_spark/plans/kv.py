@@ -481,13 +481,14 @@ def config_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_by over those bounded sets.  The point of shipping it as a plan
     is composition: shardkv_migration_diff joins the config DIFF against
     a 100 TB KV state, so the history itself must be a DataFrame, not a
-    driver-side loop."""
+    driver-side loop.  The registered query fixes the op log for the
+    oracle; the real API is ``replay_config_log`` below — run any
+    Join/Leave/Move log you like."""
     tune(spark)
     gids = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").cast("long").alias("gid")
     )
     shards = spark.range(N_CTRL_SHARDS).select(F.col("id").alias("shard"))
-    configs = spark.range(1, _CTRL_LAST_CFG + 1).select(F.col("id").alias("num"))
 
     ops_join = gids.select("gid", (F.col("gid") + 1).alias("idx"))
     ops_leave = gids.where(F.col("gid") % 5 == 3).select(
@@ -501,6 +502,42 @@ def config_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("idx"),
     )
+    return replay_config_log(
+        ops_join, ops_leave, ops_move, last_cfg=_CTRL_LAST_CFG
+    )
+
+
+def replay_config_log(
+    ops_join: DataFrame,
+    ops_leave: DataFrame,
+    ops_move: DataFrame,
+    n_shards: int = N_CTRL_SHARDS,
+    last_cfg: int | None = None,
+) -> DataFrame:
+    """Parameterized shardctrler replay: run ANY Join/Leave/Move op log
+    into the numbered config history (the API twin of the registered
+    config_log_replay query, like grep() beside mr_grep).
+
+    Inputs: ops_join/ops_leave as (gid, idx), ops_move as (shard, gid,
+    idx); idx is the 1-based op index = config number it produces.  Each
+    gid may Join at most once and Leave at most once (the lab's
+    re-join-under-a-new-gid convention).  A Move whose target group is
+    not alive at its config is IGNORED — the reference ctrler would
+    reject the RPC — which the registered log never exercises but the
+    API pytest does.  ``last_cfg`` skips the control-plane-sized
+    max-idx lookup when the caller already knows it."""
+    spark = ops_join.sparkSession
+    if last_cfg is None:
+        last_cfg = int(
+            ops_join.select("idx")
+            .unionByName(ops_leave.select("idx"))
+            .unionByName(ops_move.select("idx"))
+            .agg(F.max("idx"))
+            .collect()[0][0]
+            or 0
+        )
+    shards = spark.range(n_shards).select(F.col("id").alias("shard"))
+    configs = spark.range(1, last_cfg + 1).select(F.col("id").alias("num"))
 
     mem = ops_join.select("idx").unionByName(ops_leave.select("idx"))
     lastmem = (
@@ -544,6 +581,17 @@ def config_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             F.broadcast(ops_move),
             (ops_move["idx"] <= configs["num"]) & (ops_move["idx"] > F.col("last_mem")),
+        )
+        # a Move to a group not alive at this config is ignored (the
+        # ctrler rejects it); no-op for logs whose Moves always target
+        # the living, e.g. the registered one
+        .join(
+            F.broadcast(
+                alive.select(
+                    F.col("num").alias("anum"), F.col("gid").alias("alive_gid")
+                )
+            ),
+            (F.col("num") == F.col("anum")) & (F.col("gid") == F.col("alive_gid")),
         )
         .groupBy("num", "shard")
         .agg(F.max_by("gid", "idx").alias("pin_gid"))

@@ -207,3 +207,39 @@ def test_migration_diff_invariants(spark, sf_dir):
         for _, r in g.iterrows():
             assert r["from_gid"] == prev_to, (s, r["num"])
             prev_to = r["to_gid"]
+
+
+def test_replay_config_log_api_custom_log(spark):
+    """B29's parameterized API on a hand-built log the registered query
+    can't exercise: Move overridden by a later Move of the same shard,
+    Move targeting a NEVER-JOINED group ignored, and a Leave clearing
+    pins while removing the leaver from every assignment."""
+    from mapreduceimplementation_spark.plans.kv import replay_config_log
+
+    # idx: 1 Join(1), 2 Join(2), 3 Move(0,2), 4 Move(0,1) overrides,
+    #      5 Move(3,7) -> gid 7 never joined: ignored,
+    #      6 Leave(2) -> pins cleared, only group 1 remains
+    ops_join = spark.createDataFrame([(1, 1), (2, 2)], "gid long, idx long")
+    ops_leave = spark.createDataFrame([(2, 6)], "gid long, idx long")
+    ops_move = spark.createDataFrame(
+        [(0, 2, 3), (0, 1, 4), (3, 7, 5)], "shard long, gid long, idx long"
+    )
+    out = replay_config_log(ops_join, ops_leave, ops_move, n_shards=4)
+    cfg = {
+        num: g.set_index("shard")[["gid", "pinned"]].sort_index()
+        for num, g in out.toPandas().groupby("num")
+    }
+    assert set(cfg) == set(range(7))
+    assert (cfg[0]["gid"] == 0).all()
+    # HRW over {1,2} from config 2 until the leave
+    base12 = dict(cfg[2]["gid"])
+    assert set(base12.values()) <= {1, 2}
+    # Move(0,2) pins shard 0 at config 3; Move(0,1) overrides at 4
+    assert cfg[3].loc[0, "gid"] == 2 and cfg[3]["pinned"][0]
+    assert cfg[4].loc[0, "gid"] == 1 and cfg[4]["pinned"][0]
+    # Move(3,7): target never joined -> ignored, shard 3 keeps HRW owner
+    assert cfg[5].loc[3, "gid"] == base12[3] and not cfg[5]["pinned"][3]
+    # shard 0's pin survives (no membership change at 5)
+    assert cfg[5].loc[0, "gid"] == 1 and cfg[5]["pinned"][0]
+    # Leave(2): pins cleared, everything lands on the only group left
+    assert (cfg[6]["gid"] == 1).all() and not cfg[6]["pinned"].any()
