@@ -409,3 +409,225 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(_Q18_TOPN)
     )
+
+
+# ---------------------------------------------------------------------------
+# B32. q7_volume_shipping
+
+_Q7_NATION_A = "NATION_3"
+_Q7_NATION_B = "NATION_8"
+
+
+@register(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year, {sql_dsum('volume')} AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = '{_Q7_NATION_A}' AND n2.n_name = '{_Q7_NATION_B}')
+            OR (n1.n_name = '{_Q7_NATION_B}' AND n2.n_name = '{_Q7_NATION_A}'))
+          AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                             AND TIMESTAMP '1996-12-31 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (Volume Shipping): bilateral trade revenue between two
+    nations by ship year — the deepest join chain in the surface
+    (lineitem joins up through supplier AND down through orders to
+    customer, with the nation dim applied on both ends).
+
+    Scale shape: the nation predicate is applied to supplier and
+    customer BEFORE they touch any fact table (broadcast the 25-row
+    nation dim into each), so the fact joins see pre-shrunk build sides
+    — supplier is bounded and the 2-of-25-nations customer subset is a
+    runtime-sized AQE broadcast candidate; the shipdate range reaches the
+    lineitem scan as a PushedFilter; the final aggregate has a tiny
+    (nation, nation, year) key space with map-side partial agg.  Revenue
+    sums as exact DECIMAL (order-independent at any partitioning)."""
+    tune(spark)
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    two = nation.where(F.col("n_name").isin(_Q7_NATION_A, _Q7_NATION_B))
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(two), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(two), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between(
+            F.lit("1995-01-01 00:00:00").cast("timestamp"),
+            F.lit("1996-12-31 00:00:00").cast("timestamp"),
+        )
+    ).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            volume.alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum("volume").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# B33. q10_returned_items
+
+_Q10_TOPN = 20
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT {_Q10_TOPN}
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (Returned Item Reporting): customers who returned the
+    most revenue in a quarter, top-20 — the "who should support call
+    first" report.
+
+    Scale shape: both fact filters (orderdate quarter, returnflag='R')
+    are PushedFilters into their scans, shrinking the join inputs ~25x
+    before the orderkey shuffle; the aggregate partial-aggregates on
+    c_custkey before the final exchange; nation is a broadcast dim on the
+    aggregated (customer-sized) relation, not on facts; top-20 is
+    TakeOrderedAndProject with rounded-decimal revenue + custkey
+    tie-break so the frontier is engine- and partitioning-stable."""
+    tune(spark)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-10-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_cust = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+        .agg(dsum(revenue).alias("revenue"))
+    )
+    return (
+        per_cust.join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(_Q10_TOPN)
+    )
+
+
+# ---------------------------------------------------------------------------
+# B34. q22_missed_opportunities
+
+# "Lapsed" = no order on/after this date (the generator gives every
+# customer at least one lifetime order, so the classic never-ordered
+# predicate would be vacuously empty on this schema).
+_Q22_RECENT = "2000-06-01 00:00:00"
+
+
+@register(
+    "q22_missed_opportunities",
+    oracle=f"""
+    WITH thr AS (
+        SELECT ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE)
+                     / COUNT(*), 6) AS avg_bal
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT n_name,
+           count(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE) AS totacctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    CROSS JOIN thr
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderdate >= TIMESTAMP '{_Q22_RECENT}'
+      )
+    GROUP BY n_name
+    """,
+)
+def q22_missed_opportunities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (Global Sales Opportunity): per nation, the count
+    and total balance of above-average-balance customers with no recent
+    order — the scalar-subquery + anti-join pattern (the reference's
+    surface has semi-joins via B6; this is the NOT EXISTS dual).
+
+    Scale shape: the global average is a one-row aggregate joined in as
+    a broadcast nested-loop (a scalar, not a shuffle); "no recent order"
+    is a LEFT ANTI join against orders filtered by a pushed orderdate
+    predicate and pruned to the o_custkey column (partial-distinct
+    shrinks it map-side); nation is a broadcast dim.  The threshold is
+    the exact decimal mean rounded to 6dp — an unrounded double mean
+    would depend on summation order and could flip frontier customers
+    between runs (the davg discipline from B1)."""
+    tune(spark)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_nationkey"
+    )
+    thr = cust.where(F.col("c_acctbal") > 0.0).agg(
+        davg("c_acctbal").alias("avg_bal")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit(_Q22_RECENT).cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rich = cust.join(F.broadcast(thr)).where(F.col("c_acctbal") > F.col("avg_bal"))
+    never = rich.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return (
+        never.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+    )

@@ -47,6 +47,9 @@ INVENTORY = [
     "basket_pairs",          # B25: market-basket co-occurrence top pairs
     "events_anomaly",        # B26: integer-exact daily z-score anomalies
     "q18_large_orders",      # B27: TPC-H Q18 HAVING-subquery join
+    "q7_volume_shipping",    # B32: bilateral nation trade by year
+    "q10_returned_items",    # B33: returned-revenue top-20 report
+    "q22_missed_opportunities",  # B34: scalar-subquery + anti-join
     "events_minutely_incremental",  # B28: base+delta rollup merge == full
     "events_minutely_orc",   # B31: ORC ingestion parity for B7
     "kv_apply_log",          # B10
