@@ -585,3 +585,122 @@ def quality_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C31. quality_repetition — Gopher-style repetition filters
+
+# Keep-thresholds compared on the ROUNDED 6dp fractions (engine-stable
+# frontier).  Set from the sf0.01 distribution so the filter does real
+# work there (rejects ~10-15%): top-word p90≈0.14, top-bigram p90≈0.07,
+# dup-trigram p99≈0.036.
+_REP_MAX_TOP_WORD = 0.15
+_REP_MAX_TOP_BIGRAM = 0.08
+_REP_MAX_DUP_TRIGRAM = 0.02
+
+
+@register(
+    "quality_repetition",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        FROM documents WHERE text IS NOT NULL
+    ), grams AS (
+        SELECT doc_id, 1 AS n, unnest(ws) AS gram FROM words
+        UNION ALL
+        SELECT doc_id, 2, unnest(list_transform(range(1, len(ws)),
+            i -> ws[i] || ' ' || ws[i+1])) FROM words
+        UNION ALL
+        SELECT doc_id, 3, unnest(list_transform(range(1, len(ws)-1),
+            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) FROM words
+    ), per_gram AS (
+        SELECT doc_id, n, gram, count(*) AS c FROM grams GROUP BY doc_id, n, gram
+    ), m AS (
+        SELECT doc_id,
+            CAST(sum(c) FILTER (n = 1) AS BIGINT) AS n_words,
+            ROUND(max(c) FILTER (n = 1) * 1.0
+                  / sum(c) FILTER (n = 1), 6) AS top_word_frac,
+            ROUND(COALESCE(max(c) FILTER (n = 2) * 1.0
+                  / sum(c) FILTER (n = 2), 0), 6) AS top_bigram_frac,
+            ROUND(COALESCE(sum(CASE WHEN c > 1 THEN c ELSE 0 END) FILTER (n = 3)
+                  * 1.0 / sum(c) FILTER (n = 3), 0), 6) AS dup_trigram_frac
+        FROM per_gram GROUP BY doc_id
+    )
+    SELECT doc_id, n_words, top_word_frac, top_bigram_frac, dup_trigram_frac,
+           (top_word_frac <= {_REP_MAX_TOP_WORD}
+            AND top_bigram_frac <= {_REP_MAX_TOP_BIGRAM}
+            AND dup_trigram_frac <= {_REP_MAX_DUP_TRIGRAM}) AS keep
+    FROM m
+    """,
+)
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters (Rae et al. 2021 §A1.1:
+    "fraction of characters in the most common n-gram", "fraction of
+    duplicate n-grams"): per document, the fraction of tokens taken by
+    the most common word and bigram, and the fraction of trigram
+    occurrences that are duplicates — the boilerplate/spam signals that
+    run BEFORE expensive dedup, plus the keep verdict at the documented
+    thresholds.
+
+    Scale shape: n-grams for n=1..3 are built row-local from one split
+    (higher-order functions, no self-zip shuffle) and exploded ONCE;
+    counting shuffles on (doc_id, n, gram) — a key strictly finer than
+    doc_id, so it cannot skew worse than document length; the per-doc
+    rollup conditional-aggregates the counted cells in one more exchange
+    on doc_id.  Two exchanges total, text itself never shuffled (only
+    grams, like the shingle operators).  All fractions are rounded at
+    6dp BEFORE the keep comparison so the frontier is engine- and
+    partitioning-stable.  Whitespace-only documents have no grams and
+    drop out (both engines agree by construction)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = F.filter(F.split(F.col("text"), " "), lambda w: w != F.lit(""))
+    base = docs.where(F.col("text").isNotNull()).select("doc_id", ws.alias("ws"))
+    w = F.col("ws")
+    gram_t = "array<struct<n:int,gram:string>>"
+
+    def grams_of(n: int):
+        if n == 1:
+            return F.transform(
+                w, lambda x: F.struct(F.lit(1).alias("n"), x.alias("gram"))
+            )
+        make = F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.struct(
+                F.lit(n).alias("n"),
+                F.concat_ws(
+                    " ", *[F.element_at(w, i + j) for j in range(n)]
+                ).alias("gram"),
+            ),
+        )
+        # guard: sequence(1, size-k) would run BACKWARD on short docs
+        return F.when(F.size(w) >= n, make).otherwise(F.array().cast(gram_t))
+
+    exploded = base.select(
+        "doc_id",
+        F.explode(F.concat(grams_of(1), grams_of(2), grams_of(3))).alias("g"),
+    ).select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    per_gram = exploded.groupBy("doc_id", "n", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    c, n = F.col("c"), F.col("n")
+    t1 = F.sum(F.when(n == 1, c))
+    top1 = F.max(F.when(n == 1, c))
+    t2 = F.sum(F.when(n == 2, c))
+    top2 = F.max(F.when(n == 2, c))
+    t3 = F.sum(F.when(n == 3, c))
+    dup3 = F.sum(F.when((n == 3) & (c > 1), c).otherwise(F.lit(0)))
+    m = per_gram.groupBy("doc_id").agg(
+        t1.cast("long").alias("n_words"),
+        F.round(top1 * 1.0 / t1, 6).alias("top_word_frac"),
+        F.coalesce(F.round(top2 * 1.0 / t2, 6), F.lit(0.0)).alias("top_bigram_frac"),
+        F.coalesce(F.round(dup3 * 1.0 / t3, 6), F.lit(0.0)).alias("dup_trigram_frac"),
+    )
+    return m.select(
+        "doc_id", "n_words", "top_word_frac", "top_bigram_frac", "dup_trigram_frac",
+        (
+            (F.col("top_word_frac") <= _REP_MAX_TOP_WORD)
+            & (F.col("top_bigram_frac") <= _REP_MAX_TOP_BIGRAM)
+            & (F.col("dup_trigram_frac") <= _REP_MAX_DUP_TRIGRAM)
+        ).alias("keep"),
+    )

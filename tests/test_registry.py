@@ -90,6 +90,7 @@ INVENTORY = [
     "corpus_decontaminate",  # C27: benchmark n-gram contamination check
     "quality_lm_score",      # C28: char-trigram LM perplexity proxy
     "corpus_pack_sequences", # C29: concat-and-chunk sequence packing
+    "quality_repetition",    # C31: Gopher-style repetition filters
     "ann_ivf_kmeans",        # C30: IVF over k-means-trained cells
     # D. Structured Streaming
     "streaming_windowed_counts",  # D1

@@ -48,3 +48,58 @@ def test_cms_never_undercounts(spark, sf_dir, duck):
     out = df.toPandas()
     assert len(out) == 10
     assert (out["cms_n"] >= out["exact_n"]).all()
+
+
+def test_quality_repetition_matches_oracle(spark, sf_dir, duck):
+    from tests.conftest import assert_same_result
+
+    df = eng.QUERIES["quality_repetition"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["quality_repetition"])
+
+
+def test_quality_repetition_hand_case(spark, sf_dir):
+    """C31 on a hand-computed doc: 'a a a b' -> words=4, top word 3/4,
+    top bigram 'a a' 2/3, trigrams {'a a a','a a b'} all unique -> dup 0;
+    and a short doc exercises the backward-sequence guard."""
+    import pandas as pd
+
+    from mapreduceimplementation_spark.operators.textmetrics import (
+        quality_repetition,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x"), (3, "r r r r r r")], ["doc_id", "text"]
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        out = (
+            quality_repetition(spark, d)
+            .toPandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+    assert out.loc[1, "n_words"] == 4
+    assert out.loc[1, "top_word_frac"] == 0.75
+    assert out.loc[1, "top_bigram_frac"] == round(2 / 3, 6)
+    assert out.loc[1, "dup_trigram_frac"] == 0.0
+    assert not out.loc[1, "keep"]
+    # single word: no bigrams/trigrams -> fractions 0, top word 1.0
+    assert out.loc[2, "n_words"] == 1
+    assert out.loc[2, "top_word_frac"] == 1.0
+    assert out.loc[2, "top_bigram_frac"] == 0.0
+    # pure repetition: every trigram 'r r r' duplicated -> dup frac 1.0
+    assert out.loc[3, "dup_trigram_frac"] == 1.0
+    assert not out.loc[3, "keep"]
+    assert isinstance(out, pd.DataFrame)
+
+
+def test_quality_repetition_two_exchanges(spark, sf_dir):
+    """The design is exactly two shuffles: (doc_id,n,gram) counting and the
+    doc_id rollup — a third would mean the gram relation is re-shuffled."""
+    df = eng.QUERIES["quality_repetition"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_ex = plan.count("Exchange hashpartitioning")
+    assert n_ex == 2, f"expected 2 hash exchanges, saw {n_ex}:\n{plan}"
+    assert "CartesianProduct" not in plan
