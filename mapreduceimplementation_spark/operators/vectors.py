@@ -1147,3 +1147,116 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(wr).cast("int"))
         .where(F.col("rank") <= _TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# C32. dedup_semantic (SemDeDup)
+
+_SEM_TAU = 0.4  # within-cluster cosine threshold for semantic duplicates
+
+
+@register(
+    "dedup_semantic",
+    oracle=f"""
+    WITH {_SQL_NORMED},
+    vq AS (
+        SELECT vec_id,
+               list_transform(v, x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+        FROM e WHERE len(v) > 0
+    ),
+    {_sql_km_iters()},
+    cand AS (
+        SELECT x.cluster, x.vec_id AS a_id, x.dist AS a_dist,
+               y.vec_id AS b_id, y.dist AS b_dist
+        FROM a{_KM_ASSIGN_STEPS} x
+        JOIN a{_KM_ASSIGN_STEPS} y
+          ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+    ),
+    s AS (
+        SELECT cluster, a_id, b_id, a_dist, b_dist,
+               ROUND({_SQL_COS.replace('nq.', 'na.').replace('nc.', 'nb.')}, 6) AS cos
+        FROM cand JOIN n na ON na.vec_id = a_id JOIN n nb ON nb.vec_id = b_id
+    )
+    SELECT cluster, a_id, b_id, cos,
+           CASE WHEN a_dist < b_dist THEN a_id
+                WHEN b_dist < a_dist THEN b_id
+                ELSE b_id END AS drop_id
+    FROM s WHERE cos >= {_SEM_TAU}
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs found
+    WITHIN k-means clusters — cluster assignment is the blocking
+    structure (instead of C9's random hyperplanes), so candidates are
+    semantically pre-grouped and the expensive pairwise cosine runs only
+    inside cells.  Output: within-cluster pairs with cos >= _SEM_TAU and
+    the paper's survivor rule — keep the example FARTHER from the
+    centroid (lower redundancy with the cluster's mode), i.e. drop_id =
+    the closer member (exact integer centroid distance from the training
+    chain; ties drop the larger vec_id).
+
+    Scale shape: training reuses C15's integer-exact chain (row-local
+    assignment vs one-row broadcast matrix, one partial-agg exchange per
+    iteration); the final assignment is localCheckpoint'ed ONCE (narrow:
+    id, cluster, dist) and pairs expand in-bucket (groupBy cluster +
+    collect_list + row-local ordered-pair transform — one exchange,
+    never a cluster self-join that reshuffles twice); vectors join back
+    only for candidate pairs.  Pair volume is sum_c m_c² — k is the
+    knob: grow k with n (k ≈ n / target_cell) exactly like lsh_bits_for
+    grows code width, keeping per-cell work constant.  Everything is
+    oracle-replayed: training, blocking, cosines and the survivor rule
+    are all bit-checked in DuckDB."""
+    tune(spark)
+    vq = _km_quantized(spark, sf_dir).localCheckpoint(eager=True)
+    _, assigned = _km_train(vq)
+    cells = assigned.select("vec_id", "cluster", "dist").localCheckpoint(
+        eager=True
+    )  # narrow working set; training chain runs exactly once
+    members = (
+        cells.groupBy("cluster")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("vec_id", "dist"))
+            ).alias("ms")
+        )
+        .where(F.size("ms") >= 2)
+    )
+    ms = F.col("ms")
+    pairs = members.select(
+        "cluster",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ms) - 1),
+                    lambda i: F.transform(
+                        F.slice(ms, i + 1, F.size(ms) - i),
+                        lambda y: F.struct(
+                            F.element_at(ms, i).getField("vec_id").alias("a_id"),
+                            F.element_at(ms, i).getField("dist").alias("a_dist"),
+                            y.getField("vec_id").alias("b_id"),
+                            y.getField("dist").alias("b_dist"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p"),
+    ).select("cluster", "p.a_id", "p.a_dist", "p.b_id", "p.b_dist")
+    n = _normed(spark, sf_dir)
+    na = n.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"), F.col("nrm").alias("nra"))
+    nb = n.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"), F.col("nrm").alias("nrb"))
+    cos = dot("va", "vb") / (F.col("nra") * F.col("nrb"))
+    drop = (
+        F.when(F.col("a_dist") < F.col("b_dist"), F.col("a_id"))
+        .when(F.col("b_dist") < F.col("a_dist"), F.col("b_id"))
+        .otherwise(F.col("b_id"))
+    )
+    return (
+        pairs.join(na, "a_id")
+        .join(nb, "b_id")
+        .where(cos >= _SEM_TAU)
+        .select(
+            "cluster", "a_id", "b_id",
+            F.round(cos, 6).alias("cos"),
+            drop.alias("drop_id"),
+        )
+    )

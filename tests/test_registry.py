@@ -91,6 +91,7 @@ INVENTORY = [
     "quality_lm_score",      # C28: char-trigram LM perplexity proxy
     "corpus_pack_sequences", # C29: concat-and-chunk sequence packing
     "quality_repetition",    # C31: Gopher-style repetition filters
+    "dedup_semantic",        # C32: SemDeDup within-cluster near-dups
     "ann_ivf_kmeans",        # C30: IVF over k-means-trained cells
     # D. Structured Streaming
     "streaming_windowed_counts",  # D1

@@ -234,3 +234,36 @@ def test_ann_ivf_kmeans_subset_of_bruteforce_universe(spark, sf_dir):
         assert grp["cos"].max() <= best_bf[q] + 1e-9
         assert sorted(grp["rank"]) == list(range(1, len(grp) + 1))
         assert (grp["neighbor_id"] != q).all()
+
+
+def test_dedup_semantic_matches_oracle(spark, sf_dir, duck):
+    from tests.conftest import assert_same_result
+
+    df = eng.QUERIES["dedup_semantic"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["dedup_semantic"])
+
+
+def test_dedup_semantic_survivor_rule(spark, sf_dir):
+    """C32: pairs are co-clustered with cos >= tau, and drop_id is the
+    member CLOSER to the centroid (SemDeDup keeps the farther one),
+    checked against the kmeans_embed assignment it reuses."""
+    from mapreduceimplementation_spark.operators.vectors import _SEM_TAU
+
+    out = eng.QUERIES["dedup_semantic"](spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert (out["cos"] >= _SEM_TAU).all()
+    assert (out["a_id"] < out["b_id"]).all()
+    km = (
+        eng.QUERIES["kmeans_embed"](spark, sf_dir)
+        .toPandas()
+        .set_index("vec_id")
+    )
+    for row in out.itertuples(index=False):
+        ca, cb = km.loc[row.a_id], km.loc[row.b_id]
+        assert ca["cluster"] == cb["cluster"] == row.cluster
+        assert row.drop_id in (row.a_id, row.b_id)
+        if ca["dist"] != cb["dist"]:
+            closer = row.a_id if ca["dist"] < cb["dist"] else row.b_id
+            assert row.drop_id == closer
+        else:
+            assert row.drop_id == row.b_id  # tie drops the larger id
