@@ -496,3 +496,101 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("start_tok") % _PACK_BUDGET).alias("offset_tokens"),
         "n_tokens",
     )
+
+
+# ---------------------------------------------------------------------------
+# C33. bloom_membership
+
+_BLOOM_M = 1024  # filter bits
+_BLOOM_K = 3  # hash functions
+
+
+def _bloom_pos_sql(i: int) -> str:
+    return (
+        sql_hash64(f"'bloom-{i}-' || CAST(doc_id AS VARCHAR)") + f" % {_BLOOM_M}"
+    )
+
+
+def _bloom_pos(i: int) -> F.Column:
+    return (
+        hash64(F.concat(F.lit(f"bloom-{i}-"), F.col("doc_id").cast("string")))
+        % _BLOOM_M
+    )
+
+
+@register(
+    "bloom_membership",
+    oracle=f"""
+    WITH blocklist AS (
+        SELECT doc_id FROM documents
+        WHERE {sql_hash64("'split-' || CAST(doc_id AS VARCHAR)")} % 100 >= 90
+    ),
+    pos AS (
+        SELECT DISTINCT unnest([{", ".join(_bloom_pos_sql(i) for i in range(_BLOOM_K))}]) AS p
+        FROM blocklist
+    )
+    SELECT d.doc_id,
+           ({" AND ".join(f"({_bloom_pos_sql(i)}) IN (SELECT p FROM pos)" for i in range(_BLOOM_K))}) AS bloom_hit,
+           ({sql_hash64("'split-' || CAST(doc_id AS VARCHAR)")} % 100 >= 90) AS in_blocklist
+    FROM documents d
+    """,
+)
+def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist filtering via an engine-portable Bloom filter: is each
+    corpus document in the blocklist (here: the eval/'test' split of
+    corpus_split — the ids you must NOT train on)?  Output per doc:
+    bloom_hit (the filter's verdict) and in_blocklist (exact), so the
+    no-false-negative guarantee and the false-positive rate are both
+    observable.
+
+    The filter is m=1024 bits / k=3 md5-derived hash positions — bit
+    positions are pure functions of doc_id (functions/hashing.py), so
+    Spark and DuckDB build BIT-IDENTICAL filters and the probe is
+    oracle-checkable.  The bit array rides a ONE-ROW broadcast (its size
+    is m by construction, independent of blocklist cardinality — the
+    whole point of a Bloom filter at 100 TB: membership against a huge
+    set without shuffling it).
+
+    Scale shape: building the filter partial-aggregates k positions per
+    blocklist row down to <= m distinct bits (two bounded exchanges);
+    the probe is a row-local array_contains conjunction against the
+    broadcast — zero shuffle of the corpus; the EXACT check (the join
+    that kills false positives) runs ONLY on bloom-hit rows, so its
+    volume is true-hits + fp-rate, not corpus-sized — filter cheap,
+    join the survivors.  Size m with blocklist growth: fp ≈
+    (1 - e^(-kn/m))^k; keep kn/m <= ~0.5 for sub-1% fp."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    split_bucket = hash64(
+        F.concat(F.lit("split-"), F.col("doc_id").cast("string"))
+    ) % 100
+    blocklist = docs.where(split_bucket >= 90)
+    bits = (
+        blocklist.select(
+            F.explode(F.array(*[_bloom_pos(i) for i in range(_BLOOM_K)])).alias("p")
+        )
+        .agg(F.array_sort(F.collect_set("p")).alias("bits"))
+    )
+    hit = None
+    for i in range(_BLOOM_K):
+        c = F.array_contains(F.col("bits"), _bloom_pos(i))
+        hit = c if hit is None else (hit & c)
+    probe = docs.crossJoin(F.broadcast(bits)).select(
+        "doc_id", hit.alias("bloom_hit")
+    )
+    # exact verification joins ONLY the bloom-hit rows (bounded by true
+    # hits + fp rate); misses are exact by the no-false-negative property
+    marked = blocklist.select("doc_id", F.lit(True).alias("in_blocklist"))
+    hits = (
+        probe.where(F.col("bloom_hit"))
+        .join(marked, "doc_id", "left")
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.coalesce("in_blocklist", F.lit(False)).alias("in_blocklist"),
+        )
+    )
+    misses = probe.where(~F.col("bloom_hit")).select(
+        "doc_id", "bloom_hit", F.lit(False).alias("in_blocklist")
+    )
+    return hits.unionByName(misses)

@@ -364,3 +364,43 @@ def test_corpus_pack_sequences_invariants(spark, sf_dir, duck):
             assert r["seq_id"] == (bucket << 40) + start // _PACK_BUDGET
             assert r["offset_tokens"] == start % _PACK_BUDGET
             start += r["n_tokens"]
+
+
+def test_bloom_membership_matches_oracle(spark, sf_dir, duck):
+    from tests.conftest import assert_same_result
+
+    df = eng.QUERIES["bloom_membership"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["bloom_membership"])
+
+
+def test_bloom_membership_properties(spark, sf_dir):
+    """C33: the Bloom contract — zero false negatives (every blocklist
+    doc is a hit), one row per corpus doc, and the fp rate stays inside
+    the (1-e^(-kn/m))^k envelope with slack for hash variance."""
+    import math
+
+    from mapreduceimplementation_spark.operators.pipeline import (
+        _BLOOM_K,
+        _BLOOM_M,
+    )
+
+    out = eng.QUERIES["bloom_membership"](spark, sf_dir).toPandas()
+    n_docs = out["doc_id"].nunique()
+    assert len(out) == n_docs
+    blocked = out[out["in_blocklist"]]
+    assert len(blocked) > 0
+    assert blocked["bloom_hit"].all(), "false negative: impossible for a Bloom filter"
+    clean = out[~out["in_blocklist"]]
+    fp = clean["bloom_hit"].mean()
+    n = len(blocked)
+    expected = (1 - math.exp(-_BLOOM_K * n / _BLOOM_M)) ** _BLOOM_K
+    assert fp <= max(4 * expected, 0.02), (fp, expected, n)
+
+
+def test_bloom_probe_is_broadcast(spark, sf_dir):
+    """The bit array must reach the probe as a one-row broadcast — the
+    corpus is never shuffled for membership."""
+    df = eng.QUERIES["bloom_membership"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -92,6 +92,7 @@ INVENTORY = [
     "corpus_pack_sequences", # C29: concat-and-chunk sequence packing
     "quality_repetition",    # C31: Gopher-style repetition filters
     "dedup_semantic",        # C32: SemDeDup within-cluster near-dups
+    "bloom_membership",      # C33: portable Bloom-filter blocklist probe
     "ann_ivf_kmeans",        # C30: IVF over k-means-trained cells
     # D. Structured Streaming
     "streaming_windowed_counts",  # D1
