@@ -1,7 +1,8 @@
-"""Structured Streaming operators (SURVEY.md §2 D1–D4)."""
+"""Structured Streaming operators (SURVEY.md §2 D1–D7)."""
 
 from mapreduceimplementation_spark.streaming import (  # noqa: F401
     dedupe,
+    incremental,
     joins,
     sessionize,
     windowed,

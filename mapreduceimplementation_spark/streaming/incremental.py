@@ -1,0 +1,156 @@
+"""D7: streaming incremental rollup — update-mode agg + foreachBatch upsert.
+
+B28 proves base+delta partial-aggregate merging equals the full rollup in
+batch; this is the same materialized-view-maintenance contract run as a
+STREAM: each microbatch emits only the (window, type) aggregates it
+changed (update output mode), and foreachBatch upserts them into a
+serving table.  The serving table ends exactly equal to the one-pass
+batch rollup — the oracle is IDENTICAL to D1's — so the green row proves
+the upsert loop loses nothing across microbatch boundaries.
+
+The upsert here is the no-ACID-table fallback (left-anti + union into an
+alternating parquet dir, swapped atomically by reference); on a real
+deployment the foreachBatch body becomes MERGE INTO on Delta/Iceberg —
+same update-mode feed, same keys, same exactness argument.  Each batch's
+merge cost is proportional to CHANGED keys (update mode), not total
+windows — the property that makes a year-long rollup maintainable by a
+stream that only ever touches the current hour.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduceimplementation_spark.functions.stable import dsum, sql_dsum
+from mapreduceimplementation_spark.registry import register
+from mapreduceimplementation_spark.session import tune
+from mapreduceimplementation_spark.streaming.windowed import (
+    _events_stream,
+    _size_stream_state,
+)
+
+_N_CHUNKS = 4
+
+
+def _chronological_feed(sf_dir: str) -> str:
+    """events.parquet → _N_CHUNKS contiguous-ts-range parquet files with
+    ascending mtimes (one-time, marker-guarded fixture).
+
+    Chronological chunks make the watermark honest: a window only ever
+    straddles adjacent chunks, so it is still inside the 1-minute
+    watermark when its tail arrives — update-mode eviction can never
+    resurrect an evicted window with a partial value.  (An out-of-order
+    feed needs a watermark ≥ its disorder bound — standard streaming
+    contract, not a limitation of the merge.)"""
+    from mapreduceimplementation_spark.sources.fixtures import fixture_dir
+
+    src = os.path.join(sf_dir, "events.parquet")
+    d = fixture_dir("mri_spark_events_chunks", src)
+    marker = os.path.join(d, "_SUCCESS")
+    if os.path.exists(marker):
+        return d
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(d, exist_ok=True)
+    t = pq.read_table(src)
+    t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
+    n = t.num_rows
+    step = (n + _N_CHUNKS - 1) // _N_CHUNKS
+    for i in range(_N_CHUNKS):
+        chunk = t.slice(i * step, step)
+        p = os.path.join(d, f"chunk-{i:02d}.parquet")
+        pq.write_table(chunk, p)
+        os.utime(p, (1_000_000 + i, 1_000_000 + i))  # mtime = arrival order
+    with open(marker, "w"):
+        pass
+    return d
+
+
+def run_incremental_rollup(
+    spark: SparkSession, sf_dir: str, feed_dir: str | None = None
+) -> tuple[DataFrame, int]:
+    """Drive the stream to completion; returns (final serving table,
+    number of microbatches that carried updates).  ``feed_dir`` overrides
+    the default chunked-events feed (tests use it to force windows that
+    straddle microbatch boundaries)."""
+    tune(spark)
+    _size_stream_state(spark)
+    feed = feed_dir if feed_dir is not None else _chronological_feed(sf_dir)
+    ev = _events_stream(
+        spark, os.path.join(feed, "chunk-*.parquet"), maxFilesPerTrigger="1"
+    )
+    agg = (
+        ev.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 minute").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("minute"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    work = tempfile.mkdtemp(prefix="mri_spark_d7_state_")
+    state = {"dir": None, "batches": 0}
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sp = batch_df.sparkSession
+        new_dir = os.path.join(work, f"state-{batch_id}")
+        if state["dir"] is None:
+            out = batch_df
+        else:
+            prev = sp.read.parquet(state["dir"])
+            kept = prev.join(
+                batch_df.select("minute", "event_type"),
+                ["minute", "event_type"],
+                "left_anti",
+            )
+            out = kept.unionByName(batch_df)
+        out.write.mode("overwrite").parquet(new_dir)
+        old = state["dir"]
+        state["dir"] = new_dir  # swap by reference — readers see old or new
+        state["batches"] += 1
+        if old is not None:
+            shutil.rmtree(old, ignore_errors=True)
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(_upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["dir"] is not None, "stream produced no updates"
+    return spark.read.parquet(state["dir"]), state["batches"]
+
+
+@register(
+    "streaming_incremental_rollup",
+    oracle=f"""
+    SELECT date_trunc('minute', ts) AS minute,
+           event_type,
+           count(*) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update-mode windowed rollup maintained by foreachBatch upserts —
+    the streaming materialized-view path (see module docstring).  The
+    oracle is the one-pass batch rollup, so the green row proves the
+    microbatch upsert chain is value-exact (decimal-exact sums included,
+    same dsum discipline as D1/B7)."""
+    df, _ = run_incremental_rollup(spark, sf_dir)
+    return df

@@ -100,6 +100,7 @@ INVENTORY = [
     "streaming_dedup",            # D3: watermark-evicted dropDuplicates
     "streaming_stream_join",      # D4: watermarked stream-stream interval join
     "streaming_windowed_counts_json",  # D5: D1 over a JSON-lines file stream
+    "streaming_incremental_rollup",  # D7: update-mode foreachBatch upsert MV
     "streaming_sessionize_native",  # D6: built-in session_window twin of D2
 ]
 

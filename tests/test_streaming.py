@@ -192,3 +192,86 @@ def test_sessionize_native_multibatch_equals_batch(spark, sf_dir, tmp_path):
     )
     batch = eng.QUERIES["events_sessionize"](spark, sf_dir)
     assert _rows(out) == _rows(batch)
+
+
+def test_incremental_rollup_multibatch_equals_batch(spark, sf_dir):
+    """D7: the foreachBatch-upserted serving table, built across several
+    update-mode microbatches, equals the one-pass batch rollup exactly —
+    and the stream really did run more than one merge."""
+    from mapreduceimplementation_spark.streaming.incremental import (
+        run_incremental_rollup,
+    )
+
+    from pyspark.sql import functions as F
+
+    from mapreduceimplementation_spark.functions.stable import dsum
+
+    out, n_batches = run_incremental_rollup(spark, sf_dir)
+    assert n_batches >= 2, "feed must split into multiple microbatches"
+    ev = load_table(spark, sf_dir, "events")
+    batch = ev.groupBy(
+        F.date_trunc("minute", "ts").alias("minute"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+    cols = ["minute", "event_type", "n_events", "total_value"]
+    a = sorted(map(tuple, out.select(*cols).collect()))
+    b = sorted(map(tuple, batch.select(*cols).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_incremental_rollup_upserts_straddled_windows(spark, sf_dir, tmp_path):
+    """D7's merge must REPLACE a window's value when a later microbatch
+    extends it: a controlled two-chunk feed puts the SAME (minute, type)
+    key in both microbatches — the serving table must end with the
+    combined total, not the first batch's partial value."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduceimplementation_spark.streaming.incremental import (
+        run_incremental_rollup,
+    )
+
+    def chunk(path, rows, mtime):
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        pq.write_table(t, path)
+        os.utime(path, (mtime, mtime))
+
+    import datetime as dt
+
+    m = dt.datetime(2024, 1, 1, 12, 0)
+
+    def ts(sec):
+        return m + dt.timedelta(seconds=sec)
+
+    chunk(
+        str(tmp_path / "chunk-00.parquet"),
+        [(1, ts(5), 1, "click", 1.0), (2, ts(10), 2, "click", 2.0)],
+        1_000_000,
+    )
+    chunk(
+        str(tmp_path / "chunk-01.parquet"),
+        [(3, ts(20), 3, "click", 4.0), (4, ts(70), 1, "view", 8.0)],
+        1_000_001,
+    )
+    out, n_batches = run_incremental_rollup(
+        spark, sf_dir, feed_dir=str(tmp_path)
+    )
+    assert n_batches == 2
+    rows = {
+        (r["minute"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in out.collect()
+    }
+    # the 12:00/click window was updated by batch 2: 3 events, 7.0 total
+    assert rows[(m, "click")] == (3, 7.0)
+    assert rows[(m + dt.timedelta(minutes=1), "view")] == (1, 8.0)
+    assert len(rows) == 2
