@@ -2,6 +2,7 @@
 
 from mapreduceimplementation_spark.streaming import (  # noqa: F401
     dedupe,
+    enrich,
     incremental,
     joins,
     sessionize,

@@ -101,6 +101,7 @@ INVENTORY = [
     "streaming_stream_join",      # D4: watermarked stream-stream interval join
     "streaming_windowed_counts_json",  # D5: D1 over a JSON-lines file stream
     "streaming_incremental_rollup",  # D7: update-mode foreachBatch upsert MV
+    "streaming_enriched_counts",  # D8: stream-static enrichment join
     "streaming_sessionize_native",  # D6: built-in session_window twin of D2
 ]
 

@@ -275,3 +275,34 @@ def test_incremental_rollup_upserts_straddled_windows(spark, sf_dir, tmp_path):
     assert rows[(m, "click")] == (3, 7.0)
     assert rows[(m + dt.timedelta(minutes=1), "view")] == (1, 8.0)
     assert len(rows) == 2
+
+
+def test_enriched_stream_multibatch_equals_batch(spark, sf_dir, tmp_path):
+    """D8: the stream-static join must enrich events arriving in ANY
+    microbatch (the static side is re-resolved per batch, the stream is
+    never buffered) — multi-batch result equals the batch join+rollup,
+    and both tiers actually occur."""
+    from pyspark.sql import functions as F
+
+    from mapreduceimplementation_spark.functions.stable import dsum
+    from mapreduceimplementation_spark.streaming.enrich import (
+        run_enriched_stream,
+        user_tiers,
+    )
+
+    path = _split_events(spark, sf_dir, tmp_path)
+    out = run_enriched_stream(
+        spark, path, sf_dir, sink="d8_multibatch_sink", maxFilesPerTrigger=1
+    )
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.join(user_tiers(spark, sf_dir), "user_id")
+        .groupBy(F.date_trunc("day", "ts").alias("day"), "tier")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+    )
+    cols = ["day", "tier", "n_events", "total_value"]
+    a = sorted(map(tuple, out.select(*cols).collect()))
+    b = sorted(map(tuple, batch.select(*cols).collect()))
+    assert a == b and len(a) > 0
+    tiers = {t for _, t, _, _ in a}
+    assert tiers == {"heavy", "light"}
