@@ -39,6 +39,12 @@ HEADLINE = [
     "streaming_sessionize",
     "streaming_sessionize_native",
     "kmeans_embed",
+    # round-4 additions: semantic dedup (kmeans-blocked pair expansion),
+    # gram-repetition filters (two-exchange text shape), and the
+    # foreachBatch-upserted streaming materialized view
+    "dedup_semantic",
+    "quality_repetition",
+    "streaming_incremental_rollup",
 ]
 
 
