@@ -570,6 +570,9 @@ def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.array(*[_bloom_pos(i) for i in range(_BLOOM_K)])).alias("p")
         )
         .agg(F.array_sort(F.collect_set("p")).alias("bits"))
+        # one row, <= m ints — build the filter exactly once even though
+        # both union branches (hits / misses) broadcast it
+        .localCheckpoint(eager=True)
     )
     hit = None
     for i in range(_BLOOM_K):
