@@ -631,3 +631,58 @@ def q22_missed_opportunities(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# B35. q14_promo_revenue
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT
+        ROUND(
+          100.0
+          * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+                     AS DECIMAL(27,6))) AS DOUBLE)
+          / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(27,6))) AS DOUBLE), 6) AS promo_revenue_pct,
+        count(*) AS n_lines,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6)))
+             AS DOUBLE) AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (Promotion Effect): the share of one month's revenue
+    attributable to promotional parts — B5 computes this share on the
+    part dim alone; this is the real Q14 shape where the share lives on
+    the FACT table and the part type arrives by join.
+
+    Scale shape: the one-month shipdate range is a PushedFilter (reads
+    ~1/80 of lineitem's partitions on a date-partitioned lake); part is
+    pruned to (p_partkey, p_type) — a two-column build side AQE sizes at
+    runtime (smaller than lineitem by the fanout factor, broadcast when
+    it fits, shuffle-hash otherwise); the global aggregate is a one-row
+    partial agg, and both sums accumulate exact DECIMAL before the final
+    double division + 6dp round (the conditional-share discipline of
+    B5)."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(100.0 * dsum(promo) / dsum(rev), 6).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(rev).alias("total_revenue"),
+        )
+    )

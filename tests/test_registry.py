@@ -50,6 +50,7 @@ INVENTORY = [
     "q7_volume_shipping",    # B32: bilateral nation trade by year
     "q10_returned_items",    # B33: returned-revenue top-20 report
     "q22_missed_opportunities",  # B34: scalar-subquery + anti-join
+    "q14_promo_revenue",     # B35: fact-side promo revenue share
     "events_minutely_incremental",  # B28: base+delta rollup merge == full
     "events_minutely_orc",   # B31: ORC ingestion parity for B7
     "kv_apply_log",          # B10

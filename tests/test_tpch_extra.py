@@ -95,3 +95,18 @@ def test_q22_scalar_is_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "LeftAnti" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_q14_matches_oracle(spark, sf_dir, duck):
+    df = eng.QUERIES["q14_promo_revenue"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["q14_promo_revenue"])
+
+
+def test_q14_share_bounds_and_pushdown(spark, sf_dir):
+    out = eng.QUERIES["q14_promo_revenue"](spark, sf_dir).toPandas()
+    assert len(out) == 1
+    assert 0.0 <= out.loc[0, "promo_revenue_pct"] <= 100.0
+    assert out.loc[0, "n_lines"] > 0
+    plan = formatted_plan(eng.QUERIES["q14_promo_revenue"](spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters", 1)[1]
