@@ -704,3 +704,61 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("dup_trigram_frac") <= _REP_MAX_DUP_TRIGRAM)
         ).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C34. feature_hash_vectors
+
+_FH_DIM = 32  # hashed feature space width
+
+
+@register(
+    "feature_hash_vectors",
+    oracle=f"""
+    WITH ws AS (
+        SELECT doc_id,
+               list_transform(
+                   list_filter(string_split(text, ' '), w -> w <> ''),
+                   w -> {sql_hash64("'fh-' || w")} % {_FH_DIM}) AS bs
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           CAST(len(bs) AS BIGINT) AS n_tokens,
+           array_to_string(
+               list_transform(range(0, {_FH_DIM}),
+                              j -> len(list_filter(bs, b -> b = j))),
+               ',') AS vec
+    FROM ws
+    """,
+)
+def feature_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing ("the hashing trick", Weinberger et al. 2009):
+    each document as a fixed-width bag-of-words count vector whose
+    coordinates are hash buckets — the vocabulary-free featurization
+    used for quality classifiers (fastText-style filters) over corpora
+    too large to build a vocabulary for.
+
+    Scale shape: ZERO shuffle — tokens hash to buckets row-local (md5
+    once per token via the engine-portable hash64), and the dim-wide
+    count vector folds row-local from the bucket array; no vocabulary
+    state, no dictionary broadcast, output width fixed at _FH_DIM
+    regardless of corpus (the whole point of hashing features).  The
+    vector is emitted comma-joined (engine-portable string, like
+    embed_normalize's fixed-point output) ready for a downstream
+    trainer."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = F.filter(F.split(F.col("text"), " "), lambda w: w != F.lit(""))
+    bs = F.transform(
+        ws, lambda w: hash64(F.concat(F.lit("fh-"), w)) % _FH_DIM
+    )
+    base = docs.where(F.col("text").isNotNull()).select("doc_id", bs.alias("bs"))
+    counts = F.transform(
+        F.sequence(F.lit(0), F.lit(_FH_DIM - 1)),
+        lambda j: F.size(F.filter(F.col("bs"), lambda b: b == j)),
+    )
+    return base.select(
+        "doc_id",
+        F.size("bs").cast("long").alias("n_tokens"),
+        F.array_join(counts, ",").alias("vec"),
+    )

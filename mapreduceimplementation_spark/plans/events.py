@@ -759,3 +759,47 @@ def events_minutely_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# B36. events_value_histogram
+
+_HIST_WIDTH = 50.0  # bin width; values observed in [0, ~500)
+_HIST_BINS = 10  # bins 0..9 cover [0, 500); bin 10 = overflow
+
+
+@register(
+    "events_value_histogram",
+    oracle=f"""
+    SELECT event_type,
+           CAST(LEAST(FLOOR(value / {_HIST_WIDTH}), {_HIST_BINS}) AS BIGINT) AS bin,
+           ROUND(LEAST(FLOOR(value / {_HIST_WIDTH}), {_HIST_BINS}) * {_HIST_WIDTH}, 2) AS bin_lo,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type — the distribution
+    report behind every monitoring dashboard.  Bins are FIXED-width
+    (declared, not data-derived): at 100 TB the bin edges cannot depend
+    on a min/max pre-pass, and fixed edges make histograms mergeable
+    across days/partitions (sum cells) exactly like B28's rollup merge.
+
+    One scan, one partial-agg exchange on the tiny (type, bin) key
+    space; the bin function floor(value/width) with an overflow bin is
+    IEEE-identical in both engines (one double divide + floor — no
+    accumulated float state), so even cell boundaries are
+    engine-exact."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    bin_ = F.least(F.floor(F.col("value") / _HIST_WIDTH), F.lit(_HIST_BINS))
+    return (
+        ev.select(
+            "event_type",
+            bin_.cast("long").alias("bin"),
+            F.round(bin_ * _HIST_WIDTH, 2).alias("bin_lo"),
+        )
+        .groupBy("event_type", "bin", "bin_lo")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

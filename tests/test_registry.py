@@ -51,6 +51,7 @@ INVENTORY = [
     "q10_returned_items",    # B33: returned-revenue top-20 report
     "q22_missed_opportunities",  # B34: scalar-subquery + anti-join
     "q14_promo_revenue",     # B35: fact-side promo revenue share
+    "events_value_histogram",  # B36: fixed-bin mergeable histogram
     "events_minutely_incremental",  # B28: base+delta rollup merge == full
     "events_minutely_orc",   # B31: ORC ingestion parity for B7
     "kv_apply_log",          # B10
@@ -94,6 +95,7 @@ INVENTORY = [
     "quality_repetition",    # C31: Gopher-style repetition filters
     "dedup_semantic",        # C32: SemDeDup within-cluster near-dups
     "bloom_membership",      # C33: portable Bloom-filter blocklist probe
+    "feature_hash_vectors",  # C34: hashing-trick doc count vectors
     "ann_ivf_kmeans",        # C30: IVF over k-means-trained cells
     # D. Structured Streaming
     "streaming_windowed_counts",  # D1

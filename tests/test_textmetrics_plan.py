@@ -103,3 +103,20 @@ def test_quality_repetition_two_exchanges(spark, sf_dir):
     n_ex = plan.count("Exchange hashpartitioning")
     assert n_ex == 2, f"expected 2 hash exchanges, saw {n_ex}:\n{plan}"
     assert "CartesianProduct" not in plan
+
+
+def test_feature_hash_vectors_oracle_and_shape(spark, sf_dir, duck):
+    """C34: oracle match + zero-exchange plan + per-row invariant
+    (vector components sum to n_tokens — hashing never drops a token)."""
+    from tests.conftest import assert_same_result
+
+    df = eng.QUERIES["feature_hash_vectors"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["feature_hash_vectors"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    out = df.toPandas()
+    assert len(out) > 0
+    for _, r in out.iterrows():
+        parts = [int(x) for x in r["vec"].split(",")]
+        assert len(parts) == 32
+        assert sum(parts) == r["n_tokens"]

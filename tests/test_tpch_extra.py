@@ -110,3 +110,17 @@ def test_q14_share_bounds_and_pushdown(spark, sf_dir):
     plan = formatted_plan(eng.QUERIES["q14_promo_revenue"](spark, sf_dir))
     assert "PushedFilters" in plan
     assert "l_shipdate" in plan.split("PushedFilters", 1)[1]
+
+
+def test_events_value_histogram(spark, sf_dir, duck):
+    """B36: oracle match + cells are a partition of all events (counts
+    sum to the table count) and bins stay in [0, overflow]."""
+    from mapreduceimplementation_spark.sources.tables import load_table
+
+    df = eng.QUERIES["events_value_histogram"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["events_value_histogram"])
+    out = df.toPandas()
+    total = load_table(spark, sf_dir, "events").count()
+    assert out["n"].sum() == total
+    assert out["bin"].between(0, 10).all()
+    assert (out["bin_lo"] == out["bin"] * 50.0).all()
