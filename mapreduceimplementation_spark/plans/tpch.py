@@ -686,3 +686,454 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(rev).alias("total_revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# B37. q6_forecast_revenue
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (Forecasting Revenue Change): the minimal scan-aggregate
+    — no join, no group key, three conjunctive predicates and one sum.
+
+    Scale shape: this is the pushdown exhibit.  All three predicates
+    (shipdate range, discount band, quantity cap) are PushedFilters into
+    the parquet scan and the ReadSchema is pruned to the four touched
+    columns, so at 100 TB the scan does row-group skipping on shipdate
+    min/max stats and never materializes untouched columns.  The
+    aggregate is a one-row partial agg (map-side combine, 32 partials →
+    one row); revenue accumulates exact DECIMAL so the single output row
+    is bit-stable at any partitioning.  The discount band compares
+    doubles against the same literals in both engines — identical IEEE
+    constants, identical frontier."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).select("l_extendedprice", "l_discount")
+    return spread(li, spark).agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B38. q13_customer_distribution
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer
+        LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (Customer Distribution): how many customers placed k
+    orders — INCLUDING the zero-order customers, which is why the filter
+    must live in the join condition, not a WHERE (a where-filter after
+    the outer join would silently drop the c_count=0 bucket).
+
+    Scale shape: the only customer-keyed exchange carries (c_custkey,
+    o_orderkey) pairs; count partial-aggregates map-side.  The second
+    aggregation's key space is the order-count domain (tiny, bounded by
+    max orders per customer) — a two-stage shrink from fact volume to a
+    dozen rows.  Left-join skew on popular customers is AQE's skew-join
+    case; the key is the customer primary key so fanout equals that
+    customer's order count, bounded by data model not corpus size."""
+    tune(spark)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_orderkey", "o_custkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# B39. q15_top_supplier
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               ROUND({sql_dsum('l_extendedprice * (1 - l_discount)')}, 2)
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (Top Supplier): the supplier(s) whose quarter revenue
+    equals the maximum — an aggregate compared against an aggregate of
+    itself (the reference formulation is a view used twice).
+
+    Scale shape: one pushed-filter scan aggregates per supplier (key
+    space = supplier cardinality, bounded dim); the max rides back as a
+    ONE-ROW broadcast equi-join rather than a single-partition window
+    over the aggregate (the same aggregate feeds both sides, so Spark
+    reuses the exchange).  Revenue is rounded-decimal BEFORE the
+    equality — comparing raw double sums for equality would make "ties
+    with the max" partitioning-dependent; rounded at 2dp the tie set is
+    engine-exact.  Supplier joins broadcast on the bounded dim."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.round(
+                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B40. q17_small_quantity
+
+_Q17_BRAND = "Brand#23"
+
+
+@register(
+    "q17_small_quantity",
+    oracle=f"""
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+                 / 7.0, 2) AS avg_yearly,
+           count(*) AS n_lines
+    FROM (
+        SELECT l_extendedprice, l_quantity,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(27,6)))
+                        OVER (PARTITION BY l_partkey) AS DOUBLE)
+                   / COUNT(*) OVER (PARTITION BY l_partkey) AS part_avg_qty
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = '{_Q17_BRAND}'
+    )
+    WHERE l_quantity < 0.2 * part_avg_qty
+    """,
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (Small-Quantity-Order Revenue): lineitems whose quantity
+    is under 20% of their part's average — the canonical correlated
+    scalar subquery, decorrelated into a per-part window.
+
+    Scale shape: the brand predicate shrinks part ~27x BEFORE the fact
+    join (broadcast build side); the correlated `avg(l_quantity) where
+    same part` becomes ONE window over l_partkey on the already-filtered
+    fact rows — a single exchange whose per-group size is the part's
+    lineitem fanout (bounded by the data model, not corpus size), instead
+    of a second scan + self-join.  The window average is decimal-exact
+    (sum DECIMAL / count) so the 0.2x threshold is the same IEEE double
+    in both engines; the final one-row sum is DECIMAL with round-at-2dp."""
+    tune(spark)
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_brand") == _Q17_BRAND
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_partkey")
+    flagged = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn(
+            "part_avg_qty",
+            (
+                F.sum(F.col("l_quantity").cast("decimal(27,6)")).over(w).cast("double")
+                / F.count(F.lit(1)).over(w)
+            ),
+        )
+        .where(F.col("l_quantity") < 0.2 * F.col("part_avg_qty"))
+    )
+    return flagged.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(27,6)")).cast("double")
+            / 7.0,
+            2,
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B41. q19_discounted_revenue
+
+_Q19_ARMS = (
+    ("Brand#12", 1, 5, 1, 11),
+    ("Brand#23", 1, 10, 10, 20),
+    ("Brand#34", 1, 15, 20, 30),
+)
+
+
+@register(
+    "q19_discounted_revenue",
+    oracle=f"""
+    SELECT COALESCE({sql_dsum('l_extendedprice * (1 - l_discount)')}, 0.0)
+               AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (Discounted Revenue): an OR of three conjunct arms
+    spanning BOTH sides of a join — the disjunctive-pushdown exhibit.
+
+    Scale shape: Catalyst cannot push a cross-table OR into either scan,
+    so we pre-apply each side's DISJUNCTIVE HULL ourselves: part gets
+    `p_brand IN (three brands) AND p_size BETWEEN 1 AND 15` (pushed,
+    shrinks the build side ~10x), lineitem gets `l_quantity BETWEEN 1
+    AND 30` (pushed, row-group skipping).  The exact OR survives as the
+    residual join filter over the pre-shrunk inputs.  Hand-deriving the
+    hull is the documented pattern for OR-of-ANDs at scale — the
+    difference between scanning 100 TB and scanning the hull's slice."""
+    tune(spark)
+    brands = sorted({a[0] for a in _Q19_ARMS})
+    max_size = max(a[2] for a in _Q19_ARMS)
+    min_qty = min(a[3] for a in _Q19_ARMS)
+    max_qty = max(a[4] for a in _Q19_ARMS)
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_brand").isin(brands) & F.col("p_size").between(1, max_size)
+    ).select("p_partkey", "p_brand", "p_size")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity").between(min_qty, max_qty)
+    ).select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    arm = None
+    for brand, lo_sz, hi_sz, lo_q, hi_q in _Q19_ARMS:
+        cond = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(lo_sz, hi_sz)
+            & F.col("l_quantity").between(lo_q, hi_q)
+        )
+        arm = cond if arm is None else (arm | cond)
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(arm)
+        .agg(
+            F.coalesce(
+                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                F.lit(0.0),
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B42. q8_market_share
+
+_Q8_REGION = "ASIA"
+_Q8_NATION = "NATION_2"
+_Q8_TYPE = "ECONOMY"
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+    SELECT o_year,
+           ROUND({sql_dsum('nation_volume')} / {sql_dsum('volume')}, 6)
+               AS mkt_share,
+           {sql_dsum('volume')} AS region_volume
+    FROM (
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               CASE WHEN n2.n_name = '{_Q8_NATION}'
+                    THEN l_extendedprice * (1 - l_discount)
+                    ELSE 0.0 END AS nation_volume
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region    ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = '{_Q8_REGION}'
+          AND p_type = '{_Q8_TYPE}'
+          AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                              AND TIMESTAMP '1996-12-31 00:00:00'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (National Market Share): of the revenue one region's
+    customers spent on one part type, what fraction came from suppliers
+    of one nation, by order year — the widest star join in the surface
+    (part, supplier, orders, customer, nation twice, region).
+
+    Scale shape: every dimension is filtered and SHRUNK before touching
+    the fact — part by type (~1/6, broadcast), customer by region via
+    nation⋈region (~1/5, AQE-sized), supplier carries its nation name
+    from a 25-row broadcast; orders is date-banded (pushed).  The fact
+    chain shuffles on its natural keys; the share is a conditional
+    decimal sum over the SAME joined relation (no second pass, the B5
+    discipline lifted through a 7-table join) and rounds at 6dp so the
+    per-year ratio is partitioning-stable."""
+    tune(spark)
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == _Q8_REGION
+    )
+    cust_nations = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_type") == _Q8_TYPE
+    ).select("p_partkey")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").between(
+            F.lit("1995-01-01 00:00:00").cast("timestamp"),
+            F.lit("1996-12-31 00:00:00").cast("timestamp"),
+        )
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(cust_nations), F.col("c_nationkey") == F.col("cn_key"))
+        .select("c_custkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            volume.alias("volume"),
+            F.when(F.col("supp_nation") == _Q8_NATION, volume)
+            .otherwise(F.lit(0.0))
+            .alias("nation_volume"),
+        )
+    )
+    return joined.groupBy("o_year").agg(
+        F.round(dsum("nation_volume") / dsum("volume"), 6).alias("mkt_share"),
+        dsum("volume").alias("region_volume"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B43. q9_product_profit
+
+_Q9_NAME_FRAGMENT = "widget"
+
+
+@register(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT nation, o_year, {sql_dsum('amount')} AS sum_profit
+    FROM (
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS INT) AS o_year,
+               l_extendedprice * (1 - l_discount) AS amount
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%{_Q9_NAME_FRAGMENT}%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (Product Type Profit, adapted: the testdata ships
+    no partsupp, so profit is discounted revenue rather than revenue
+    minus supplycost): per supplier nation per order year, profit on
+    parts whose name contains a fragment.
+
+    Scale shape: the substring predicate on p_name cannot use stats, but
+    it runs on the PART dim (corpus/fanout smaller than the fact) and
+    the survivors broadcast into lineitem — the fact table never
+    evaluates a LIKE.  Supplier rides its 25-row nation broadcast;
+    orders joins shuffle on orderkey contributing only (orderkey, year).
+    The final key space (nation x year) is tiny with map-side partials;
+    decimal-exact sums round-trip bit-stable."""
+    tune(spark)
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").contains(_Q9_NAME_FRAGMENT)
+    ).select("p_partkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("nation", "o_year", amount.alias("amount"))
+        .groupBy("nation", "o_year")
+        .agg(dsum("amount").alias("sum_profit"))
+    )

@@ -48,9 +48,13 @@ def _plain(v):
     'np.int64(5)' would otherwise sort differently from '5')."""
     if hasattr(v, "item"):
         try:
-            return v.item()
+            v = v.item()
         except Exception:
             return v
+    # The driver's gate normalizes NaN to a sentinel before hashing
+    # (tools/check_oracle.py norm_cell); mirror it so NaN == NaN here too.
+    if isinstance(v, float) and v != v:
+        return "NaN"
     return v
 
 

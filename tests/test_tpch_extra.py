@@ -124,3 +124,164 @@ def test_events_value_histogram(spark, sf_dir, duck):
     assert out["n"].sum() == total
     assert out["bin"].between(0, 10).all()
     assert (out["bin_lo"] == out["bin"] * 50.0).all()
+
+
+# ---------------------------------------------------------------------------
+# B37–B43: round-4 second TPC-H batch (Q6, Q13, Q15, Q17, Q19, Q8, Q9)
+
+
+def test_q6_matches_oracle(spark, sf_dir, duck):
+    df = eng.QUERIES["q6_forecast_revenue"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["q6_forecast_revenue"])
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    """Q6 is the pushdown exhibit: all three predicates reach the scan
+    and the ReadSchema is pruned to the touched columns."""
+    plan = formatted_plan(eng.QUERIES["q6_forecast_revenue"](spark, sf_dir))
+    pushed = plan.split("PushedFilters", 1)[1].split("]", 1)[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+    read = plan.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "l_returnflag" not in read and "l_tax" not in read
+
+
+def test_q13_matches_oracle(spark, sf_dir, duck):
+    df = eng.QUERIES["q13_customer_distribution"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["q13_customer_distribution"])
+
+
+def test_q13_zero_bucket_and_totals(spark, sf_dir):
+    """The filter lives in the JOIN condition: customers with only
+    urgent (filtered) or no orders must land in the c_count=0 bucket
+    (not vanish, as a post-join WHERE would make them), and custdist
+    must sum to the full customer count."""
+    from pyspark.sql import functions as F
+
+    from mapreduceimplementation_spark.sources.tables import load_table
+
+    out = eng.QUERIES["q13_customer_distribution"](spark, sf_dir).toPandas()
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert out["custdist"].sum() == n_cust
+    # Independently count customers with zero non-urgent orders; the
+    # query's 0-bucket must equal it exactly (present iff nonzero).
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    with_orders = orders.select("o_custkey").distinct().count()
+    expect_zero = n_cust - with_orders
+    got_zero = int(out.loc[out["c_count"] == 0, "custdist"].sum())
+    assert got_zero == expect_zero
+
+
+def test_q13_on_vs_where_semantics(spark):
+    """Inline micro-case proving the ON-clause placement: a customer
+    whose only order is urgent must appear with c_count=0."""
+    from pyspark.sql import functions as F
+
+    cust = spark.createDataFrame([(1,), (2,)], "c_custkey int")
+    orders = spark.createDataFrame(
+        [(10, 1, "1-URGENT"), (11, 2, "5-LOW")],
+        "o_orderkey int, o_custkey int, o_orderpriority string",
+    )
+    per_cust = (
+        cust.join(
+            orders.where(F.col("o_orderpriority") != "1-URGENT"),
+            cust.c_custkey == orders.o_custkey,
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    rows = {r["c_custkey"]: r["c_count"] for r in per_cust.collect()}
+    assert rows == {1: 0, 2: 1}
+
+
+def test_q15_matches_oracle(spark, sf_dir, duck):
+    df = eng.QUERIES["q15_top_supplier"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["q15_top_supplier"])
+
+
+def test_q15_is_true_max(spark, sf_dir):
+    """Every returned supplier's revenue equals the max over ALL
+    suppliers' quarter revenue (recomputed independently)."""
+    from pyspark.sql import functions as F
+
+    from mapreduceimplementation_spark.sources.tables import load_table
+
+    out = eng.QUERIES["q15_top_supplier"](spark, sf_dir).toPandas()
+    assert len(out) >= 1
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    per_supp = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(27,6)"
+                    )
+                ).cast("double"),
+                2,
+            ).alias("r")
+        )
+        .toPandas()
+    )
+    assert set(out["total_revenue"]) == {per_supp["r"].max()}
+
+
+def test_q17_matches_oracle(spark, sf_dir, duck):
+    df = eng.QUERIES["q17_small_quantity"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["q17_small_quantity"])
+
+
+def test_q17_part_filter_is_broadcast(spark, sf_dir):
+    plan = formatted_plan(eng.QUERIES["q17_small_quantity"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_matches_oracle(spark, sf_dir, duck):
+    df = eng.QUERIES["q19_discounted_revenue"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["q19_discounted_revenue"])
+
+
+def test_q19_hull_filters_pushed(spark, sf_dir):
+    """The hand-derived disjunctive hulls must reach both scans: brand
+    IN-list + size band on part, quantity band on lineitem."""
+    plan = formatted_plan(eng.QUERIES["q19_discounted_revenue"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    idx = plan.find("PushedFilters")
+    pushed_all = plan[idx:]
+    assert "p_brand" in pushed_all
+    assert "l_quantity" in pushed_all
+
+
+def test_q8_matches_oracle(spark, sf_dir, duck):
+    df = eng.QUERIES["q8_market_share"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["q8_market_share"])
+
+
+def test_q8_share_bounds(spark, sf_dir):
+    out = eng.QUERIES["q8_market_share"](spark, sf_dir).toPandas()
+    assert set(out["o_year"]) == {1995, 1996}
+    assert out["mkt_share"].between(0.0, 1.0).all()
+    plan = formatted_plan(eng.QUERIES["q8_market_share"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_q9_matches_oracle(spark, sf_dir, duck):
+    df = eng.QUERIES["q9_product_profit"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["q9_product_profit"])
+
+
+def test_q9_like_never_touches_fact(spark, sf_dir):
+    """The p_name LIKE runs on the part dim only — the lineitem scan's
+    pushed filters must not mention p_name, and part joins broadcast."""
+    plan = formatted_plan(eng.QUERIES["q9_product_profit"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    for line in plan.splitlines():
+        if "lineitem" in line and "PushedFilters" in line:
+            assert "p_name" not in line
