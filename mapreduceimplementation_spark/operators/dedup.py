@@ -610,3 +610,83 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(wc).alias("cluster_size"),
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C35. shingle containment (subset-duplicate detection)
+
+_CONTAIN_TAU = 0.9  # containment threshold: |A∩B| / min(|A|,|B|)
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH ws AS ({_SQL_SH}),
+    common AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+        FROM ws a JOIN ws b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM ws GROUP BY doc_id)
+    SELECT a_id, b_id,
+           ROUND(n_common * 1.0 / LEAST(sa.n, sb.n), 6) AS containment,
+           ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM common
+    JOIN sz sa ON sa.doc_id = a_id
+    JOIN sz sb ON sb.doc_id = b_id
+    WHERE n_common * 1.0 / LEAST(sa.n, sb.n) >= {_CONTAIN_TAU}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT pairs: |A∩B| / min(|A|, |B|) >= 0.9 — the
+    subset-duplicate detector (Broder's containment measure, the case
+    resemblance/Jaccard systematically misses).
+
+    A short document embedded verbatim inside a much longer one scores
+    jaccard = |A|/|B| → 0 as B grows, but containment stays 1.0 — this
+    is the boilerplate-inclusion / quote-expansion / page-wrapping dup
+    class an LLM-corpus dedup pass needs beside C6/C7.  Emits both
+    measures so the divergence is visible per pair.
+
+    Scale shape: identical machinery to C6 — pair overlap counts come
+    straight from the shingle posting lists via in-bucket pair expansion
+    (one shuffle on the shingle key, never a doc×doc self-join); cost is
+    bounded by per-shingle document frequency, not corpus².  At 100 TB,
+    cap posting-list length (drop shingles with df > K as non-discrim-
+    inative — they only ever ADD candidate pairs below any containment
+    floor for bounded doc sizes) exactly as the C6 docstring prescribes;
+    the exact measure then verifies only candidate pairs."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return containment_pairs(docs, spark)
+
+
+def containment_pairs(
+    docs: DataFrame, spark: SparkSession | None = None, tau: float = _CONTAIN_TAU
+) -> DataFrame:
+    """(a_id, b_id, containment, jaccard) pairs with containment >= tau
+    over any (doc_id, text) relation — the API behind C35."""
+    common = (
+        _bucket_pairs(_shingles(docs, spark), ["sh"], ["doc_id"])
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz = _shingled(docs, spark).select("doc_id", F.size("sh_arr").alias("n"))
+    cont = F.col("n_common") / F.least(F.col("na"), F.col("nb"))
+    j = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        common.join(
+            sz.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na")), "a_id"
+        )
+        .join(
+            sz.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb")), "b_id"
+        )
+        .where(cont >= tau)
+        .select(
+            "a_id",
+            "b_id",
+            F.round(cont, 6).alias("containment"),
+            F.round(j, 6).alias("jaccard"),
+        )
+    )

@@ -1260,3 +1260,130 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             drop.alias("drop_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C36. embedding_outliers
+
+_OUT_Z = 2.0  # |z| threshold on distance-to-label-centroid
+
+
+@register(
+    "embedding_outliers",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE len(embedding) > 0),
+    dims AS (
+        SELECT label, t.i AS pos, v[t.i] AS x
+        FROM e, (SELECT unnest(range(1, {_DIM + 1})) AS i) t
+    ),
+    cmean AS (
+        SELECT label, pos,
+               ROUND(CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE)
+                     / COUNT(*), 6) AS c
+        FROM dims GROUP BY label, pos
+    ),
+    cent AS (SELECT label, list(c ORDER BY pos) AS cv FROM cmean GROUP BY label),
+    d AS (
+        SELECT vec_id, e.label,
+               ROUND(sqrt(list_reduce(list_transform(range(1, {_DIM + 1}),
+                   i -> (e.v[i] - cent.cv[i]) * (e.v[i] - cent.cv[i])),
+                   (a, b) -> a + b)), 6) AS dist
+        FROM e JOIN cent ON e.label = cent.label
+    ),
+    stats AS (
+        SELECT label,
+               CAST(SUM(CAST(dist AS DECIMAL(27,6))) AS DOUBLE)
+                   / COUNT(*) AS mean_d,
+               CAST(SUM(CAST(dist * dist AS DECIMAL(38,12))) AS DOUBLE)
+                   / COUNT(*) AS mean_d2
+        FROM d GROUP BY label
+    )
+    SELECT vec_id, d.label, dist,
+           ROUND(CASE WHEN mean_d2 - mean_d * mean_d > 0
+                      THEN (dist - mean_d) / sqrt(mean_d2 - mean_d * mean_d)
+                      ELSE 0.0 END, 6) AS z,
+           CASE WHEN mean_d2 - mean_d * mean_d > 0
+                THEN abs((dist - mean_d) / sqrt(mean_d2 - mean_d * mean_d))
+                     > {_OUT_Z}
+                ELSE FALSE END AS is_outlier
+    FROM d JOIN stats ON d.label = stats.label
+    """,
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outliers: each vector's L2 distance to its
+    label's centroid, z-scored against the label's distance distribution
+    — the embedding-space mislabel/noise audit that runs before training
+    on a labeled corpus (far-from-centroid points are label errors,
+    off-domain strays, or adversarial junk).
+
+    Scale shape: the centroid is a (label x dim) partial aggregate —
+    posexplode fans each vector into {_DIM} bounded-key rows, so the one
+    exchange carries a key space of labels x dims regardless of corpus
+    size (the kmeans/PCA Gram trick).  Centroids and per-label stats are
+    model-sized relations that BROADCAST back; distance and z are then
+    row-local, so the corpus is scanned twice and shuffled never.  A
+    per-label WINDOW would hot-spot one partition per label (labels are
+    few by construction) — the broadcast-stats join is the skew-safe
+    formulation.  Determinism: per-dim means round at 6dp, the distance
+    fold runs in index order and rounds at 6dp, and the z denominator is
+    decimal-exact moments — every value bit-stable across partitionings
+    and engines; the var <= 0 degenerate (all-equal distances) pins z=0
+    rather than NaN."""
+    tune(spark)
+    e = _normed(spark, sf_dir).select("vec_id", "v").join(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "label"),
+        "vec_id",
+    )
+    cmean = (
+        e.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast("decimal(27,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("c")
+        )
+    )
+    cent = cmean.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
+    dist = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("v", "cv", lambda x, c: (x - c) * (x - c)),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            )
+        ),
+        6,
+    )
+    d = e.join(F.broadcast(cent), "label").select(
+        "vec_id", "label", dist.alias("dist")
+    )
+    stats = d.groupBy("label").agg(
+        (
+            F.sum(F.col("dist").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_d"),
+        (
+            F.sum((F.col("dist") * F.col("dist")).cast("decimal(38,12)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("mean_d2"),
+    )
+    var = F.col("mean_d2") - F.col("mean_d") * F.col("mean_d")
+    zraw = (F.col("dist") - F.col("mean_d")) / F.sqrt(var)
+    return d.join(F.broadcast(stats), "label").select(
+        "vec_id",
+        "label",
+        "dist",
+        F.round(F.when(var > 0, zraw).otherwise(F.lit(0.0)), 6).alias("z"),
+        F.when(var > 0, F.abs(zraw) > _OUT_Z).otherwise(F.lit(False)).alias(
+            "is_outlier"
+        ),
+    )

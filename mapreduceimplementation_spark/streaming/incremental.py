@@ -154,3 +154,68 @@ def streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     same dsum discipline as D1/B7)."""
     df, _ = run_incremental_rollup(spark, sf_dir)
     return df
+
+
+# ---------------------------------------------------------------------------
+# D9. streaming_value_histogram — fixed-bin cells accumulated across
+# microbatches (B36's mergeability claim, exercised by an actual stream)
+
+_D9_SINK = "d9_value_histogram_sink"
+_H_WIDTH = 50.0  # MUST match plans/events.py B36 (shared oracle)
+_H_BINS = 10
+
+
+@register(
+    "streaming_value_histogram",
+    oracle=f"""
+    SELECT event_type,
+           CAST(LEAST(FLOOR(value / {_H_WIDTH}), {_H_BINS}) AS BIGINT) AS bin,
+           ROUND(LEAST(FLOOR(value / {_H_WIDTH}), {_H_BINS}) * {_H_WIDTH}, 2)
+               AS bin_lo,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def streaming_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B36's fixed-width histogram fed by a multi-microbatch file stream:
+    declared bin edges are what make histogram cells MERGEABLE, and a
+    stream is the sharpest proof — each microbatch contributes partial
+    cell counts and the complete-mode state simply sums them, no
+    re-binning, no data-derived edges to disagree about between batches.
+
+    The feed is the chunked events fixture (maxFilesPerTrigger=1 → one
+    microbatch per chunk), the aggregation key (event_type, bin) is tiny
+    and watermark-free (bins are not event-time state: cell count is
+    bounded by the bin grid, so state never grows with the stream —
+    the one aggregation shape that is safe WITHOUT a watermark), and the
+    oracle is IDENTICAL to B36's batch histogram: the green row proves
+    cross-microbatch cell accumulation is count-exact."""
+    from mapreduceimplementation_spark.streaming.windowed import _stop_query
+
+    tune(spark)
+    _size_stream_state(spark)
+    _stop_query(spark, _D9_SINK)
+    feed = _chronological_feed(sf_dir)
+    ev = _events_stream(
+        spark, os.path.join(feed, "chunk-*.parquet"), maxFilesPerTrigger="1"
+    )
+    bin_ = F.least(F.floor(F.col("value") / _H_WIDTH), F.lit(_H_BINS))
+    agg = (
+        ev.select(
+            "event_type",
+            bin_.cast("long").alias("bin"),
+            F.round(bin_ * _H_WIDTH, 2).alias("bin_lo"),
+        )
+        .groupBy("event_type", "bin", "bin_lo")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(_D9_SINK)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(_D9_SINK)

@@ -101,3 +101,44 @@ def test_dedup_clusters_long_chain_converges(spark, sf_dir):
     assert (chained["cluster_id"] == 0).all()
     assert (chained["cluster_size"] == 60).all()
     assert chained[chained["is_canonical"]]["doc_id"].tolist() == [0]
+
+
+# ---------------------------------------------------------------------------
+# C35. dedup_containment
+
+
+def test_containment_matches_oracle(spark, sf_dir, duck):
+    df = eng.QUERIES["dedup_containment"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["dedup_containment"])
+
+
+def test_containment_catches_subset_dup_jaccard_misses(spark):
+    """A short doc embedded verbatim in a 3x-longer doc: containment
+    must be 1.0 while Jaccard sits far below the near-dup threshold —
+    the dup class C35 exists for."""
+    from mapreduceimplementation_spark.operators.dedup import (
+        _TAU,
+        containment_pairs,
+    )
+
+    base = " ".join(f"w{i}" for i in range(30))
+    longer = base + " " + " ".join(f"x{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [("a", base), ("b", longer)], "doc_id string, text string"
+    )
+    rows = containment_pairs(docs, spark).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["a_id"], r["b_id"]) == ("a", "b")
+    assert r["containment"] == 1.0
+    assert r["jaccard"] < _TAU
+
+
+def test_containment_bounds_vs_jaccard(spark, sf_dir):
+    """Containment >= Jaccard always (min(|A|,|B|) <= union), and both
+    live in (0, 1]."""
+    out = eng.QUERIES["dedup_containment"](spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert (out["containment"] >= out["jaccard"]).all()
+    assert out["containment"].between(0.0, 1.0).all()
+    assert (out["jaccard"] > 0.0).all()

@@ -52,6 +52,13 @@ INVENTORY = [
     "q22_missed_opportunities",  # B34: scalar-subquery + anti-join
     "q14_promo_revenue",     # B35: fact-side promo revenue share
     "events_value_histogram",  # B36: fixed-bin mergeable histogram
+    "q6_forecast_revenue",   # B37: pure scan-agg pushdown exhibit
+    "q13_customer_distribution",  # B38: outer-join ON-filter distribution
+    "q15_top_supplier",      # B39: aggregate-equals-own-max view
+    "q17_small_quantity",    # B40: windowed decorrelated scalar subquery
+    "q19_discounted_revenue",  # B41: OR-of-ANDs disjunctive-hull pushdown
+    "q8_market_share",       # B42: 7-table star join conditional share
+    "q9_product_profit",     # B43: dim-side LIKE product profit (adapted)
     "events_minutely_incremental",  # B28: base+delta rollup merge == full
     "events_minutely_orc",   # B31: ORC ingestion parity for B7
     "kv_apply_log",          # B10
@@ -97,6 +104,8 @@ INVENTORY = [
     "bloom_membership",      # C33: portable Bloom-filter blocklist probe
     "feature_hash_vectors",  # C34: hashing-trick doc count vectors
     "ann_ivf_kmeans",        # C30: IVF over k-means-trained cells
+    "dedup_containment",     # C35: shingle containment subset-dup pairs
+    "embedding_outliers",    # C36: distance-to-label-centroid z-scores
     # D. Structured Streaming
     "streaming_windowed_counts",  # D1
     "streaming_sessionize",       # D2
@@ -106,6 +115,7 @@ INVENTORY = [
     "streaming_incremental_rollup",  # D7: update-mode foreachBatch upsert MV
     "streaming_enriched_counts",  # D8: stream-static enrichment join
     "streaming_sessionize_native",  # D6: built-in session_window twin of D2
+    "streaming_value_histogram",  # D9: multi-microbatch fixed-bin histogram
 ]
 
 #: SURVEY rows not yet implemented — MUST shrink to empty; a key may not

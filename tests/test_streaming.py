@@ -306,3 +306,36 @@ def test_enriched_stream_multibatch_equals_batch(spark, sf_dir, tmp_path):
     assert a == b and len(a) > 0
     tiers = {t for _, t, _, _ in a}
     assert tiers == {"heavy", "light"}
+
+
+# ---------------------------------------------------------------------------
+# D9. streaming_value_histogram
+
+
+def test_streaming_histogram_equals_batch_twin(spark, sf_dir):
+    """The multi-microbatch streamed histogram must equal B36's batch
+    histogram cell-for-cell (shared fixed bin edges = mergeable cells)."""
+    stream = {
+        tuple(r) for r in
+        eng.QUERIES["streaming_value_histogram"](spark, sf_dir).collect()
+    }
+    batch = {
+        tuple(r) for r in
+        eng.QUERIES["events_value_histogram"](spark, sf_dir).collect()
+    }
+    assert stream == batch
+
+
+def test_streaming_histogram_feed_is_multibatch(spark, sf_dir):
+    """maxFilesPerTrigger=1 over the chunked feed: the stream must
+    actually run >1 microbatch for the accumulation claim to mean
+    anything."""
+    import glob
+    import os
+
+    from mapreduceimplementation_spark.streaming.incremental import (
+        _chronological_feed,
+    )
+
+    feed = _chronological_feed(sf_dir)
+    assert len(glob.glob(os.path.join(feed, "chunk-*.parquet"))) >= 2

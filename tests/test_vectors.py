@@ -267,3 +267,32 @@ def test_dedup_semantic_survivor_rule(spark, sf_dir):
             assert row.drop_id == closer
         else:
             assert row.drop_id == row.b_id  # tie drops the larger id
+
+
+# ---------------------------------------------------------------------------
+# C36. embedding_outliers
+
+
+def test_embedding_outliers_matches_oracle(spark, sf_dir, duck):
+    from tests.conftest import assert_same_result
+
+    df = eng.QUERIES["embedding_outliers"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["embedding_outliers"])
+
+
+def test_embedding_outliers_invariants(spark, sf_dir):
+    """Every vector scored exactly once; distances non-negative; within
+    each label the rounded z-scores average ~0 and the outlier flag is
+    exactly |z| > 2."""
+    out = eng.QUERIES["embedding_outliers"](spark, sf_dir).toPandas()
+    from mapreduceimplementation_spark.sources.tables import load_table
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert len(out) == n
+    assert out["vec_id"].is_unique
+    assert (out["dist"] >= 0).all()
+    assert (out["is_outlier"] == (out["z"].abs() > 2.0)).all()
+    for _, grp in out.groupby("label"):
+        assert abs(grp["z"].mean()) < 0.01
+        # z-scores standardize: some mass beyond neither bound collapses
+        assert grp["z"].abs().max() > 0
