@@ -762,3 +762,100 @@ def feature_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("bs").cast("long").alias("n_tokens"),
         F.array_join(counts, ",").alias("vec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C37. corpus_zipf_slope
+
+_ZIPF_TOPN = 100  # fit over the top-N words (the linear regime of the curve)
+
+_SQL_ZIPF_WORDS = """
+    SELECT w AS word
+    FROM (
+        SELECT unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS w
+        FROM documents
+    )
+    WHERE w <> ''
+"""
+
+
+@register(
+    "corpus_zipf_slope",
+    oracle=f"""
+    WITH wc AS (
+        SELECT word, count(*) AS c FROM ({_SQL_ZIPF_WORDS}) GROUP BY word
+    ),
+    ranked AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, word) AS r
+        FROM (SELECT word, c FROM wc ORDER BY c DESC, word LIMIT {_ZIPF_TOPN})
+    ),
+    t AS (
+        SELECT CAST(ROUND(ln(r), 9) AS DECIMAL(18,9)) AS x,
+               CAST(ROUND(ln(c), 9) AS DECIMAL(18,9)) AS y
+        FROM ranked
+    ),
+    s AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx
+        FROM t
+    )
+    SELECT CAST(n AS BIGINT) AS n_words,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+               AS intercept
+    FROM s
+    """,
+)
+def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus word frequencies: least-squares
+    slope of ln(freq) vs ln(rank) across the top-N (_ZIPF_TOPN=100) words —
+    the one-number lexical-diversity health check a corpus report leads
+    with (natural text sits near slope -1; templated/spam-heavy corpora
+    flatten, deduped boilerplate steepens).
+
+    Scale shape: word counts are one partial-agg exchange (the wordcount
+    plan); the top-N cut is TakeOrderedAndProject with a full (count,
+    word) tie-break — per-partition bounded heaps, no global sort — and
+    the regression runs over the N-row relation (the rank window orders
+    N rows, bounded by the declared fit width, not vocabulary).  The
+    moment sums quantize each ln() to 9dp DECIMAL before summing
+    (order-independent; C28's discipline — raw double sums would vary
+    with merge order and libm ulps), and the closed-form slope is
+    evaluated in double from exact moments, rounded at 6dp."""
+    tune(spark)
+    from pyspark.sql.window import Window
+
+    from mapreduceimplementation_spark.functions.text import word_tokens
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wc = word_tokens(docs).groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    top = wc.orderBy(F.col("c").desc(), "word").limit(_ZIPF_TOPN)
+    ranked = top.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), "word"))
+        .alias("r"),
+    )
+    t = ranked.select(
+        F.round(F.log("r"), 9).cast("decimal(18,9)").alias("x"),
+        F.round(F.log("c"), 9).cast("decimal(18,9)").alias("y"),
+    )
+    s = t.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").alias("n_words"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )

@@ -803,3 +803,103 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "bin", "bin_lo")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# B44. events_minutely_gapfill
+
+_GF_LO = "2024-01-05 00:00:00"
+_GF_HI = "2024-01-07 00:00:00"  # exclusive: spine covers 2 days of minutes
+
+
+@register(
+    "events_minutely_gapfill",
+    oracle=f"""
+    WITH cells AS (
+        SELECT date_trunc('minute', ts) AS minute, event_type,
+               count(*) AS n_events,
+               {sql_dsum('value')} AS total_value
+        FROM events
+        WHERE ts >= TIMESTAMP '{_GF_LO}' AND ts < TIMESTAMP '{_GF_HI}'
+        GROUP BY 1, 2
+    ),
+    types AS (SELECT DISTINCT event_type FROM cells),
+    spine AS (
+        SELECT t.event_type, s.minute
+        FROM types t, (
+            SELECT unnest(generate_series(
+                TIMESTAMP '{_GF_LO}',
+                TIMESTAMP '{_GF_HI}' - INTERVAL 1 MINUTE,
+                INTERVAL 1 MINUTE)) AS minute
+        ) s
+    )
+    SELECT s.minute, s.event_type,
+           COALESCE(c.n_events, 0) AS n_events,
+           COALESCE(c.total_value, 0.0) AS total_value,
+           c.minute IS NULL AS is_gap
+    FROM spine s
+    LEFT JOIN cells c
+      ON s.minute = c.minute AND s.event_type = c.event_type
+    """,
+)
+def events_minutely_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled minutely rollup over a DECLARED window — the
+    hypertable `time_bucket_gapfill` / dashboard-resample operation:
+    every (minute, type) cell of the window is present, zero-filled and
+    flagged where no events landed (a dashboard that skips empty minutes
+    hides exactly the outage it exists to show).
+
+    Scale shape: the spine is DERIVED FROM DECLARED BOUNDS, not a
+    min/max pre-pass over the data (B36's declared-edges discipline —
+    no extra scan, and the window is what the report promised, even when
+    the data starts late or ends early).  Spine size = window minutes x
+    observed types: generated by exploding one sequence() per type off
+    the AGGREGATED relation — bounded by report shape, independent of
+    event volume.  The fact scan carries the pushed ts-range filter,
+    aggregates once on the tiny (minute, type) key, then left-joins the
+    spine (both sides cell-sized).  is_gap survives as the explicit
+    outage signal."""
+    tune(spark)
+    lo = F.lit(_GF_LO).cast("timestamp")
+    hi = F.lit(_GF_HI).cast("timestamp")
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("ts") >= lo) & (F.col("ts") < hi)
+    ).select("ts", "event_type", "value")
+    cells = (
+        ev.groupBy(F.date_trunc("minute", "ts").alias("minute"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .localCheckpoint()  # tiny; feeds the type list AND the join probe
+    )
+    spine = (
+        cells.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(lo, hi - F.expr("INTERVAL 1 MINUTE"), F.expr("INTERVAL 1 MINUTE"))
+            ).alias("minute"),
+        )
+    )
+    c = cells.select(
+        F.col("minute").alias("c_minute"),
+        F.col("event_type").alias("c_type"),
+        "n_events",
+        "total_value",
+    )
+    return (
+        spine.join(
+            c,
+            (spine.minute == c.c_minute) & (spine.event_type == c.c_type),
+            "left",
+        )
+        .select(
+            "minute",
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+            F.col("c_minute").isNull().alias("is_gap"),
+        )
+    )

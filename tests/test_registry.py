@@ -59,6 +59,7 @@ INVENTORY = [
     "q19_discounted_revenue",  # B41: OR-of-ANDs disjunctive-hull pushdown
     "q8_market_share",       # B42: 7-table star join conditional share
     "q9_product_profit",     # B43: dim-side LIKE product profit (adapted)
+    "events_minutely_gapfill",  # B44: declared-window zero-filled spine
     "events_minutely_incremental",  # B28: base+delta rollup merge == full
     "events_minutely_orc",   # B31: ORC ingestion parity for B7
     "kv_apply_log",          # B10
@@ -106,6 +107,7 @@ INVENTORY = [
     "ann_ivf_kmeans",        # C30: IVF over k-means-trained cells
     "dedup_containment",     # C35: shingle containment subset-dup pairs
     "embedding_outliers",    # C36: distance-to-label-centroid z-scores
+    "corpus_zipf_slope",     # C37: rank-frequency power-law fit
     # D. Structured Streaming
     "streaming_windowed_counts",  # D1
     "streaming_sessionize",       # D2

@@ -120,3 +120,31 @@ def test_feature_hash_vectors_oracle_and_shape(spark, sf_dir, duck):
         parts = [int(x) for x in r["vec"].split(",")]
         assert len(parts) == 32
         assert sum(parts) == r["n_tokens"]
+
+
+# ---------------------------------------------------------------------------
+# C37. corpus_zipf_slope
+
+
+def test_zipf_matches_oracle(spark, sf_dir, duck):
+    from tests.conftest import assert_same_result
+
+    df = eng.QUERIES["corpus_zipf_slope"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["corpus_zipf_slope"])
+
+
+def test_zipf_slope_is_negative_and_topk_bounded(spark, sf_dir):
+    """Rank-frequency fits slope < 0 by construction (counts are
+    non-increasing in rank) and the fit width never exceeds the declared
+    top-N."""
+    out = eng.QUERIES["corpus_zipf_slope"](spark, sf_dir).toPandas()
+    assert len(out) == 1
+    assert out.loc[0, "slope"] < 0
+    assert 0 < out.loc[0, "n_words"] <= 100
+
+
+def test_zipf_topk_is_take_ordered(spark, sf_dir):
+    from tests.conftest import formatted_plan
+
+    plan = formatted_plan(eng.QUERIES["corpus_zipf_slope"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan

@@ -285,3 +285,29 @@ def test_q9_like_never_touches_fact(spark, sf_dir):
     for line in plan.splitlines():
         if "lineitem" in line and "PushedFilters" in line:
             assert "p_name" not in line
+
+
+def test_gapfill_matches_oracle(spark, sf_dir, duck):
+    df = eng.QUERIES["events_minutely_gapfill"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["events_minutely_gapfill"])
+
+
+def test_gapfill_spine_is_complete(spark, sf_dir):
+    """Every (minute, type) cell of the declared 2-day window is present
+    exactly once; gap cells are zero-filled; non-gap cells sum to the
+    window's event count."""
+    from pyspark.sql import functions as F
+
+    from mapreduceimplementation_spark.sources.tables import load_table
+
+    out = eng.QUERIES["events_minutely_gapfill"](spark, sf_dir).toPandas()
+    n_types = out["event_type"].nunique()
+    assert len(out) == 2 * 24 * 60 * n_types
+    assert not out.duplicated(["minute", "event_type"]).any()
+    gaps = out[out["is_gap"]]
+    assert (gaps["n_events"] == 0).all() and (gaps["total_value"] == 0.0).all()
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-07 00:00:00").cast("timestamp"))
+    )
+    assert out["n_events"].sum() == ev.count()
