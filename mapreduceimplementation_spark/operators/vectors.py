@@ -1329,12 +1329,17 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold runs in index order and rounds at 6dp, and the z denominator is
     decimal-exact moments — every value bit-stable across partitionings
     and engines; the var <= 0 degenerate (all-equal distances) pins z=0
-    rather than NaN."""
+    rather than NaN.  The narrow (vec_id, label, dist) relation is
+    localCheckpoint'ed once: it feeds the stats aggregate AND the final
+    join, and without the pin each consumer re-derives the whole
+    scan+centroid lineage (8 scans observed; 2 after)."""
     tune(spark)
-    e = _normed(spark, sf_dir).select("vec_id", "v").join(
-        load_table(spark, sf_dir, "embeddings").select("vec_id", "label"),
-        "vec_id",
-    )
+    e = spread(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+        ),
+        spark,
+    ).where(F.size("v") > 0)
     cmean = (
         e.select("label", F.posexplode("v").alias("pos", "x"))
         .groupBy("label", "pos")
@@ -1361,8 +1366,10 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
-    d = e.join(F.broadcast(cent), "label").select(
-        "vec_id", "label", dist.alias("dist")
+    d = (
+        e.join(F.broadcast(cent), "label")
+        .select("vec_id", "label", dist.alias("dist"))
+        .localCheckpoint()
     )
     stats = d.groupBy("label").agg(
         (

@@ -822,6 +822,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("total_revenue")
         )
+        # bounded by supplier cardinality; feeds BOTH the max and the
+        # equi-join probe — pinned so lineitem is scanned exactly once
+        .localCheckpoint()
     )
     mx = rev.agg(F.max("total_revenue").alias("_mx"))
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
