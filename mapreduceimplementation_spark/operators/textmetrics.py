@@ -859,3 +859,98 @@ def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# C38. corpus_ngram_lm_counts
+
+_LM_MIN_COUNT = 5  # count-pruning threshold (the Brants et al. knob)
+
+
+@register(
+    "corpus_ngram_lm_counts",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        FROM documents WHERE text IS NOT NULL
+    ), grams AS (
+        SELECT 1 AS n, unnest(ws) AS gram FROM words
+        UNION ALL
+        SELECT 2, unnest(list_transform(range(1, len(ws)),
+            i -> ws[i] || ' ' || ws[i+1])) FROM words
+        UNION ALL
+        SELECT 3, unnest(list_transform(range(1, len(ws)-1),
+            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) FROM words
+    ), counts AS (
+        SELECT n, gram, count(*) AS c FROM grams GROUP BY n, gram
+    ), totals AS (
+        SELECT n, CAST(sum(c) AS BIGINT) AS total FROM counts GROUP BY n
+    )
+    SELECT counts.n, gram, c, ROUND(c * 1.0 / total, 9) AS frac
+    FROM counts JOIN totals ON counts.n = totals.n
+    WHERE c >= {_LM_MIN_COUNT}
+    """,
+)
+def corpus_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide n-gram counts for n=1..3 with count pruning — the
+    classic MapReduce language-model training job (Brants et al. 2007,
+    "Large Language Models in Machine Translation": distributed n-gram
+    counting + count cutoff IS the LM build).  Emits each surviving
+    gram's count and its within-order relative frequency; C28's
+    trigram scorer is the consumer of exactly this table shape.
+
+    Scale shape: grams for all three orders are built row-local from one
+    split and exploded ONCE (C31's machinery, minus the doc dimension);
+    the ONE data-volume exchange keys on (n, gram) — finer than any
+    document, cannot skew beyond true gram frequency, and map-side
+    partial aggregation collapses each partition's duplicates before
+    shuffle (the word-count contract).  Order totals aggregate the
+    already-aggregated counts (second exchange is vocabulary-sized, not
+    corpus-sized) and ride back as a 3-row broadcast.  The count cutoff
+    is applied AFTER aggregation (a HAVING, not a WHERE): pruning is a
+    size/quality trade documented by the paper, and totals deliberately
+    include pruned mass so fractions are true probabilities."""
+    tune(spark)
+    base = spread(
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            F.filter(F.split("text", " "), lambda x: x != F.lit("")).alias("w")
+        ),
+        spark,
+    )
+    w = F.col("w")
+    gram_t = "array<struct<n:int,gram:string>>"
+
+    def grams_of(n: int):
+        if n == 1:
+            return F.transform(
+                w, lambda x: F.struct(F.lit(1).alias("n"), x.alias("gram"))
+            )
+        make = F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.struct(
+                F.lit(n).alias("n"),
+                F.concat_ws(
+                    " ", *[F.element_at(w, i + j) for j in range(n)]
+                ).alias("gram"),
+            ),
+        )
+        return F.when(F.size(w) >= n, make).otherwise(F.array().cast(gram_t))
+
+    counts = (
+        base.select(
+            F.explode(F.concat(grams_of(1), grams_of(2), grams_of(3))).alias("g")
+        )
+        .select(F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+        .groupBy("n", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        # vocabulary-sized, feeds totals AND the pruned output
+        .localCheckpoint()
+    )
+    totals = counts.groupBy("n").agg(F.sum("c").cast("long").alias("total"))
+    return (
+        counts.join(F.broadcast(totals), "n")
+        .where(F.col("c") >= _LM_MIN_COUNT)
+        .select("n", "gram", "c", F.round(F.col("c") / F.col("total"), 9).alias("frac"))
+    )

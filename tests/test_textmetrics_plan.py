@@ -148,3 +148,27 @@ def test_zipf_topk_is_take_ordered(spark, sf_dir):
 
     plan = formatted_plan(eng.QUERIES["corpus_zipf_slope"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# C38. corpus_ngram_lm_counts
+
+
+def test_lm_counts_matches_oracle(spark, sf_dir, duck):
+    from tests.conftest import assert_same_result
+
+    df = eng.QUERIES["corpus_ngram_lm_counts"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["corpus_ngram_lm_counts"])
+
+
+def test_lm_counts_semantics(spark, sf_dir):
+    """Survivors respect the cutoff; fractions are true probabilities of
+    the UNPRUNED total (per order they sum to <= 1, and unigram mass
+    dominates pruned mass on natural-ish text); orders 1..3 present."""
+    out = eng.QUERIES["corpus_ngram_lm_counts"](spark, sf_dir).toPandas()
+    assert set(out["n"]) == {1, 2, 3}
+    assert (out["c"] >= 5).all()
+    for _, grp in out.groupby("n"):
+        assert grp["frac"].sum() <= 1.0 + 1e-6
+    uni = out[out["n"] == 1]
+    assert uni["frac"].sum() > 0.9  # tiny vocab: almost nothing pruned
