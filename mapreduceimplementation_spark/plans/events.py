@@ -903,3 +903,52 @@ def events_minutely_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_minute").isNull().alias("is_gap"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# B45. events_daily_users
+
+
+@register(
+    "events_daily_users",
+    oracle=f"""
+    SELECT date_trunc('day', ts) AS day,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events,
+           ROUND(count(*) * 1.0 / count(DISTINCT user_id), 6)
+               AS events_per_user
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users — THE count-distinct-at-scale exhibit.  Exact
+    COUNT(DISTINCT user_id) per day plus events-per-user intensity.
+
+    Scale shape: Spark plans exact distinct as a two-phase expand —
+    partial per-(day, user) de-dup map-side, then the final per-day
+    count — so the exchange carries one row per (day, user), bounded by
+    true daily actives, not event volume.  This is the exact baseline:
+    at 100 TB with hundreds of millions of daily actives the swap is
+    approx_count_distinct (HLL++, mergeable fixed-size sketches, no
+    per-user rows at all) — the swap's error envelope is pinned within
+    5% against this exact twin per day in tests/test_tpch_extra.py
+    (and per type in tests/test_pipeline.py), the same
+    exact-pins-approx contract as B17's percentiles."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "day",
+            "n_users",
+            "n_events",
+            F.round(F.col("n_events") / F.col("n_users"), 6).alias(
+                "events_per_user"
+            ),
+        )
+    )

@@ -311,3 +311,29 @@ def test_gapfill_spine_is_complete(spark, sf_dir):
         & (F.col("ts") < F.lit("2024-01-07 00:00:00").cast("timestamp"))
     )
     assert out["n_events"].sum() == ev.count()
+
+
+def test_daily_users_matches_oracle(spark, sf_dir, duck):
+    df = eng.QUERIES["events_daily_users"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["events_daily_users"])
+
+
+def test_daily_users_pins_approx_swap(spark, sf_dir):
+    """B45 is the exact baseline for the 100 TB approx_count_distinct
+    swap: the HLL++ sketch at rsd=0.02 must land within 5% of every
+    day's exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from mapreduceimplementation_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id")
+    both = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("exact"),
+            F.approx_count_distinct("user_id", 0.02).alias("approx"),
+        )
+        .toPandas()
+    )
+    assert len(both) > 0
+    assert (abs(both["approx"] - both["exact"]) <= 0.05 * both["exact"]).all()
