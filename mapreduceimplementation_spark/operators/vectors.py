@@ -1279,8 +1279,10 @@ _OUT_Z = 2.0  # |z| threshold on distance-to-label-centroid
     ),
     cmean AS (
         SELECT label, pos,
-               ROUND(CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE)
-                     / COUNT(*), 6) AS c
+               CAST((2 * CAST(SUM(CAST(x AS DECIMAL(27,6))) * 1000000 AS BIGINT)
+                     + CASE WHEN SUM(CAST(x AS DECIMAL(27,6))) < 0
+                            THEN -COUNT(*) ELSE COUNT(*) END)
+                    // (2 * COUNT(*)) AS DOUBLE) / 1000000.0 AS c
         FROM dims GROUP BY label, pos
     ),
     cent AS (SELECT label, list(c ORDER BY pos) AS cv FROM cmean GROUP BY label),
@@ -1340,16 +1342,22 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         spark,
     ).where(F.size("v") > 0)
+    # Centroid mean in exact integer micro-units with explicit
+    # half-away-from-zero rounding: ROUND(double_quotient, 6) straddles
+    # engine-specific half handling (one sf0.1 cell measured 0.003213 vs
+    # 0.003214), while (2*num ± n) div (2n) is pure integer arithmetic —
+    # bit-identical in Spark `div` and DuckDB `//` (both truncate toward
+    # zero; the PCA renorm already relies on this).  The sign term only
+    # matters when |num/n| >= 0.5, where the sum's sign is unambiguous.
+    _c_expr = (
+        "CAST((2 * CAST(SUM(CAST(x AS DECIMAL(27,6))) * 1000000 AS BIGINT)"
+        "      + IF(SUM(CAST(x AS DECIMAL(27,6))) < 0, -COUNT(1), COUNT(1)))"
+        "     div (2 * COUNT(1)) AS DOUBLE) / 1000000.0"
+    )
     cmean = (
         e.select("label", F.posexplode("v").alias("pos", "x"))
         .groupBy("label", "pos")
-        .agg(
-            F.round(
-                F.sum(F.col("x").cast("decimal(27,6)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("c")
-        )
+        .agg(F.expr(_c_expr).alias("c"))
     )
     cent = cmean.groupBy("label").agg(
         F.transform(
