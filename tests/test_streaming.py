@@ -339,3 +339,84 @@ def test_streaming_histogram_feed_is_multibatch(spark, sf_dir):
 
     feed = _chronological_feed(sf_dir)
     assert len(glob.glob(os.path.join(feed, "chunk-*.parquet"))) >= 2
+
+
+def test_streaming_checkpoint_recovery(spark, sf_dir, tmp_path):
+    """The crash.go analog on the streaming surface: kill a stateful
+    streaming query mid-feed, restart it from its CHECKPOINT, feed the
+    rest — the recovered run must resume from the source offsets and
+    aggregation state in the checkpoint (not reprocess, not lose) and
+    the final result must equal the one-shot batch aggregation."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mapreduceimplementation_spark.functions.stable import dsum
+    from mapreduceimplementation_spark.streaming.windowed import (
+        _events_stream,
+        _size_stream_state,
+        _stop_query,
+    )
+
+    src = _split_events(spark, sf_dir, tmp_path, n_files=4)
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    parts = sorted(os.listdir(src))
+    for p in parts[:2]:  # only the first half is visible to run 1
+        shutil.copy2(os.path.join(src, p), feed / p)
+    ckpt = str(tmp_path / "ckpt")
+    sink = "d_ckpt_recovery_sink"
+    _size_stream_state(spark)
+    _stop_query(spark, sink)
+
+    def run_once():
+        ev = _events_stream(spark, str(feed), maxFilesPerTrigger="1")
+        agg = (
+            ev.withWatermark("ts", "1 minute")
+            .groupBy(F.window("ts", "1 minute").alias("win"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                dsum("value").alias("total_value"),
+            )
+            .select(
+                F.col("win.start").alias("minute"),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # run 1: first half, then the query is gone
+    partial = spark.table(sink).count()
+    for p in parts[2:]:  # the rest arrives while nothing is running
+        shutil.copy2(os.path.join(src, p), feed / p)
+    run_once()  # run 2: restarts from the checkpoint, reads only new files
+
+    got = {
+        tuple(r)
+        for r in spark.table(sink).collect()
+    }
+    batch = {
+        tuple(r)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("minute", "ts").alias("minute"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == batch
+    # run 1 really was partial — recovery had state to restore
+    assert partial < len(batch)
