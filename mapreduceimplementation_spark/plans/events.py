@@ -952,3 +952,58 @@ def events_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# B46. events_trailing_window
+
+
+@register(
+    "events_trailing_window",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE) AS sum_1h
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts
+        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def events_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-hour activity: for every event, the user's
+    event count and value sum over the PRECEDING HOUR — the rate-limit /
+    velocity-check / fraud-scoring staple, and the TIME-RANGE window
+    frame (B22's moving average is the ROWS-frame dual: last-10-events
+    there, last-60-minutes here; the frames differ whenever event
+    spacing is uneven, which is exactly when velocity matters).
+
+    Scale shape: one exchange on user_id; within each user the RANGE
+    frame is evaluated over a sliding two-pointer pass, so per-row cost
+    is amortized O(1) and per-user state is bounded by the hour's event
+    rate — the frame you can run on unbounded history, like B22.  Frame
+    membership is an exact integer-microsecond comparison (Spark orders
+    by unix_micros with a ±µs-long range; DuckDB by timestamp with an
+    INTERVAL bound — identical [ts-1h, ts] inclusive set, RANGE peers
+    included by definition in both), and the frame sum accumulates exact
+    DECIMAL — bit-stable at any partitioning."""
+    tune(spark)
+    from pyspark.sql.window import Window
+
+    hour_us = 3_600_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-hour_us, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(27,6)")).over(w).cast("double").alias("sum_1h"),
+    )

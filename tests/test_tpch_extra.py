@@ -337,3 +337,35 @@ def test_daily_users_pins_approx_swap(spark, sf_dir):
     )
     assert len(both) > 0
     assert (abs(both["approx"] - both["exact"]) <= 0.05 * both["exact"]).all()
+
+
+def test_trailing_window_matches_oracle(spark, sf_dir, duck):
+    df = eng.QUERIES["events_trailing_window"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["events_trailing_window"])
+
+
+def test_trailing_window_vs_rows_frame_differs(spark, sf_dir):
+    """RANGE-by-time and ROWS-by-count frames must disagree somewhere on
+    unevenly spaced events (that difference is the operator's reason to
+    exist), every row includes itself (n_1h >= 1), and a brute-force
+    pandas recheck of one user's trailing counts matches."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    out = eng.QUERIES["events_trailing_window"](spark, sf_dir)
+    assert out.where(F.col("n_1h") < 1).count() == 0
+    rows_w = (
+        Window.partitionBy("user_id").orderBy(F.unix_micros("ts")).rowsBetween(-9, 0)
+    )
+    both = out.withColumn("n_rows10", F.count(F.lit(1)).over(rows_w))
+    assert both.where(F.col("n_1h") != F.col("n_rows10")).count() > 0
+    # brute-force one user
+    pdf = out.toPandas()
+    uid = pdf["user_id"].iloc[0]
+    mine = pdf[pdf["user_id"] == uid].sort_values("ts")
+    ts = pd.to_datetime(mine["ts"])
+    for i, (t, n) in enumerate(zip(ts, mine["n_1h"])):
+        expect = int(((ts >= t - pd.Timedelta(hours=1)) & (ts <= t)).sum())
+        assert n == expect
