@@ -179,6 +179,44 @@ def _pid_stamped(docs: DataFrame, order: list) -> DataFrame:
     )
 
 
+def distributed_rank(df: DataFrame, order: list) -> DataFrame:
+    """Global dense 1..N ranking over a total order with NO
+    single-partition stage — the A5 algorithm as a reusable API (B47's
+    ntile banding builds on it).  Returns df's columns + ``rank`` (long).
+
+    Range-partition on the sort key, per-partition row_number, then
+    per-partition counts → prefix-sum offsets (one row per partition)
+    broadcast back.  The stamped relation is localCheckpoint'ed so both
+    branches read the same materialized pid assignment (exchange-reuse
+    independence — see mr_distributed_sort)."""
+    stamped = _pid_stamped(df, order).localCheckpoint()
+    local = stamped.withColumn(
+        "local_rank",
+        F.row_number().over(Window.partitionBy("pid").orderBy(*order)),
+    )
+    counts = stamped.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    # prefix-sum over the tiny per-partition counts (bounded by #partitions).
+    # The partition key must be non-foldable or Catalyst folds it back to an
+    # empty spec (= global window over the full input); least(pid, 0) is
+    # constant-valued (pid >= 0) but opaque to the optimizer, keeping an
+    # explicit spec while putting all ≤#partitions count rows in one group.
+    offsets = counts.select(
+        "pid",
+        F.coalesce(
+            F.sum("cnt").over(
+                Window.partitionBy(F.least(F.col("pid"), F.lit(0)))
+                .orderBy("pid")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("offset"),
+    )
+    return local.join(F.broadcast(offsets), "pid").select(
+        (F.col("offset") + F.col("local_rank")).cast("long").alias("rank"),
+        *df.columns,
+    )
+
+
 @register(
     "mr_distributed_sort",
     oracle="""
@@ -210,33 +248,4 @@ def mr_distributed_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     order = [F.col("n_chars").desc(), F.col("doc_id").asc()]
-    stamped = _pid_stamped(docs, order).localCheckpoint()
-    local = stamped.withColumn(
-        "local_rank",
-        F.row_number().over(Window.partitionBy("pid").orderBy(*order)),
-    )
-    counts = stamped.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
-    # prefix-sum over the tiny per-partition counts (bounded by #partitions).
-    # The partition key must be non-foldable or Catalyst folds it back to an
-    # empty spec (= global window over the full input); least(pid, 0) is
-    # constant-valued (pid >= 0) but opaque to the optimizer, keeping an
-    # explicit spec while putting all ≤#partitions count rows in one group.
-    offsets = counts.select(
-        "pid",
-        F.coalesce(
-            F.sum("cnt").over(
-                Window.partitionBy(F.least(F.col("pid"), F.lit(0)))
-                .orderBy("pid")
-                .rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ).alias("offset"),
-    )
-    return (
-        local.join(F.broadcast(offsets), "pid")
-        .select(
-            (F.col("offset") + F.col("local_rank")).cast("long").alias("rank"),
-            "doc_id",
-            "n_chars",
-        )
-    )
+    return distributed_rank(docs, order).select("rank", "doc_id", "n_chars")

@@ -1140,3 +1140,88 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("nation", "o_year")
         .agg(dsum("amount").alias("sum_profit"))
     )
+
+
+# ---------------------------------------------------------------------------
+# B47. customer_balance_deciles
+
+_NTILE_N = 10
+
+
+@register(
+    "customer_balance_deciles",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT c_custkey, c_acctbal,
+               ntile({_NTILE_N}) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+        FROM customer
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           ROUND(min(c_acctbal), 2) AS lo,
+           ROUND(max(c_acctbal), 2) AS hi,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_bal
+    FROM ranked
+    GROUP BY decile
+    """,
+)
+def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer account-balance deciles: NTILE(10) bucket boundaries,
+    sizes, and means — the equal-population banding report (credit
+    tiers, spend segments), and the distribution-function window family
+    (ntile) the surface's row_number/lag windows don't cover.
+
+    Scale shape: a naive ntile() window with no PARTITION BY collapses
+    the whole input into ONE partition — so the bucket id is instead
+    DERIVED from A5's distributed global rank (range exchange +
+    per-partition row_number + broadcast offsets; no single-partition
+    stage) with NTILE's uneven-division arithmetic applied row-local:
+    with T rows, q = T div N, r = T mod N, the first r buckets take q+1
+    rows — exactly the SQL NTILE contract, reproduced from (rank, T)
+    with integer ops.  The decile rollup then partial-aggregates on a
+    10-key space.  Determinism: NTILE splits ties by position, so the
+    order must be total — the c_custkey tie-break makes bucket
+    membership engine-exact (ORDER BY c_acctbal alone would leave equal
+    balances straddling a boundary in engine-dependent order); decile
+    means are decimal-exact, bounds rounded at 2dp."""
+    tune(spark)
+    from mapreduceimplementation_spark.operators.mrcore import distributed_rank
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ranked_rows = distributed_rank(
+        cust, [F.col("c_acctbal").asc(), F.col("c_custkey").asc()]
+    )
+    total = ranked_rows.agg(F.count(F.lit(1)).alias("_t"))
+    n = F.lit(_NTILE_N)
+    q = F.expr(f"_t div {_NTILE_N}")
+    r = F.col("_t") % n
+    big_span = r * (q + 1)  # rows covered by the r larger buckets
+    decile = (
+        F.when(
+            F.col("rank") <= big_span,
+            F.expr(f"(rank - 1) div ((_t div {_NTILE_N}) + 1)") + 1,
+        )
+        .otherwise(
+            r
+            + F.expr(
+                f"(rank - (_t % {_NTILE_N}) * ((_t div {_NTILE_N}) + 1) - 1)"
+                f" div (_t div {_NTILE_N})"
+            )
+            + 1
+        )
+        .cast("int")
+    )
+    ranked = ranked_rows.join(F.broadcast(total)).select(
+        "c_acctbal", decile.alias("decile")
+    )
+    return ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.min("c_acctbal"), 2).alias("lo"),
+        F.round(F.max("c_acctbal"), 2).alias("hi"),
+        F.round(
+            F.sum(F.col("c_acctbal").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_bal"),
+    )

@@ -369,3 +369,43 @@ def test_trailing_window_vs_rows_frame_differs(spark, sf_dir):
     for i, (t, n) in enumerate(zip(ts, mine["n_1h"])):
         expect = int(((ts >= t - pd.Timedelta(hours=1)) & (ts <= t)).sum())
         assert n == expect
+
+
+def test_deciles_matches_oracle(spark, sf_dir, duck):
+    df = eng.QUERIES["customer_balance_deciles"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["customer_balance_deciles"])
+
+
+def test_deciles_are_equal_population_and_ordered(spark, sf_dir):
+    """NTILE contract: bucket sizes differ by at most 1 with the larger
+    buckets FIRST, sizes sum to the row count, and value ranges are
+    non-overlapping and ascending."""
+    from mapreduceimplementation_spark.sources.tables import load_table
+
+    out = (
+        eng.QUERIES["customer_balance_deciles"](spark, sf_dir)
+        .toPandas()
+        .sort_values("decile")
+        .reset_index(drop=True)
+    )
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert out["n_customers"].sum() == n_cust
+    sizes = out["n_customers"].tolist()
+    assert max(sizes) - min(sizes) <= 1
+    assert sizes == sorted(sizes, reverse=True)  # larger buckets first
+    for i in range(1, len(out)):
+        assert out.loc[i, "lo"] >= out.loc[i - 1, "hi"]
+
+
+def test_deciles_have_no_single_partition_window(spark, sf_dir):
+    """The bucket id must come from the distributed rank, never an
+    ntile()/row_number() window with an empty partition spec over the
+    full input (single-partition collapse)."""
+    from tests.conftest import formatted_plan
+
+    plan = formatted_plan(eng.QUERIES["customer_balance_deciles"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the only full-input window runs per range-partition (pid spec)
+    for line in plan.splitlines():
+        if "ntile" in line.lower():
+            raise AssertionError(f"naive ntile window in plan: {line}")
