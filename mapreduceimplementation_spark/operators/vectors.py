@@ -1402,3 +1402,115 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_outlier"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# C39. knn_triangles
+
+_TRI_KEYBASE = 1 << 32  # orientation key = degree * 2^32 + node id
+
+
+@register(
+    "knn_triangles",
+    oracle=f"""
+    WITH knn AS (SELECT src, dst FROM ({_KNN_ORACLE})),
+    und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+            FROM knn),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+            FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+            GROUP BY node),
+    keyed AS (SELECT du.d * {_TRI_KEYBASE} + u AS ku,
+                     dv.d * {_TRI_KEYBASE} + v AS kv
+              FROM und JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v),
+    orient AS (SELECT CASE WHEN ku < kv THEN ku ELSE kv END AS a,
+                      CASE WHEN ku < kv THEN kv ELSE ku END AS b
+               FROM keyed),
+    wedge AS (SELECT e1.b AS a, e2.b AS b FROM orient e1 JOIN orient e2
+              ON e1.a = e2.a AND e1.b < e2.b),
+    tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM wedge JOIN orient ON wedge.a = orient.a AND wedge.b = orient.b),
+    dagg AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                    CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+             FROM deg),
+    ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und)
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           ROUND(CASE WHEN n_wedges > 0
+                      THEN 3.0 * n_triangles / n_wedges ELSE 0.0 END, 6)
+               AS clustering
+    FROM dagg, ne, tri
+    """,
+)
+def knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the corpus kNN
+    graph — the canonical MapReduce graph-analytics workload (Suri &
+    Vassilvitskii 2011's MR triangle counting; Cohen 2009's MR graph
+    kit), and the density audit for the near-dup neighborhood structure
+    C21 builds (a high clustering coefficient means near-dup CLUSTERS,
+    not chance pairs).
+
+    Scale shape: every edge is oriented from its lower-(degree, id)
+    endpoint — the degree-ordering trick that bounds wedge fanout by
+    O(sqrt(m)) per node on ANY graph (here out-degree is additionally
+    <= k by construction).  Wedges come from one groupBy(center) +
+    in-bucket pair expansion over the oriented edges (the C6/C21
+    machinery — one exchange, no edge self-join), and each triangle is
+    counted exactly once as its unique oriented wedge + closing edge.
+    The edge relation is localCheckpoint'ed once (model-sized: <= k*n
+    rows) and all counts are integers — the whole result is exact, no
+    float tolerance anywhere except the final 6dp clustering ratio."""
+    tune(spark)
+    from mapreduceimplementation_spark.operators.dedup import _bucket_pairs
+
+    edges = knn_graph(spark, sf_dir).select("src", "dst")
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    keyed = (
+        und.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+        .select(
+            (F.col("du") * _TRI_KEYBASE + F.col("u")).alias("ku"),
+            (F.col("dv") * _TRI_KEYBASE + F.col("v")).alias("kv"),
+        )
+    )
+    orient = keyed.select(
+        F.least("ku", "kv").alias("a"), F.greatest("ku", "kv").alias("b")
+    ).localCheckpoint()
+    wedges = _bucket_pairs(orient, ["a"], ["b"]).select(
+        F.col("a.b").alias("wa"), F.col("b.b").alias("wb")
+    )
+    tri = wedges.join(
+        orient, (F.col("wa") == F.col("a")) & (F.col("wb") == F.col("b"))
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    dagg = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"),
+    )
+    ne = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        dagg.join(F.broadcast(ne))
+        .join(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.when(
+                    F.col("n_wedges") > 0,
+                    3.0 * F.col("n_triangles") / F.col("n_wedges"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("clustering"),
+        )
+    )

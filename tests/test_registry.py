@@ -112,6 +112,7 @@ INVENTORY = [
     "embedding_outliers",    # C36: distance-to-label-centroid z-scores
     "corpus_zipf_slope",     # C37: rank-frequency power-law fit
     "corpus_ngram_lm_counts",  # C38: count-pruned n-gram LM table
+    "knn_triangles",         # C39: degree-oriented triangle count + clustering
     # D. Structured Streaming
     "streaming_windowed_counts",  # D1
     "streaming_sessionize",       # D2

@@ -296,3 +296,37 @@ def test_embedding_outliers_invariants(spark, sf_dir):
         assert abs(grp["z"].mean()) < 0.01
         # z-scores standardize: some mass beyond neither bound collapses
         assert grp["z"].abs().max() > 0
+
+
+# ---------------------------------------------------------------------------
+# C39. knn_triangles
+
+
+def test_knn_triangles_matches_oracle(spark, sf_dir, duck):
+    from tests.conftest import assert_same_result
+
+    df = eng.QUERIES["knn_triangles"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["knn_triangles"])
+
+
+def test_knn_triangles_brute_force(spark, sf_dir):
+    """Exactly recount triangles with a driver-side set intersection over
+    the same undirected edge set, and pin the invariants (clustering in
+    [0,1], wedges >= 3*triangles)."""
+    out = eng.QUERIES["knn_triangles"](spark, sf_dir).collect()[0]
+    edges = {
+        (min(r["src"], r["dst"]), max(r["src"], r["dst"]))
+        for r in eng.QUERIES["knn_graph"](spark, sf_dir).collect()
+    }
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tri = sum(
+        len(adj[u] & adj[v]) for u, v in edges
+    ) // 3
+    assert out["n_triangles"] == tri
+    assert out["n_edges"] == len(edges)
+    assert out["n_nodes"] == len(adj)
+    assert out["n_wedges"] >= 3 * out["n_triangles"]
+    assert 0.0 <= out["clustering"] <= 1.0
