@@ -219,6 +219,34 @@ _SQL_VERIFY = f"""
 # C6. exact n-gram Jaccard (the verify-everything baseline)
 
 
+def _pair_overlap_sizes(docs: DataFrame, spark: SparkSession | None):
+    """Shared exact-pair machinery for C6 and C35: per-pair shingle
+    overlap counts (a_id < b_id, from posting-list in-bucket expansion —
+    one shuffle on the shingle key, never a doc self-join) plus per-doc
+    distinct-shingle sizes, both derived from ONE localCheckpoint'ed
+    shingled relation so the expensive scan+split+n-gram stage (see
+    _shingled's perf notes) runs exactly once per invocation."""
+    shd = _shingled(docs, spark).localCheckpoint()
+    sh = shd.select("doc_id", F.explode_outer("sh_arr").alias("sh"))
+    common = (
+        _bucket_pairs(sh, ["sh"], ["doc_id"])
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz = shd.select("doc_id", F.size("sh_arr").alias("n"))
+    return common, sz
+
+
+def _with_pair_sizes(common: DataFrame, sz: DataFrame) -> DataFrame:
+    """Attach both endpoints' shingle-set sizes (na, nb) to pair rows."""
+    return common.join(
+        sz.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na")), "a_id"
+    ).join(
+        sz.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb")), "b_id"
+    )
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -239,19 +267,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # pair counts straight from the shingle posting lists: groupBy(sh) +
-    # in-bucket pair expansion + pair-count — one shingle pass, no self-join
-    common = (
-        _bucket_pairs(_shingles(docs, spark), ["sh"], ["doc_id"])
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sz = _shingled(docs, spark).select("doc_id", F.size("sh_arr").alias("n"))
+    common, sz = _pair_overlap_sizes(docs, spark)
     j = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        common.join(sz.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na")), "a_id")
-        .join(sz.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb")), "b_id")
+        _with_pair_sizes(common, sz)
         .where(j >= _TAU)
         .select("a_id", "b_id", F.round(j, 6).alias("jaccard"))
     )
@@ -665,23 +684,14 @@ def containment_pairs(
     docs: DataFrame, spark: SparkSession | None = None, tau: float = _CONTAIN_TAU
 ) -> DataFrame:
     """(a_id, b_id, containment, jaccard) pairs with containment >= tau
-    over any (doc_id, text) relation — the API behind C35."""
-    common = (
-        _bucket_pairs(_shingles(docs, spark), ["sh"], ["doc_id"])
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sz = _shingled(docs, spark).select("doc_id", F.size("sh_arr").alias("n"))
+    over any (doc_id, text) relation — the API behind C35.  Shares C6's
+    pair machinery (_pair_overlap_sizes): one checkpointed shingle pass
+    feeds both the overlap counts and the set sizes."""
+    common, sz = _pair_overlap_sizes(docs, spark)
     cont = F.col("n_common") / F.least(F.col("na"), F.col("nb"))
     j = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        common.join(
-            sz.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na")), "a_id"
-        )
-        .join(
-            sz.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb")), "b_id"
-        )
+        _with_pair_sizes(common, sz)
         .where(cont >= tau)
         .select(
             "a_id",

@@ -189,6 +189,12 @@ def distributed_rank(df: DataFrame, order: list) -> DataFrame:
     broadcast back.  The stamped relation is localCheckpoint'ed so both
     branches read the same materialized pid assignment (exchange-reuse
     independence — see mr_distributed_sort)."""
+    reserved = {"pid", "local_rank", "rank"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"distributed_rank: input columns {sorted(reserved)} collide "
+            "with the rank machinery's working columns — rename them first"
+        )
     stamped = _pid_stamped(df, order).localCheckpoint()
     local = stamped.withColumn(
         "local_rank",
@@ -215,6 +221,35 @@ def distributed_rank(df: DataFrame, order: list) -> DataFrame:
         (F.col("offset") + F.col("local_rank")).cast("long").alias("rank"),
         *df.columns,
     )
+
+
+def distributed_ntile(df: DataFrame, order: list, n: int) -> DataFrame:
+    """SQL NTILE(n) over a total order with NO single-partition window —
+    df's columns + ``bucket`` (int, 1..n).  Built on distributed_rank;
+    reproduces NTILE's uneven-division contract from (rank, T) with
+    row-local integer arithmetic: with T rows, q = T div n and
+    r = T mod n, the FIRST r buckets take q+1 rows, the rest take q.
+    The total T rides a one-row broadcast; every quantity (q, r, the
+    larger-bucket span) is defined exactly once as a column.  When
+    T < n, q = 0 and the span covers all rows, so each row lands in its
+    own bucket — the NTILE edge case, no division by zero."""
+    ranked = distributed_rank(df, order)
+    total = ranked.agg(F.count(F.lit(1)).alias("_t"))
+    j = (
+        ranked.join(F.broadcast(total))
+        .withColumn("_q", F.expr(f"_t div {n}"))
+        .withColumn("_r", F.col("_t") % n)
+        .withColumn("_bs", F.col("_r") * (F.col("_q") + 1))
+    )
+    bucket = (
+        F.when(
+            F.col("rank") <= F.col("_bs"),
+            F.expr("(rank - 1) div (_q + 1)") + 1,
+        )
+        .otherwise(F.col("_r") + F.expr("(rank - _bs - 1) div _q") + 1)
+        .cast("int")
+    )
+    return j.select(*df.columns, bucket.alias("bucket"))
 
 
 @register(

@@ -1186,35 +1186,12 @@ def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     balances straddling a boundary in engine-dependent order); decile
     means are decimal-exact, bounds rounded at 2dp."""
     tune(spark)
-    from mapreduceimplementation_spark.operators.mrcore import distributed_rank
+    from mapreduceimplementation_spark.operators.mrcore import distributed_ntile
 
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    ranked_rows = distributed_rank(
-        cust, [F.col("c_acctbal").asc(), F.col("c_custkey").asc()]
-    )
-    total = ranked_rows.agg(F.count(F.lit(1)).alias("_t"))
-    n = F.lit(_NTILE_N)
-    q = F.expr(f"_t div {_NTILE_N}")
-    r = F.col("_t") % n
-    big_span = r * (q + 1)  # rows covered by the r larger buckets
-    decile = (
-        F.when(
-            F.col("rank") <= big_span,
-            F.expr(f"(rank - 1) div ((_t div {_NTILE_N}) + 1)") + 1,
-        )
-        .otherwise(
-            r
-            + F.expr(
-                f"(rank - (_t % {_NTILE_N}) * ((_t div {_NTILE_N}) + 1) - 1)"
-                f" div (_t div {_NTILE_N})"
-            )
-            + 1
-        )
-        .cast("int")
-    )
-    ranked = ranked_rows.join(F.broadcast(total)).select(
-        "c_acctbal", decile.alias("decile")
-    )
+    ranked = distributed_ntile(
+        cust, [F.col("c_acctbal").asc(), F.col("c_custkey").asc()], _NTILE_N
+    ).select("c_acctbal", F.col("bucket").alias("decile"))
     return ranked.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.min("c_acctbal"), 2).alias("lo"),

@@ -161,8 +161,12 @@ def streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # microbatches (B36's mergeability claim, exercised by an actual stream)
 
 _D9_SINK = "d9_value_histogram_sink"
-_H_WIDTH = 50.0  # MUST match plans/events.py B36 (shared oracle)
-_H_BINS = 10
+# bin grid imported from B36 — one definition, no drift channel between
+# the batch histogram, this stream twin, and their (identical) oracles
+from mapreduceimplementation_spark.plans.events import (  # noqa: E402
+    _HIST_BINS as _H_BINS,
+    _HIST_WIDTH as _H_WIDTH,
+)
 
 
 @register(

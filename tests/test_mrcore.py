@@ -195,3 +195,46 @@ def test_map_work_is_parallel(spark, sf_dir):
     )
     assert len(per_pid) >= 2, "map work ran on a single task"
     assert sum(r["count"] for r in per_pid) > 0
+
+
+def test_distributed_rank_rejects_reserved_columns(spark):
+    from pyspark.sql import functions as F
+
+    from mapreduceimplementation_spark.operators.mrcore import distributed_rank
+
+    df = spark.createDataFrame([(1, 2)], "rank int, x int")
+    try:
+        distributed_rank(df, [F.col("x")])
+    except ValueError as e:
+        assert "rank" in str(e)
+    else:
+        raise AssertionError("expected ValueError on reserved column")
+
+
+def test_distributed_ntile_matches_sql_ntile(spark):
+    """distributed_ntile must equal the built-in ntile() window on an
+    uneven division (T=25, n=10: buckets of 3,3,3,3,3,2,2,2,2,2) and on
+    the T < n edge (each row its own bucket)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from mapreduceimplementation_spark.operators.mrcore import distributed_ntile
+
+    df = spark.range(25).select(F.col("id").cast("int").alias("x"))
+    ours = {
+        (r["x"], r["bucket"])
+        for r in distributed_ntile(df, [F.col("x")], 10).collect()
+    }
+    ref = {
+        (r["x"], r["b"])
+        for r in df.select(
+            "x", F.ntile(10).over(Window.orderBy("x")).alias("b")
+        ).collect()
+    }
+    assert ours == ref
+    small = spark.range(3).select(F.col("id").cast("int").alias("x"))
+    tiny = {
+        (r["x"], r["bucket"])
+        for r in distributed_ntile(small, [F.col("x")], 10).collect()
+    }
+    assert tiny == {(0, 1), (1, 2), (2, 3)}
