@@ -45,6 +45,11 @@ HEADLINE = [
     "dedup_semantic",
     "quality_repetition",
     "streaming_incremental_rollup",
+    # late-round-4 family representatives: the widest TPC-H star join,
+    # the n-gram LM counting job, and kNN-graph triangle counting
+    "q8_market_share",
+    "corpus_ngram_lm_counts",
+    "knn_triangles",
 ]
 
 
