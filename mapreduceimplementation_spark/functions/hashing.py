@@ -45,3 +45,46 @@ def py_hash64(s: str, salt: str = "") -> int:
     import hashlib
 
     return int(hashlib.md5((salt + s).encode()).hexdigest()[:15], 16)
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity partitioner: worker.go's ihash (FNV-1a 32-bit)
+
+_FNV_OFFSET = 2166136261
+_FNV_PRIME = 16777619
+_FNV_MASK = (1 << 32) - 1
+
+
+def fnv1a32(col: Column | str) -> Column:
+    """FNV-1a 32-bit of a string column's UTF-8 bytes — the reference's
+    ihash (src/mr/worker.go:31: ``fnv.New32a`` then ``& 0x7fffffff``
+    before ``% NReduce``).  Pure SQL byte fold, so our engine can
+    reproduce the reference's EXACT reduce-bucket assignment (verified
+    against its committed mr-out-<map>-<reduce>.json intermediates in
+    tests/test_golden_parity.py).  Returns the full unsigned 32-bit
+    value; apply ``& 0x7fffffff`` and ``% n_reduce`` at the call site.
+
+    Per-byte work: h = ((h XOR byte) * prime) mod 2^32 — h stays < 2^32
+    so the long multiply (< 2^57) never overflows."""
+    c = F.col(col) if isinstance(col, str) else col
+    b = F.encode(c, "UTF-8")
+    return F.aggregate(
+        F.sequence(F.lit(1), F.octet_length(b)),
+        F.lit(_FNV_OFFSET).cast("long"),
+        lambda h, i: (
+            h.bitwiseXOR(
+                F.conv(F.hex(F.substring(b, i, 1).cast("binary")), 16, 10).cast(
+                    "long"
+                )
+            )
+            * _FNV_PRIME
+        ).bitwiseAND(F.lit(_FNV_MASK)),
+    )
+
+
+def py_fnv1a32(s: str) -> int:
+    """Driver twin of ``fnv1a32`` (same fold, byte-for-byte)."""
+    h = _FNV_OFFSET
+    for byte in s.encode("utf-8"):
+        h = ((h ^ byte) * _FNV_PRIME) & _FNV_MASK
+    return h

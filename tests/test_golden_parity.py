@@ -84,3 +84,82 @@ def test_mr_out_sink_contract(spark, tmp_path):
                 seen[word] = int(cnt)
             assert keys == sorted(keys), f"{fn} not sorted by key"
     assert seen == _golden_counts()
+
+
+# ---------------------------------------------------------------------------
+# A10. Intermediate shuffle-format parity: the reference's committed
+# mr-out-<map>-<reduce>.json files (worker.go's json.Encoder per KeyValue,
+# bucket = ihash(key) & 0x7fffffff % NReduce)
+
+_HAVE_INTERMEDIATE = bool(
+    glob.glob(os.path.join(_REF_MAIN, "mr-out-[0-9]-[0-9].json"))
+)
+
+
+def _intermediate_rows():
+    """(map_task, reduce_bucket, key, value) from every committed
+    intermediate file."""
+    import json as _json
+
+    rows = []
+    for fn in sorted(glob.glob(os.path.join(_REF_MAIN, "mr-out-*-*.json"))):
+        base = os.path.basename(fn)[len("mr-out-"):-len(".json")]
+        m, r = (int(x) for x in base.split("-"))
+        with open(fn) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                kv = _json.loads(line)
+                rows.append((m, r, kv["Key"], kv["Value"]))
+    return rows
+
+
+@pytest.mark.skipif(not _HAVE_INTERMEDIATE, reason="no committed intermediates")
+def test_intermediate_buckets_follow_ihash():
+    """Every key in the reference's committed intermediate files sits in
+    exactly the reduce bucket ihash(key) % NReduce prescribes — pinning
+    OUR ihash implementation to the reference's actual shuffle artifacts
+    (not just to the algorithm's description)."""
+    from mapreduceimplementation_spark.functions.hashing import py_fnv1a32
+
+    rows = _intermediate_rows()
+    assert rows, "no intermediate rows parsed"
+    n_reduce = max(r for _, r, _, _ in rows) + 1
+    assert n_reduce == 10
+    for _, r, key, _ in rows:
+        assert (py_fnv1a32(key) & 0x7FFFFFFF) % n_reduce == r, key
+
+
+@pytest.mark.skipif(not _HAVE_INTERMEDIATE, reason="no committed intermediates")
+def test_spark_ihash_reproduces_reference_buckets(spark):
+    """The SQL fnv1a32 fold reproduces the reference's bucket for every
+    distinct key in the committed intermediates — our engine could write
+    byte-compatible shuffle files for this job."""
+    from pyspark.sql import functions as F
+
+    from mapreduceimplementation_spark.functions.hashing import fnv1a32
+
+    rows = _intermediate_rows()
+    pairs = sorted({(k, r) for _, r, k, _ in rows})
+    df = spark.createDataFrame(pairs, "key string, bucket int")
+    got = df.select(
+        "key",
+        "bucket",
+        (fnv1a32("key").bitwiseAND(F.lit(0x7FFFFFFF)) % 10).alias("ours"),
+    )
+    assert got.where(F.col("bucket") != F.col("ours")).count() == 0
+
+
+@pytest.mark.skipif(not _HAVE_INTERMEDIATE, reason="no committed intermediates")
+def test_reduce_over_intermediates_equals_golden():
+    """Replaying wc.go's Reduce (count per key) over the committed
+    intermediate files must reproduce the committed FINAL mr-out-N
+    outputs exactly — the shuffle+reduce contract end-to-end on the
+    reference's own artifacts."""
+    from collections import Counter
+
+    rows = _intermediate_rows()
+    counts = Counter(k for _, _, k, _ in rows)
+    assert all(v == "1" for _, _, _, v in rows)  # wc.go Map emits "1"
+    assert dict(counts) == _golden_counts()
