@@ -57,3 +57,37 @@ def test_output_independent_of_shuffle_partitioning(
     assert spark.conf.get(key) == "3"
     assert a == b, f"{name}: output depends on shuffle partitioning"
     assert len(a) > 0, f"{name}: empty result"
+
+
+_AQE_SAMPLE = [
+    # AQE's decisions (runtime broadcast conversion, partition coalescing,
+    # skew-join splitting) reshape exactly these plan families: multi-join
+    # (q3, q8), aggregated-then-joined (q15), LSH bucket joins (minhash,
+    # knn), a window plan (trailing), and a checkpointed iterative chain
+    # (kmeans).
+    "q3_shipping_priority",
+    "q8_market_share",
+    "q15_top_supplier",
+    "dedup_minhash_lsh",
+    "knn_graph",
+    "events_trailing_window",
+    "kmeans_embed",
+]
+
+
+@pytest.mark.parametrize("name", _AQE_SAMPLE)
+def test_output_independent_of_aqe(spark, sf_dir, name, monkeypatch):
+    """A second layout-independence axis: adaptive execution ON vs OFF
+    changes join strategies, partition counts, and stage boundaries at
+    runtime — the visible rows must not move.  (The partitioning gate
+    above varies the static layout; this varies the runtime re-planner.)"""
+    from mapreduceimplementation_spark import session
+
+    key = "spark.sql.adaptive.enabled"
+    monkeypatch.setitem(session._RUNTIME_CONF, key, "true")
+    a = _rows(eng.QUERIES[name](spark, sf_dir))
+    monkeypatch.setitem(session._RUNTIME_CONF, key, "false")
+    b = _rows(eng.QUERIES[name](spark, sf_dir))
+    assert spark.conf.get(key) == "false"
+    assert a == b, f"{name}: output depends on AQE"
+    assert len(a) > 0
