@@ -420,3 +420,88 @@ def test_streaming_checkpoint_recovery(spark, sf_dir, tmp_path):
     assert got == batch
     # run 1 really was partial — recovery had state to restore
     assert partial < len(batch)
+
+
+def test_append_mode_watermark_drops_late_data(spark, sf_dir, tmp_path):
+    """Pin the watermark CONTRACT itself: in append mode a row arriving
+    after its window's watermark expiry is dropped (by design — bounded
+    state has a price, and this is it).  The repo's complete-mode +
+    availableNow queries equal batch exactly; this test documents the
+    one place streaming legitimately diverges, so nobody mistakes the
+    equals-batch gates for 'watermarks are free'."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from mapreduceimplementation_spark.streaming.windowed import (
+        _events_stream,
+        _size_stream_state,
+        _stop_query,
+    )
+
+    d = tmp_path / "late_feed"
+    d.mkdir()
+
+    def chunk(path, rows, mtime):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+        os.utime(path, (mtime, mtime))
+
+    # chunk 1 advances event time to 10:00; chunk 2 is a normal row whose
+    # batch EVICTS the closed 09:00 window (watermark passed it after
+    # chunk 1); chunk 3's 09:00 straggler then finds no state and is
+    # dropped.  (The extra middle batch matters: Spark only guarantees
+    # the drop once the window's state is gone — a straggler landing in
+    # the same batch as the eviction may still be merged.)
+    chunk(
+        str(d / "part-00.parquet"),
+        [(1, "2024-01-01 09:00:10", 1, "view", 1.0),
+         (2, "2024-01-01 10:00:00", 1, "view", 1.0)],
+        1_000_000,
+    )
+    chunk(
+        str(d / "part-01.parquet"),
+        [(4, "2024-01-01 10:00:30", 1, "view", 1.0)],
+        1_000_100,
+    )
+    chunk(
+        str(d / "part-02.parquet"),
+        [(3, "2024-01-01 09:00:20", 1, "view", 1.0)],
+        1_000_200,
+    )
+    _size_stream_state(spark)
+    sink = "d_late_drop_sink"
+    _stop_query(spark, sink)
+    ev = _events_stream(spark, str(d), maxFilesPerTrigger="1")
+    agg = (
+        ev.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 minute").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("minute"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")  # append emits only watermark-closed windows
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (str(r["minute"]), r["n"]) for r in spark.table(sink).collect()
+    }
+    # the 09:00 window closed when chunk 1's 10:00 row advanced the
+    # watermark, so chunk 2's 09:00:20 straggler was dropped: n=1, not 2
+    assert ("2024-01-01 09:00:00", 1) in got
+    # batch over the same files counts BOTH 09:00 events — the divergence
+    batch = (
+        spark.read.parquet(str(d))
+        .groupBy(F.date_trunc("minute", "ts").alias("minute"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bt = {(str(r["minute"]), r["n"]) for r in batch.collect()}
+    assert ("2024-01-01 09:00:00", 2) in bt
