@@ -85,3 +85,43 @@ def write_mr_out(
         .write.mode("overwrite")
         .text(path)
     )
+
+
+def write_mr_intermediate(
+    df: DataFrame,
+    path: str,
+    n_reduce: int = 10,
+    key: str = "key",
+    value: str = "value",
+) -> None:
+    """The reference's INTERMEDIATE shuffle-file contract (src/mr/
+    worker.go:137-154: per (map, reduce) task a JSON file of
+    ``{"Key":...,"Value":...}`` lines, reduce bucket chosen by
+    ihash(key) & 0x7fffffff %% nReduce): write rows as JSON-lines
+    partitioned into ``r=<bucket>`` directories using the reference's
+    EXACT FNV-1a bucket function (functions/hashing.fnv1a32 — pinned to
+    the reference's committed intermediates in test_golden_parity).
+
+    A reference reducer pointed at bucket r's directory reads precisely
+    the keys it owns; our reducer reading the reference's intermediates
+    is the dual, proven in tests.  File naming differs (Spark part-files
+    under r=K/ instead of mr-out-<m>-<r>.json) — the portable contract
+    is the bucket assignment + line format, and at scale one task per
+    (input-split, bucket) writing independently is exactly worker.go's
+    layout."""
+    from mapreduceimplementation_spark.functions.hashing import fnv1a32
+
+    bucket = F.pmod(
+        fnv1a32(F.col(key).cast("string")).bitwiseAND(F.lit(0x7FFFFFFF)),
+        F.lit(n_reduce),
+    )
+    (
+        df.select(
+            F.col(key).cast("string").alias("Key"),
+            F.col(value).cast("string").alias("Value"),
+            bucket.cast("int").alias("r"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("r")
+        .json(path)
+    )

@@ -163,3 +163,43 @@ def test_reduce_over_intermediates_equals_golden():
     counts = Counter(k for _, _, k, _ in rows)
     assert all(v == "1" for _, _, _, v in rows)  # wc.go Map emits "1"
     assert dict(counts) == _golden_counts()
+
+
+@pytest.mark.skipif(not _HAVE_REF, reason="reference corpus not present")
+def test_write_mr_intermediate_roundtrip(spark, tmp_path):
+    """Write-side dual of A10: our map output written through
+    write_mr_intermediate lands every key in the reference's ihash
+    bucket (so a reference reducer could consume it), and replaying
+    Reduce over our files equals the committed golden counts."""
+    import json as _json
+
+    from mapreduceimplementation_spark.functions.hashing import py_fnv1a32
+    from mapreduceimplementation_spark.functions.text import word_tokens
+    from mapreduceimplementation_spark.sources.text import (
+        read_text_dir,
+        write_mr_intermediate,
+    )
+
+    docs = read_text_dir(spark, os.path.join(_REF_MAIN, "pg-*.txt"))
+    kv = word_tokens(docs).select(
+        F.col("word").alias("key"), F.lit("1").alias("value")
+    )
+    out = str(tmp_path / "intermediate")
+    write_mr_intermediate(kv, out, n_reduce=10)
+
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for fn in glob.glob(os.path.join(out, "r=*", "*.json")):
+        r = int(os.path.basename(os.path.dirname(fn)).split("=")[1])
+        with open(fn) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                rec = _json.loads(line)
+                assert set(rec) == {"Key", "Value"}
+                assert (py_fnv1a32(rec["Key"]) & 0x7FFFFFFF) % 10 == r
+                assert rec["Value"] == "1"
+                counts[rec["Key"]] += 1
+    assert dict(counts) == _golden_counts()
