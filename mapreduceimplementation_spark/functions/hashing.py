@@ -68,7 +68,7 @@ def fnv1a32(col: Column | str) -> Column:
     so the long multiply (< 2^57) never overflows."""
     c = F.col(col) if isinstance(col, str) else col
     b = F.encode(c, "UTF-8")
-    return F.aggregate(
+    folded = F.aggregate(
         F.sequence(F.lit(1), F.octet_length(b)),
         F.lit(_FNV_OFFSET).cast("long"),
         lambda h, i: (
@@ -80,6 +80,11 @@ def fnv1a32(col: Column | str) -> Column:
             * _FNV_PRIME
         ).bitwiseAND(F.lit(_FNV_MASK)),
     )
+    # sequence(1, 0) runs BACKWARD ([1, 0]), so the empty string must not
+    # reach the fold: FNV of no bytes is the offset basis
+    return F.when(
+        F.octet_length(b) == 0, F.lit(_FNV_OFFSET).cast("long")
+    ).otherwise(folded)
 
 
 def py_fnv1a32(s: str) -> int:

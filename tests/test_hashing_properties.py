@@ -50,3 +50,28 @@ def test_py_hash64_matches_spark_batch(spark):
     }
     for v in vals:
         assert got[v] == py_hash64(v)
+
+
+def test_fnv1a32_spark_equals_python_on_unicode_corpus(spark):
+    """One Spark job checks the SQL byte-fold against the Python twin
+    over a deterministic corpus that stresses the UTF-8 path: ASCII,
+    2/3/4-byte code points, mixed scripts, and boundary lengths."""
+    from pyspark.sql import functions as F
+
+    from mapreduceimplementation_spark.functions.hashing import (
+        fnv1a32,
+        py_fnv1a32,
+    )
+
+    words = (
+        [f"w{i}" for i in range(50)]
+        + ["", "a", "Z" * 100]
+        + ["é", "Ünïcode", "ß", "ʒʒʒ"]          # 2-byte
+        + ["中文", "日本語", "한국어", "∑∫≠"]      # 3-byte
+        + ["𝕌𝕟𝕚", "😀😀", "𐍈"]                  # 4-byte (surrogate pairs)
+        + ["mixed中é𝕌x"]
+    )
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {r["w"]: r["h"] for r in df.select("w", fnv1a32("w").alias("h")).collect()}
+    exp = {w: py_fnv1a32(w) for w in words}
+    assert got == exp
