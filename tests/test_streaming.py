@@ -505,3 +505,86 @@ def test_append_mode_watermark_drops_late_data(spark, sf_dir, tmp_path):
     )
     bt = {(str(r["minute"]), r["n"]) for r in batch.collect()}
     assert ("2024-01-01 09:00:00", 2) in bt
+
+
+def test_file_sink_exactly_once_across_restart(spark, sf_dir, tmp_path):
+    """Sink-side dual of the checkpoint-recovery gate: an append-mode
+    windowed aggregation writing to a PARQUET sink with a checkpoint is
+    killed mid-feed and restarted; the committed output (as read through
+    the sink's _spark_metadata transaction log) must contain every
+    watermark-closed window EXACTLY once, with values equal to the batch
+    aggregation — no duplicates from reprocessing, no holes from the
+    crash."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mapreduceimplementation_spark.functions.stable import dsum
+    from mapreduceimplementation_spark.streaming.windowed import (
+        _events_stream,
+        _size_stream_state,
+    )
+
+    src = _split_events(spark, sf_dir, tmp_path, n_files=4)
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    parts = sorted(os.listdir(src))
+    for p in parts[:2]:
+        shutil.copy2(os.path.join(src, p), feed / p)
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    _size_stream_state(spark)
+
+    def run_once():
+        ev = _events_stream(spark, str(feed), maxFilesPerTrigger="1")
+        agg = (
+            ev.withWatermark("ts", "1 minute")
+            .groupBy(F.window("ts", "1 minute").alias("win"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                dsum("value").alias("total_value"),
+            )
+            .select(
+                F.col("win.start").alias("minute"),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    for p in parts[2:]:
+        shutil.copy2(os.path.join(src, p), feed / p)
+    run_once()
+
+    emitted = spark.read.parquet(out_dir).toPandas()
+    # exactly once: no (minute, type) cell may appear twice
+    assert not emitted.duplicated(["minute", "event_type"]).any()
+    assert len(emitted) > 0
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("minute", "ts").alias("minute"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .toPandas()
+    )
+    bmap = {
+        (r["minute"], r["event_type"]): (r["n_events"], r["total_value"])
+        for _, r in batch.iterrows()
+    }
+    for _, r in emitted.iterrows():
+        assert bmap[(r["minute"], r["event_type"])] == (
+            r["n_events"],
+            r["total_value"],
+        ), (r["minute"], r["event_type"])
