@@ -1007,3 +1007,68 @@ def events_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_1h"),
         F.sum(F.col("value").cast("decimal(27,6)")).over(w).cast("double").alias("sum_1h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B48. events_exact_median
+
+
+@register(
+    "events_exact_median",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           ROUND(median(value), 6) AS median_value
+    FROM events
+    """,
+)
+def events_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global median of the value column, computed at scale — the
+    order-statistic dual of B17: Spark's exact `percentile` aggregate
+    buffers every (distinct value, count) pair per group in executor
+    memory, which a 100 TB global aggregation cannot afford, and
+    approx_percentile trades exactness away.  This plan gets the exact
+    answer with bounded memory everywhere.
+
+    Scale shape: A5's distributed_rank machinery (range exchange +
+    per-partition row_number + broadcast per-partition offsets — no
+    single-partition stage, no value buffering) assigns each row its
+    global rank by (value, event_id); the two middle ranks ride a
+    one-row broadcast of T and ONLY those <=2 rows are aggregated —
+    driver-side data is two numbers.  Median of an even count is the
+    midpoint of the two middle values (DuckDB's median() contract),
+    computed in exact DECIMAL before the final 6dp round; the event_id
+    tie-break makes rank assignment total, and equal middle VALUES make
+    the midpoint independent of which equal row got which rank."""
+    tune(spark)
+    from mapreduceimplementation_spark.operators.mrcore import distributed_rank
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    ranked = distributed_rank(
+        ev, [F.col("value").asc(), F.col("event_id").asc()]
+    )
+    total = ranked.agg(F.count(F.lit(1)).alias("_t"))
+    mids = (
+        ranked.join(F.broadcast(total))
+        .where(
+            (F.col("rank") == (F.col("_t") + 1) / 2)  # odd T: exact middle
+            | (F.col("rank") == F.expr("(_t div 2)"))  # even T: lower middle
+            | (F.col("rank") == F.expr("(_t div 2) + 1"))  # upper middle
+        )
+        .where(
+            # for odd T the div-based ranks ((T div 2), (T div 2)+1) would
+            # select two rows around the true middle; keep the exact set:
+            # odd -> the single (T+1)/2 rank, even -> both middles
+            F.when(
+                F.col("_t") % 2 == 1,
+                F.col("rank") * 2 == F.col("_t") + 1,
+            ).otherwise(F.lit(True))
+        )
+    )
+    return mids.agg(
+        F.max("_t").alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("median_value"),
+    )

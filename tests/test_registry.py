@@ -63,6 +63,7 @@ INVENTORY = [
     "events_daily_users",    # B45: exact DAU count-distinct exhibit
     "events_trailing_window",  # B46: time-RANGE sliding frame (velocity)
     "customer_balance_deciles",  # B47: distributed-rank NTILE banding
+    "events_exact_median",   # B48: exact global median via distributed rank
     "events_minutely_incremental",  # B28: base+delta rollup merge == full
     "events_minutely_orc",   # B31: ORC ingestion parity for B7
     "kv_apply_log",          # B10

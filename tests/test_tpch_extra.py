@@ -409,3 +409,47 @@ def test_deciles_have_no_single_partition_window(spark, sf_dir):
     for line in plan.splitlines():
         if "ntile" in line.lower():
             raise AssertionError(f"naive ntile window in plan: {line}")
+
+
+def test_exact_median_matches_oracle(spark, sf_dir, duck):
+    df = eng.QUERIES["events_exact_median"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["events_exact_median"])
+
+
+def test_exact_median_odd_and_even_counts(spark, tmp_path):
+    """Median semantics on constructed inputs: odd count picks the single
+    middle rank; even count averages the two middles (DuckDB's median()
+    contract)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def make_sf(values):
+        d = tmp_path / f"sf_{len(values)}"
+        d.mkdir()
+        pdf = pd.DataFrame(
+            {
+                "event_id": range(1, len(values) + 1),
+                "ts": pd.to_datetime(["2024-01-01"] * len(values)).astype(
+                    "datetime64[us]"
+                ),
+                "user_id": [1] * len(values),
+                "event_type": ["view"] * len(values),
+                "value": values,
+                "props": ["{}"] * len(values),
+            }
+        )
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            str(d / "events.parquet"),
+        )
+        return str(d)
+
+    odd = eng.QUERIES["events_exact_median"](
+        spark, make_sf([1.0, 2.0, 3.0, 4.0, 100.0])
+    ).collect()[0]
+    assert (odd["n"], odd["median_value"]) == (5, 3.0)
+    even = eng.QUERIES["events_exact_median"](
+        spark, make_sf([1.0, 2.0, 10.0, 100.0])
+    ).collect()[0]
+    assert (even["n"], even["median_value"]) == (4, 6.0)
