@@ -86,6 +86,16 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # Host-noise indicator: wordcount is untouched since round 1 and ran
+    # 1.58 s in BASELINE's quiet reference window at sf0.1.  Same-code
+    # totals on this shared box ranged 38-129 s in a single day, so the
+    # canary ratio is the honest lens on any absolute number here
+    # (BASELINE.md, variance note).
+    canary_quiet = 1.58
+    wc = timings.get("mr_wordcount")
+    host_factor = (
+        round(wc / canary_quiet, 2) if wc and float(sf or 0) == 0.1 else None
+    )
     print(
         json.dumps(
             {
@@ -95,6 +105,7 @@ def main() -> None:
                 "queries": timings,
                 "skipped": skipped,
                 "sf": float(sf) if sf else None,
+                "host_factor_vs_quiet_canary": host_factor,
             }
         )
     )
