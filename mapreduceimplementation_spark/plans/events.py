@@ -1072,3 +1072,69 @@ def events_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("median_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B49. events_median_by_type
+
+
+@register(
+    "events_median_by_type",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(median(value), 6) AS median_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group median — B48 generalized to grouped order
+    statistics, and the SECONDARY SORT exhibit (the canonical MapReduce
+    pattern: partition by group, order by value within): one range
+    exchange on (group, value) orders every group's values contiguously,
+    and group boundaries become broadcast arithmetic.
+
+    Scale shape: distributed_rank over (event_type, value, event_id)
+    assigns global ranks with no single-partition stage and no per-group
+    value buffering (the exact thing Spark's percentile aggregate cannot
+    avoid); each group's offset and size come from ONE tiny per-type
+    aggregate that rides back as a broadcast, making the in-group rank
+    a row-local subtraction.  Only the <=2 middle rows per group reach
+    the final aggregate — output is group-count-sized.  Even-count
+    midpoints accumulate exact DECIMAL before the 6dp round; the
+    event_id tie-break keeps rank assignment total (equal middle values
+    make the midpoint indifferent to which equal row got which rank)."""
+    tune(spark)
+    from mapreduceimplementation_spark.operators.mrcore import distributed_rank
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    ranked = distributed_rank(
+        ev,
+        [F.col("event_type").asc(), F.col("value").asc(), F.col("event_id").asc()],
+    )
+    groups = ranked.groupBy("event_type").agg(
+        F.min("rank").alias("_off"), F.count(F.lit(1)).alias("_n")
+    )
+    g = ranked.join(F.broadcast(groups), "event_type").withColumn(
+        "_gr", F.col("rank") - F.col("_off") + 1
+    )
+    mids = g.where(
+        F.when(
+            F.col("_n") % 2 == 1,
+            F.col("_gr") * 2 == F.col("_n") + 1,
+        ).otherwise(
+            (F.col("_gr") == F.expr("(_n div 2)"))
+            | (F.col("_gr") == F.expr("(_n div 2) + 1"))
+        )
+    )
+    return mids.groupBy("event_type").agg(
+        F.max("_n").alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("median_value"),
+    )

@@ -64,6 +64,7 @@ INVENTORY = [
     "events_trailing_window",  # B46: time-RANGE sliding frame (velocity)
     "customer_balance_deciles",  # B47: distributed-rank NTILE banding
     "events_exact_median",   # B48: exact global median via distributed rank
+    "events_median_by_type", # B49: grouped exact median (secondary sort)
     "events_minutely_incremental",  # B28: base+delta rollup merge == full
     "events_minutely_orc",   # B31: ORC ingestion parity for B7
     "kv_apply_log",          # B10

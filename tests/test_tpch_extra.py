@@ -453,3 +453,30 @@ def test_exact_median_odd_and_even_counts(spark, tmp_path):
         spark, make_sf([1.0, 2.0, 10.0, 100.0])
     ).collect()[0]
     assert (even["n"], even["median_value"]) == (4, 6.0)
+
+
+def test_median_by_type_matches_oracle(spark, sf_dir, duck):
+    df = eng.QUERIES["events_median_by_type"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["events_median_by_type"])
+
+
+def test_median_by_type_agrees_with_exact_percentile(spark, sf_dir):
+    """Cross-check against Spark's own exact percentile(0.5) aggregate
+    (the value-buffering implementation the distributed plan avoids):
+    identical medians per group at 6dp."""
+    from pyspark.sql import functions as F
+
+    from mapreduceimplementation_spark.sources.tables import load_table
+
+    ours = {
+        (r["event_type"], r["median_value"])
+        for r in eng.QUERIES["events_median_by_type"](spark, sf_dir).collect()
+    }
+    ref = {
+        (r["event_type"], r["m"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.round(F.expr("percentile(value, 0.5)"), 6).alias("m"))
+        .collect()
+    }
+    assert ours == ref
