@@ -1202,3 +1202,118 @@ def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_bal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B50. basket_rules
+
+
+@register(
+    "basket_rules",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), sized AS (
+        SELECT l_orderkey FROM items GROUP BY l_orderkey
+        HAVING count(*) BETWEEN 2 AND {_BASKET_CAP}
+    ), qitems AS (
+        SELECT i.l_orderkey, i.l_partkey FROM items i
+        JOIN sized s ON s.l_orderkey = i.l_orderkey
+    ), nb AS (SELECT CAST(count(*) AS BIGINT) AS n_baskets FROM sized),
+    isup AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+        FROM qitems GROUP BY l_partkey
+    ), p AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        FROM qitems a JOIN qitems b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), top AS (
+        SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_ab
+        FROM p GROUP BY part_a, part_b
+        ORDER BY n_ab DESC, part_a, part_b
+        LIMIT {_BASKET_TOPN}
+    )
+    SELECT part_a, part_b, n_ab,
+           sa.n_item AS n_a, sb.n_item AS n_b,
+           ROUND(n_ab * 1.0 / n_baskets, 6) AS support,
+           ROUND(n_ab * 1.0 / sa.n_item, 6) AS confidence_a_b,
+           ROUND(n_ab * 1.0 * n_baskets / (sa.n_item * sb.n_item), 6) AS lift
+    FROM top
+    JOIN isup sa ON sa.l_partkey = part_a
+    JOIN isup sb ON sb.l_partkey = part_b
+    CROSS JOIN nb
+    """,
+)
+def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule metrics for the top co-occurring part pairs:
+    support, confidence(a→b), and lift — the step after B25's raw
+    counts that turns co-occurrence into recommendations ("people who
+    bought A also bought B" needs lift > 1, not just a big pair count:
+    two independently-popular parts co-occur often by chance alone).
+
+    Scale shape: the qualifying-basket relation is built ONCE on the
+    l_orderkey exchange and localCheckpoint'ed — it feeds three
+    consumers (pair expansion, per-item supports, the basket total) that
+    would each re-derive the scan+distinct lineage otherwise.  Pair
+    counting is B25's row-local in-basket expansion with the same
+    _BASKET_CAP skew guard; item supports are a second bounded-key
+    partial agg; the 20 winning pairs then join the item supports and
+    the ONE-ROW total as broadcasts.  Counts are exact integers; the
+    three ratios are single divisions rounded at 6dp."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
+        .where((F.size("parts") >= 2) & (F.size("parts") <= _BASKET_CAP))
+        .select(F.array_sort("parts").alias("parts"))
+        .localCheckpoint()
+    )
+    nb = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
+    isup = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+    )
+    ps = F.col("parts")
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ps) - 1),
+                    lambda i: F.transform(
+                        F.slice(ps, i + 1, F.size(ps) - i),
+                        lambda y: F.struct(
+                            F.element_at(ps, i).alias("part_a"), y.alias("part_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
+    top = (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .orderBy(F.col("n_ab").desc(), "part_a", "part_b")
+        .limit(_BASKET_TOPN)
+    )
+    sa = isup.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
+    sb = isup.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
+    return (
+        top.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .join(F.broadcast(nb))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(F.col("n_ab") / F.col("n_baskets"), 6).alias("support"),
+            F.round(F.col("n_ab") / F.col("n_a"), 6).alias("confidence_a_b"),
+            F.round(
+                F.col("n_ab") * F.col("n_baskets") / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

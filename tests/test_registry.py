@@ -45,6 +45,7 @@ INVENTORY = [
     "events_funnel",         # B23: ordered view->click->purchase funnel
     "events_retention",      # B24: first-active-day cohort retention
     "basket_pairs",          # B25: market-basket co-occurrence top pairs
+    "basket_rules",          # B50: support/confidence/lift association rules
     "events_anomaly",        # B26: integer-exact daily z-score anomalies
     "q18_large_orders",      # B27: TPC-H Q18 HAVING-subquery join
     "q7_volume_shipping",    # B32: bilateral nation trade by year

@@ -480,3 +480,24 @@ def test_median_by_type_agrees_with_exact_percentile(spark, sf_dir):
         .collect()
     }
     assert ours == ref
+
+
+def test_basket_rules_matches_oracle(spark, sf_dir, duck):
+    df = eng.QUERIES["basket_rules"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["basket_rules"])
+
+
+def test_basket_rules_metric_invariants(spark, sf_dir):
+    """Association-rule sanity: pair count never exceeds either item
+    count, support/confidence in (0,1], lift > 0, and the pair set is
+    exactly B25's top pairs."""
+    out = eng.QUERIES["basket_rules"](spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert (out["n_ab"] <= out[["n_a", "n_b"]].min(axis=1)).all()
+    assert out["support"].between(0, 1).all() and (out["support"] > 0).all()
+    assert out["confidence_a_b"].between(0, 1).all()
+    assert (out["lift"] > 0).all()
+    b25 = eng.QUERIES["basket_pairs"](spark, sf_dir).toPandas()
+    assert set(zip(out["part_a"], out["part_b"])) == set(
+        zip(b25["part_a"], b25["part_b"])
+    )
