@@ -1475,9 +1475,28 @@ def knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
+    # Orientation-key invariant: ku/kv = degree * 2^32 + node_id packs a
+    # (degree, id) pair into ONE signed long so the same total order is a
+    # single integer comparison in Spark and DuckDB alike.  That packing
+    # is collision- and overflow-free ONLY while 0 <= node_id < 2^32 and
+    # degree < 2^31 (degree <= n_nodes, so the binding constraint is the
+    # id width).  assert_true makes a violating input FAIL LOUDLY instead
+    # of silently miscounting triangles; it evaluates JVM-side per edge
+    # (two long comparisons) and never fires on valid ids.
+    id_ok = (
+        (F.col("u") >= 0)
+        & (F.col("u") < F.lit(_TRI_KEYBASE))
+        & (F.col("v") >= 0)
+        & (F.col("v") < F.lit(_TRI_KEYBASE))
+    )
     keyed = (
         und.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
         .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+        .where(
+            F.assert_true(
+                id_ok, F.lit("knn_triangles: node id >= 2^32 breaks key packing")
+            ).isNull()
+        )
         .select(
             (F.col("du") * _TRI_KEYBASE + F.col("u")).alias("ku"),
             (F.col("dv") * _TRI_KEYBASE + F.col("v")).alias("kv"),

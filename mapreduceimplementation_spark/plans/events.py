@@ -1065,7 +1065,10 @@ def events_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return mids.agg(
-        F.max("_t").alias("n"),
+        # coalesce: on an EMPTY events table the ungrouped agg still emits
+        # one row, and max(_t) over zero mid rows is NULL where the
+        # oracle's count(*) is 0 — pin n=0 (median stays NULL both sides)
+        F.coalesce(F.max("_t"), F.lit(0).cast("long")).alias("n"),
         F.round(
             F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
             / F.count(F.lit(1)),

@@ -1002,8 +1002,8 @@ _Q8_TYPE = "ECONOMY"
         JOIN nation n2 ON s_nationkey = n2.n_nationkey
         WHERE r_name = '{_Q8_REGION}'
           AND p_type = '{_Q8_TYPE}'
-          AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
-                              AND TIMESTAMP '1996-12-31 00:00:00'
+          AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
     ) all_nations
     GROUP BY o_year
     """,
@@ -1043,10 +1043,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", F.col("n_name").alias("supp_nation"))
     )
     orders = load_table(spark, sf_dir, "orders").where(
-        F.col("o_orderdate").between(
-            F.lit("1995-01-01 00:00:00").cast("timestamp"),
-            F.lit("1996-12-31 00:00:00").cast("timestamp"),
-        )
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
     ).select("o_orderkey", "o_custkey", "o_orderdate")
     cust = (
         load_table(spark, sf_dir, "customer")
@@ -1311,8 +1309,14 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_b",
             F.round(F.col("n_ab") / F.col("n_baskets"), 6).alias("support"),
             F.round(F.col("n_ab") / F.col("n_a"), 6).alias("confidence_a_b"),
+            # promote to double BEFORE multiplying: long*long products
+            # (n_ab*n_baskets, n_a*n_b) overflow BIGINT silently at the
+            # ~1e10-basket counts this operator targets; the oracle's
+            # `n_ab * 1.0 * n_baskets` form avoids it the same way
             F.round(
-                F.col("n_ab") * F.col("n_baskets") / (F.col("n_a") * F.col("n_b")),
+                F.col("n_ab").cast("double")
+                * F.col("n_baskets")
+                / (F.col("n_a").cast("double") * F.col("n_b")),
                 6,
             ).alias("lift"),
         )

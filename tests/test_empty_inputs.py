@@ -30,6 +30,8 @@ _EMPTY_TOTAL = [
     "events_sessionize",     # window chain
     "events_value_histogram",  # fixed bins
     "events_trailing_window",  # RANGE window
+    "events_exact_median",   # distributed-rank order statistic (one row)
+    "events_median_by_type",  # grouped order statistic (empty groups)
     "dedup_exact",           # hash window
     "dedup_minhash_lsh",     # LSH banding
     "token_count",           # row-local text
@@ -38,7 +40,11 @@ _EMPTY_TOTAL = [
     "kv_apply_log",          # log replay
 ]
 
-_ONE_ROW_ON_EMPTY = {"q6_forecast_revenue", "q1_pricing_summary"}
+_ONE_ROW_ON_EMPTY = {
+    "q6_forecast_revenue",
+    "q1_pricing_summary",
+    "events_exact_median",  # ungrouped: one (n=0, median NULL) summary row
+}
 
 
 @pytest.fixture(scope="module")
