@@ -243,3 +243,113 @@ def test_replay_config_log_api_custom_log(spark):
     assert cfg[5].loc[0, "gid"] == 1 and cfg[5]["pinned"][0]
     # Leave(2): pins cleared, everything lands on the only group left
     assert (cfg[6]["gid"] == 1).all() and not cfg[6]["pinned"].any()
+
+
+# ---------------------------------------------------------------------------
+# B51 linearizability audit: known-violating and known-clean histories
+
+
+def _audit(spark, rows):
+    """rows: (key, kind, val, inv, ret, opid) -> {key: row} of verdicts."""
+    from mapreduceimplementation_spark.plans.kv import linearizability_audit
+
+    df = spark.createDataFrame(
+        [tuple(map(int, (r[0],))) + (r[1],) + tuple(map(int, r[2:])) for r in rows],
+        "key long, kind string, val long, inv long, ret long, opid long",
+    )
+    return {r["key"]: r.asDict() for r in linearizability_audit(df).collect()}
+
+
+def test_linearizability_flags_future_read(spark):
+    out = _audit(
+        spark,
+        [
+            (1, "put", 1, 100, 200, 10),
+            (1, "get", 1, 10, 20, 11),  # returns a write that starts later
+        ],
+    )
+    v = out[1]
+    assert v["n_future"] == 1 and not v["linearizable"]
+    assert v["n_stale"] == 0 and v["n_reorder"] == 0 and v["n_unknown"] == 0
+
+
+def test_linearizability_flags_stale_read(spark):
+    out = _audit(
+        spark,
+        [
+            (1, "put", 1, 0, 10, 10),
+            (1, "put", 2, 20, 30, 11),  # definitively overwrites val=1
+            (1, "get", 1, 50, 60, 12),  # ...yet this read still sees val=1
+        ],
+    )
+    v = out[1]
+    assert v["n_stale"] == 1 and not v["linearizable"]
+    assert v["n_future"] == 0 and v["n_unknown"] == 0
+
+
+def test_linearizability_flags_read_reorder(spark):
+    # w2 overlaps the reads (ret=65) so neither read is STALE, but the
+    # non-overlapping read pair observes (new, old) — the inversion rule
+    out = _audit(
+        spark,
+        [
+            (1, "put", 1, 0, 10, 10),
+            (1, "put", 2, 20, 65, 11),
+            (1, "get", 2, 40, 50, 12),  # sees the newer write...
+            (1, "get", 1, 60, 70, 13),  # ...then a later read sees the older
+        ],
+    )
+    v = out[1]
+    assert v["n_reorder"] == 1 and not v["linearizable"]
+    assert v["n_stale"] == 0 and v["n_future"] == 0
+
+
+def test_linearizability_flags_unknown_value(spark):
+    out = _audit(
+        spark,
+        [
+            (1, "put", 1, 0, 10, 10),
+            (1, "get", 99, 20, 30, 11),  # value never written
+        ],
+    )
+    v = out[1]
+    assert v["n_unknown"] == 1 and not v["linearizable"]
+
+
+def test_linearizability_clean_concurrent_history(spark):
+    # overlapping writes: a read may observe either order; initial-value
+    # reads before any write are fine; per-key isolation (key 2 violates,
+    # key 1 must stay green — porcupine's partition decomposition)
+    out = _audit(
+        spark,
+        [
+            (1, "get", -1, 0, 5, 9),  # initial value, before any write
+            (1, "put", 1, 10, 40, 10),
+            (1, "put", 2, 20, 30, 11),  # overlaps put(1): either order legal
+            (1, "get", 1, 35, 50, 12),  # concurrent with put(1): legal
+            (1, "get", 2, 60, 70, 13),  # latest definitive value
+            (2, "put", 5, 0, 10, 20),
+            (2, "get", -1, 50, 60, 21),  # initial AFTER a definitive write
+        ],
+    )
+    assert out[1]["linearizable"]
+    assert out[1]["n_ops"] == 5 and out[1]["n_puts"] == 2 and out[1]["n_gets"] == 3
+    v2 = out[2]
+    # reading the initial value after val=5 was definitively written is a
+    # stale read of the initial state
+    assert v2["n_stale"] == 1 and not v2["linearizable"]
+
+
+def test_linearizability_registered_query_mix(spark, sf_dir):
+    """The derived-history query must emit a genuine mix of verdicts (the
+    1/17 second-latest injection) and zero future/unknown flags (the
+    derivation can't produce those classes)."""
+    import pandas as pd
+
+    out = eng.QUERIES["kv_linearizability_audit"](spark, sf_dir).toPandas()
+    assert (out["n_future"] == 0).all() and (out["n_unknown"] == 0).all()
+    assert out["linearizable"].any() and (~out["linearizable"]).any()
+    assert (
+        out["linearizable"]
+        == (out[["n_unknown", "n_future", "n_stale", "n_reorder"]].sum(axis=1) == 0)
+    ).all()
