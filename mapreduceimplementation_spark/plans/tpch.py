@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from mapreduceimplementation_spark.functions.hashing import hash64, sql_hash64
 from mapreduceimplementation_spark.functions.stable import (
     davg,
     dsum,
@@ -1320,4 +1321,631 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("lift"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B52-B55. The partsupp TPC-H family (Q2, Q11, Q16, Q20)
+#
+# The driver testdata carries no partsupp table, so these four canonical
+# query SHAPES (correlated min subquery, HAVING over a global share,
+# distinct-count anti-join, nested semi-join chain) were previously
+# unreachable.  partsupp is therefore SYNTHESIZED deterministically from
+# (part x {0..3}) with md5-derived supplier choice, availqty, and supply
+# cost — the same engine-portable hash64 every probabilistic operator uses,
+# so Spark and the DuckDB oracle derive BIT-IDENTICAL tables and the query
+# logic above them is fully value-checked.  Costs live as integer CENTS so
+# every min/sum/threshold comparison is exact in both engines; hash
+# collisions inside the 4 draws are collapsed by DISTINCT (a part has 2-4
+# suppliers — TPC-H's own partsupp has exactly 4).
+
+_PS_QTY_MOD = 9_999  # availqty in 1..9999 (TPC-H domain)
+_PS_COST_MOD = 99_900  # cost cents in 100..99999 -> $1.00..$999.99
+
+
+def synth_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic partsupp: (ps_partkey, ps_suppkey, ps_availqty,
+    ps_cost_cents).  Supplier choice hashes (partkey, draw i); qty/cost
+    hash (partkey, suppkey) so collided draws agree and DISTINCT collapses
+    them.  The supplier count rides a one-row broadcast (the bounded-BNLJ
+    pattern Q22 documents); the result is dim-sized (4x part) — at scale
+    this relation would be a real table, and every query below treats it
+    as one (filter-then-broadcast, never fact-sized)."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    s_cnt = load_table(spark, sf_dir, "supplier").agg(
+        F.count(F.lit(1)).alias("s_cnt")
+    )
+    cand = part.select(
+        F.col("p_partkey").alias("ps_partkey"),
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i"),
+    ).join(F.broadcast(s_cnt))
+    sk = (
+        hash64(
+            F.concat(
+                F.lit("ps-s"),
+                F.col("ps_partkey").cast("string"),
+                F.lit("/"),
+                F.col("i").cast("string"),
+            )
+        )
+        % F.col("s_cnt")
+    )
+    keyed = cand.select("ps_partkey", sk.alias("ps_suppkey"))
+    pk_sk = F.concat(
+        F.col("ps_partkey").cast("string"),
+        F.lit(":"),
+        F.col("ps_suppkey").cast("string"),
+    )
+    return keyed.select(
+        "ps_partkey",
+        "ps_suppkey",
+        (1 + hash64(pk_sk, salt="ps-q") % _PS_QTY_MOD).alias("ps_availqty"),
+        (100 + hash64(pk_sk, salt="ps-c") % _PS_COST_MOD).alias("ps_cost_cents"),
+    ).distinct()
+
+
+_PS_SK_H = sql_hash64(
+    "'ps-s' || CAST(p_partkey AS VARCHAR) || '/' || CAST(i AS VARCHAR)"
+)
+_PS_KEY = "CAST(ps_partkey AS VARCHAR) || ':' || CAST(ps_suppkey AS VARCHAR)"
+_PS_Q_H = sql_hash64(f"'ps-q' || {_PS_KEY}")
+_PS_C_H = sql_hash64(f"'ps-c' || {_PS_KEY}")
+
+#: shared oracle CTE: `WITH {_PARTSUPP_SQL}, ...` exposes `partsupp`
+_PARTSUPP_SQL = f"""
+    sc AS (SELECT CAST(count(*) AS BIGINT) AS s_cnt FROM supplier),
+    ps_keyed AS (
+        SELECT p_partkey AS ps_partkey,
+               ({_PS_SK_H} % s_cnt) AS ps_suppkey
+        FROM part
+        CROSS JOIN (SELECT unnest(range(0, 4)) AS i)
+        CROSS JOIN sc
+    ),
+    partsupp AS (
+        SELECT DISTINCT ps_partkey, ps_suppkey,
+               1 + ({_PS_Q_H} % {_PS_QTY_MOD}) AS ps_availqty,
+               100 + ({_PS_C_H} % {_PS_COST_MOD}) AS ps_cost_cents
+        FROM ps_keyed
+    )
+"""
+
+
+# ---------------------------------------------------------------------------
+# B52. q2_min_cost_supplier
+
+_Q2_REGION = "EUROPE"
+_Q2_TYPE = "STANDARD"
+_Q2_SIZE_MIN = 40
+_Q2_TOPN = 100
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    region_ps AS (
+        SELECT ps_partkey, ps_suppkey, ps_cost_cents,
+               s_acctbal, s_name, n_name
+        FROM partsupp
+        JOIN supplier ON s_suppkey = ps_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        JOIN region   ON r_regionkey = n_regionkey
+        WHERE r_name = '{_Q2_REGION}'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, p_type,
+           ROUND(ps_cost_cents / 100.0, 2) AS supplycost
+    FROM region_ps
+    JOIN part ON p_partkey = ps_partkey
+    WHERE p_type = '{_Q2_TYPE}' AND p_size >= {_Q2_SIZE_MIN}
+      AND ps_cost_cents = (
+          SELECT min(i.ps_cost_cents) FROM region_ps i
+          WHERE i.ps_partkey = p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT {_Q2_TOPN}
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (Minimum Cost Supplier): for each qualifying part, the
+    region's supplier(s) offering it at the region's minimum supply cost —
+    the CORRELATED-MIN-SUBQUERY shape, decorrelated.
+
+    Scale shape: the part filter (type + size band) shrinks part ~27x and
+    is applied FIRST — the correlated min is then a window over
+    ps_partkey on the part-filtered, region-filtered partsupp only (one
+    bounded exchange; never a min over the full partsupp).  Supplier ⋈
+    nation ⋈ region is a broadcast chain (dims).  Cost lives in integer
+    cents, so the min-equality frontier is exact in both engines — a
+    double supplycost would flip ties between partitionings.  Total
+    order (acctbal desc, nation, name, partkey) before the top-100 cut;
+    s_name is unique so the cut is deterministic."""
+    tune(spark)
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(
+            (F.col("p_type") == _Q2_TYPE) & (F.col("p_size") >= _Q2_SIZE_MIN)
+        )
+        .select("p_partkey", "p_brand", "p_type")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == _Q2_REGION
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    ps = (
+        synth_partsupp(spark, sf_dir)
+        .join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("ps_suppkey") == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("ps_partkey")
+    best = ps.withColumn("min_cents", F.min("ps_cost_cents").over(w)).where(
+        F.col("ps_cost_cents") == F.col("min_cents")
+    )
+    return (
+        best.select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            "p_type",
+            F.round(F.col("ps_cost_cents") / 100.0, 2).alias("supplycost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(_Q2_TOPN)
+    )
+
+
+# ---------------------------------------------------------------------------
+# B53. q11_important_stock
+
+_Q11_NATION = "NATION_7"
+_Q11_SCALE = 300  # keep parts whose stock value * SCALE > national total
+
+
+@register(
+    "q11_important_stock",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    national AS (
+        SELECT ps_partkey,
+               CAST(SUM(ps_cost_cents * ps_availqty) AS BIGINT) AS value_cents
+        FROM partsupp
+        JOIN supplier ON s_suppkey = ps_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        WHERE n_name = '{_Q11_NATION}'
+        GROUP BY ps_partkey
+    )
+    SELECT ps_partkey, value_cents,
+           ROUND(value_cents / 100.0, 2) AS value
+    FROM national
+    WHERE value_cents * {_Q11_SCALE} >
+          (SELECT CAST(SUM(value_cents) AS BIGINT) FROM national)
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (Important Stock Identification): parts whose stock value
+    held by one nation's suppliers exceeds a fraction of that nation's
+    total — the HAVING-over-a-GLOBAL-SHARE shape.
+
+    Scale shape: the nation's suppliers are a broadcast (dim join shrinks
+    partsupp ~25x before any exchange); per-part value is one partial-agg
+    exchange on ps_partkey; the global total aggregates the AGGREGATED
+    relation (part-count-sized) into a one-row broadcast that joins back
+    as a bounded BNLJ.  The threshold is the exact integer comparison
+    value*{_Q11_SCALE} > total — no float fraction, so frontier parts
+    cannot flip between engines or partitionings (the Q22 lesson applied
+    to Q11's 0.0001-fraction HAVING)."""
+    tune(spark)
+    nation = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name") == _Q11_NATION
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    national = (
+        synth_partsupp(spark, sf_dir)
+        .join(F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(F.col("ps_cost_cents") * F.col("ps_availqty")).alias(
+                "value_cents"
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    total = national.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        national.join(F.broadcast(total))
+        .where(F.col("value_cents") * _Q11_SCALE > F.col("total_cents"))
+        .select(
+            "ps_partkey",
+            "value_cents",
+            F.round(F.col("value_cents") / 100.0, 2).alias("value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B54. q16_parts_supplier_relationship
+
+_Q16_BRAND = "Brand#22"
+_Q16_TYPE = "PROMO"
+_Q16_SIZES = (3, 9, 14, 19, 23, 36, 45, 49)
+_Q16_FLAG_EVERY = 10  # 1/10 of suppliers are complaint-flagged (hash-chosen)
+
+
+@register(
+    "q16_parts_supplier_relationship",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    flagged AS (
+        SELECT s_suppkey FROM supplier
+        WHERE ({sql_hash64("'cmpl' || CAST(s_suppkey AS VARCHAR)")}
+               % {_Q16_FLAG_EVERY}) = 0
+    )
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp
+    JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> '{_Q16_BRAND}'
+      AND p_type <> '{_Q16_TYPE}'
+      AND p_size IN {_Q16_SIZES}
+      AND ps_suppkey NOT IN (SELECT s_suppkey FROM flagged)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (Parts/Supplier Relationship): how many distinct
+    suppliers can provide each (brand, type, size) combination, excluding
+    one brand, one type, and complaint-flagged suppliers — the
+    DISTINCT-COUNT + ANTI-JOIN shape.  (The testdata supplier table has
+    no s_comment, so the reference's '%Customer%Complaints%' LIKE becomes
+    a hash-chosen 1/{_Q16_FLAG_EVERY} supplier subset — same anti-join,
+    deterministic in both engines.)
+
+    Scale shape: the part filters (two <> + size IN-list) prune part
+    before the broadcast into partsupp; the flagged-supplier set is a
+    LEFT ANTI against a dim-sized broadcast; COUNT(DISTINCT supplier) is
+    Spark's two-phase distinct expand on the tiny (brand, type, size)
+    key — exchange bounded by true (cell x supplier) pairs, never raw
+    partsupp volume."""
+    tune(spark)
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != _Q16_BRAND)
+        & (F.col("p_type") != _Q16_TYPE)
+        & (F.col("p_size").isin(*_Q16_SIZES))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    flagged = (
+        load_table(spark, sf_dir, "supplier")
+        .where(
+            hash64(F.col("s_suppkey").cast("string"), salt="cmpl")
+            % _Q16_FLAG_EVERY
+            == 0
+        )
+        .select("s_suppkey")
+    )
+    ps = (
+        synth_partsupp(spark, sf_dir)
+        .join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(flagged),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+    )
+    return ps.groupBy("p_brand", "p_type", "p_size").agg(
+        F.count_distinct(F.col("ps_suppkey")).alias("supplier_cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B55. q20_potential_promotion
+
+_Q20_NATION = "NATION_11"
+_Q20_PREFIX = "small"
+# two shipping years: the testdata's lineitem spreads (partkey, suppkey)
+# pairs thinly, and a 1-year window leaves the nation cut with ~1 supplier
+_Q20_YEAR_LO = "1996-01-01 00:00:00"
+_Q20_YEAR_HI = "1998-01-01 00:00:00"
+
+
+@register(
+    "q20_potential_promotion",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    shipped AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{_Q20_YEAR_LO}'
+          AND l_shipdate <  TIMESTAMP '{_Q20_YEAR_HI}'
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name = '{_Q20_NATION}'
+      AND s_suppkey IN (
+          SELECT ps_suppkey
+          FROM partsupp
+          JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+          WHERE ps_partkey IN (
+                SELECT p_partkey FROM part
+                WHERE p_name LIKE '{_Q20_PREFIX}%')
+            AND ps_availqty * 2 > sum_qty)
+    """,
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (Potential Part Promotion): suppliers in one nation whose
+    stock of name-prefixed parts exceeds half of what they shipped in a
+    year — the NESTED SEMI-JOIN CHAIN (IN inside IN with a correlated
+    aggregate).
+
+    Scale shape, inside-out: the year's shipments collapse in ONE
+    partial-agg exchange on (l_partkey, l_suppkey) — the only fact-sized
+    step, with the date range pushed to the scan; the part prefix filter
+    runs on the dim and broadcasts as a LEFT SEMI into partsupp; the
+    surplus test availqty*2 > sum_qty is exact integer arithmetic
+    (quantities are integral); qualifying supplier keys collapse to a
+    DISTINCT dim-sized set that LEFT SEMI-joins the nation's suppliers.
+    Nothing fact-sized is ever joined to anything fact-sized."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(_Q20_YEAR_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q20_YEAR_HI).cast("timestamp"))
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty")
+    )
+    pfx = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").startswith(_Q20_PREFIX))
+        .select("p_partkey")
+    )
+    qualifying = (
+        synth_partsupp(spark, sf_dir)
+        .join(
+            F.broadcast(pfx),
+            F.col("ps_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(
+            shipped,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .where(F.col("ps_availqty") * 2 > F.col("sum_qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    nation = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name") == _Q20_NATION
+    )
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            qualifying, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi"
+        )
+        .select("s_suppkey", "s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B56-B57. The commit/receipt-date TPC-H family (Q12, Q21)
+#
+# The driver's lineitem has no l_commitdate / l_receiptdate / l_shipmode,
+# so the two canonical shapes that need them (Q12's late-line CASE rollup,
+# Q21's multi-correlated-EXISTS) were unreachable.  Both columns are
+# SYNTHESIZED per lineitem from hash64(l_orderkey, l_linenumber):
+# commit = ship + (-30..+30) days, receipt = ship + (1..30) days — every
+# ordering of (ship, commit, receipt) occurs, so the late-line predicates
+# select genuine mixes.  All date algebra runs in integer MICROSECONDS
+# (day = 86_400_000_000 µs) — no interval/calendar semantics to diverge
+# between engines, and the whole derivation is row-local (scan-speed).
+
+_DAY_US = 86_400_000_000
+_SHIPMODES = ("MAIL", "SHIP", "RAIL", "TRUCK", "AIR", "FOB", "REG AIR")
+_LKEY = "CAST(l_orderkey AS VARCHAR) || '/' || CAST(l_linenumber AS VARCHAR)"
+
+_LDATED_SQL = f"""
+    lineitem_dated AS (
+        SELECT l_orderkey, l_suppkey,
+               CAST(epoch_us(l_shipdate) AS BIGINT) AS ship_us,
+               CAST(epoch_us(l_shipdate) AS BIGINT)
+                   + (({sql_hash64(f"'cmt' || {_LKEY}")} % 61) - 30)
+                     * {_DAY_US} AS commit_us,
+               CAST(epoch_us(l_shipdate) AS BIGINT)
+                   + (1 + ({sql_hash64(f"'rcp' || {_LKEY}")} % 30))
+                     * {_DAY_US} AS receipt_us,
+               ['MAIL', 'SHIP', 'RAIL', 'TRUCK', 'AIR', 'FOB', 'REG AIR']
+                   [1 + ({sql_hash64(f"'shm' || {_LKEY}")} % 7)] AS l_shipmode
+        FROM lineitem
+    )
+"""
+
+
+def lineitem_dated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem + synthesized (ship_us, commit_us, receipt_us, l_shipmode)
+    — see the family comment.  Row-local, zero shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_linenumber", "l_shipdate"
+    )
+    lkey = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit("/"),
+        F.col("l_linenumber").cast("string"),
+    )
+    # l_shipdate reads as TIMESTAMP_NTZ from this testdata generation;
+    # unix_micros needs session-tz TIMESTAMP, and callers run under
+    # tune()'s UTC session so the cast is lossless (the events.ts rule
+    # in sources/tables.py applied here)
+    ship_us = F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+    return li.select(
+        "l_orderkey",
+        "l_suppkey",
+        ship_us.alias("ship_us"),
+        (ship_us + (hash64(lkey, salt="cmt") % 61 - 30) * _DAY_US).alias(
+            "commit_us"
+        ),
+        (ship_us + (1 + hash64(lkey, salt="rcp") % 30) * _DAY_US).alias(
+            "receipt_us"
+        ),
+        F.element_at(
+            F.array(*[F.lit(m) for m in _SHIPMODES]),
+            (1 + hash64(lkey, salt="shm") % 7).cast("int"),
+        ).alias("l_shipmode"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B56. q12_shipping_modes
+
+_Q12_MODES = ("MAIL", "SHIP")
+_Q12_LO = "1996-01-01 00:00:00"
+_Q12_HI = "1997-01-01 00:00:00"
+_Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+@register(
+    "q12_shipping_modes",
+    oracle=f"""
+    WITH {_LDATED_SQL}
+    SELECT l_shipmode,
+           CAST(SUM(CASE WHEN o_orderpriority IN {_Q12_HIGH}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN {_Q12_HIGH}
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem_dated
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipmode IN {_Q12_MODES}
+      AND commit_us < receipt_us
+      AND ship_us < commit_us
+      AND receipt_us >= epoch_us(TIMESTAMP '{_Q12_LO}')
+      AND receipt_us <  epoch_us(TIMESTAMP '{_Q12_HI}')
+    GROUP BY l_shipmode
+    """,
+)
+def q12_shipping_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (Shipping Modes and Order Priority): for two ship modes,
+    how many late-committed-but-actually-received lines carried
+    high-priority vs low-priority orders in one year — the CASE-rollup
+    over a fact-fact join.
+
+    Scale shape: EVERY lineitem predicate (mode IN-list, the two
+    inter-date comparisons, the receipt-year band) is row-local on the
+    dated scan, shrinking the fact ~97% BEFORE the l_orderkey shuffle
+    join to orders; the priority CASE then aggregates on the 2-value
+    shipmode key (map-side partials collapse everything).  Integer-µs
+    date algebra keeps the late-line frontier engine-exact."""
+    tune(spark)
+    lo = F.unix_micros(F.lit(_Q12_LO).cast("timestamp"))
+    hi = F.unix_micros(F.lit(_Q12_HI).cast("timestamp"))
+    li = lineitem_dated(spark, sf_dir).where(
+        F.col("l_shipmode").isin(*_Q12_MODES)
+        & (F.col("commit_us") < F.col("receipt_us"))
+        & (F.col("ship_us") < F.col("commit_us"))
+        & (F.col("receipt_us") >= lo)
+        & (F.col("receipt_us") < hi)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    is_high = F.col("o_orderpriority").isin(*_Q12_HIGH)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B57. q21_waiting_suppliers
+
+_Q21_NATION = "NATION_11"
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle=f"""
+    WITH {_LDATED_SQL}
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem_dated l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE o_orderstatus = 'F'
+      AND l1.receipt_us > l1.commit_us
+      AND n_name = '{_Q21_NATION}'
+      AND EXISTS (
+          SELECT 1 FROM lineitem_dated l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem_dated l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.receipt_us > l3.commit_us)
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (Suppliers Who Kept Orders Waiting): in finished
+    multi-supplier orders, count late lines of suppliers who were the
+    ONLY late supplier — the MULTI-CORRELATED-EXISTS shape (one positive,
+    one negative, both over the fact).
+
+    Scale shape: both EXISTS decorrelate into ONE per-order aggregate —
+    n_supp = countDistinct(suppkey) (the positive EXISTS is n_supp >= 2)
+    and n_late_supp = countDistinct(suppkey WHERE late) (the NOT EXISTS
+    is n_late_supp == 1, since a late l1's supplier is itself in the late
+    set) — so the fact is exchanged ONCE on l_orderkey and every
+    subsequent join (order stats, status-F orders) reuses that
+    partitioning; the nation's suppliers broadcast into the late-line
+    candidates BEFORE the shuffle.  The oracle states both EXISTS
+    literally; a green hash certifies the decorrelation."""
+    tune(spark)
+    li = lineitem_dated(spark, sf_dir).localCheckpoint(eager=False)
+    late = F.col("receipt_us") > F.col("commit_us")
+    stats = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    nation = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name") == _Q21_NATION
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    cand = li.where(late).join(
+        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    return (
+        cand.join(stats, "l_orderkey")
+        .where((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
     )

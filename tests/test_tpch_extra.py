@@ -9,6 +9,8 @@ anti-join (Q22 — the dual of B6's EXISTS semi-join).
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 import mapreduceimplementation_spark as eng
 from tests.conftest import assert_same_result, formatted_plan
 
@@ -501,3 +503,143 @@ def test_basket_rules_metric_invariants(spark, sf_dir):
     assert set(zip(out["part_a"], out["part_b"])) == set(
         zip(b25["part_a"], b25["part_b"])
     )
+
+
+# ---------------------------------------------------------------------------
+# B52-B57: synthesized partsupp + dated-lineitem TPC-H family
+#
+# These run at sf0.01 regardless of the session SF: the fixed TPC-H
+# nation/region parameters select zero suppliers from sf0.001's
+# 10-supplier table, which would make the assertions vacuous.
+
+_SF01 = "/root/testdata/sf0.01"
+
+
+def test_synth_partsupp_shape(spark):
+    """The synthesized dim must behave like TPC-H partsupp: unique
+    (partkey, suppkey), 2-4 suppliers per part, domains in range, and
+    byte-stable across derivations (it's a pure hash function)."""
+    from mapreduceimplementation_spark.plans.tpch import synth_partsupp
+
+    ps = synth_partsupp(spark, _SF01).toPandas()
+    assert not ps.duplicated(["ps_partkey", "ps_suppkey"]).any()
+    per_part = ps.groupby("ps_partkey").size()
+    assert per_part.between(2, 4).all()
+    assert ps["ps_availqty"].between(1, 9999).all()
+    assert ps["ps_cost_cents"].between(100, 99999).all()
+    again = synth_partsupp(spark, _SF01).toPandas()
+    key = ["ps_partkey", "ps_suppkey"]
+    assert ps.sort_values(key).reset_index(drop=True).equals(
+        again.sort_values(key).reset_index(drop=True)
+    )
+
+
+def test_q2_rows_achieve_regional_minimum(spark):
+    """Every emitted (part, supplier) must carry that part's MINIMUM
+    regional supply cost — recomputed independently from the synthesized
+    dim joined to region suppliers."""
+    from mapreduceimplementation_spark.plans.tpch import (
+        _Q2_REGION,
+        synth_partsupp,
+    )
+    from mapreduceimplementation_spark.sources.tables import load_table
+
+    out = eng.QUERIES["q2_min_cost_supplier"](spark, _SF01).toPandas()
+    assert len(out) > 0
+    supp = (
+        load_table(spark, _SF01, "supplier")
+        .join(load_table(spark, _SF01, "nation"),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(load_table(spark, _SF01, "region"),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == _Q2_REGION)
+        .select("s_suppkey")
+        .toPandas()["s_suppkey"]
+        .to_numpy()
+    )
+    ps = synth_partsupp(spark, _SF01).toPandas()
+    regional = ps[ps["ps_suppkey"].isin(supp)]
+    mins = regional.groupby("ps_partkey")["ps_cost_cents"].min() / 100.0
+    for _, r in out.iterrows():
+        assert abs(r["supplycost"] - mins[r["p_partkey"]]) < 1e-9
+
+
+def test_q11_share_threshold_exact(spark):
+    """Every kept part's value must exceed total/SCALE and the complement
+    must not (frontier exactness of the integer comparison)."""
+    from mapreduceimplementation_spark.plans.tpch import _Q11_SCALE
+
+    out = eng.QUERIES["q11_important_stock"](spark, _SF01).toPandas()
+    assert len(out) > 0
+    # independent total: the query's own HAVING discards rows, so rebuild
+    # the national relation via the registered query with threshold 0 is
+    # unavailable — recompute from the oracle-identical derivation instead
+    from mapreduceimplementation_spark.plans.tpch import (
+        _Q11_NATION,
+        synth_partsupp,
+    )
+    from mapreduceimplementation_spark.sources.tables import load_table
+
+    supp = (
+        load_table(spark, _SF01, "supplier")
+        .join(load_table(spark, _SF01, "nation"),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .where(F.col("n_name") == _Q11_NATION)
+        .toPandas()["s_suppkey"]
+        .to_numpy()
+    )
+    ps = synth_partsupp(spark, _SF01).toPandas()
+    nat = ps[ps["ps_suppkey"].isin(supp)].copy()
+    nat["v"] = nat["ps_cost_cents"] * nat["ps_availqty"]
+    by_part = nat.groupby("ps_partkey")["v"].sum()
+    total = int(by_part.sum())
+    kept = set(out["ps_partkey"])
+    for pk, v in by_part.items():
+        assert (int(v) * _Q11_SCALE > total) == (pk in kept)
+
+
+def test_q21_only_late_supplier_in_multi_supplier_f_orders(spark):
+    """Brute-force recheck of the decorrelated double-EXISTS on pandas:
+    numwait per supplier must match the literal rule."""
+    from mapreduceimplementation_spark.plans.tpch import (
+        _Q21_NATION,
+        lineitem_dated,
+    )
+    from mapreduceimplementation_spark.sources.tables import load_table
+
+    out = eng.QUERIES["q21_waiting_suppliers"](spark, _SF01).toPandas()
+    li = lineitem_dated(spark, _SF01).toPandas()
+    li["late"] = li["receipt_us"] > li["commit_us"]
+    g = li.groupby("l_orderkey").agg(
+        n_supp=("l_suppkey", "nunique"),
+        n_late=("l_suppkey", lambda s: s[li.loc[s.index, "late"]].nunique()),
+    )
+    forders = set(
+        load_table(spark, _SF01, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .toPandas()["o_orderkey"]
+    )
+    supp = (
+        load_table(spark, _SF01, "supplier")
+        .join(load_table(spark, _SF01, "nation"),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .where(F.col("n_name") == _Q21_NATION)
+        .toPandas()
+        .set_index("s_suppkey")["s_name"]
+    )
+    qual = li[
+        li["late"]
+        & li["l_orderkey"].isin(forders)
+        & li["l_suppkey"].isin(supp.index)
+        & li["l_orderkey"].map(g["n_supp"]).ge(2)
+        & li["l_orderkey"].map(g["n_late"]).eq(1)
+    ]
+    expect = qual.groupby("l_suppkey").size()
+    got = dict(zip(out["s_name"], out["numwait"]))
+    assert got == {supp[sk]: int(n) for sk, n in expect.items()}
+
+
+def test_q12_counts_partition_qualifying_lines(spark):
+    out = eng.QUERIES["q12_shipping_modes"](spark, _SF01).toPandas()
+    assert set(out["l_shipmode"]) == {"MAIL", "SHIP"}
+    assert (out["high_line_count"] + out["low_line_count"] > 0).all()
