@@ -1141,3 +1141,80 @@ def events_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("median_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B58. join_skewed_salted — the hot-key mitigation, driver-certified
+
+_SALT_BUCKETS = 8
+_ANON_TYPES = ("view", "click", "error")
+
+
+@register(
+    "join_skewed_salted",
+    oracle="""
+    SELECT tier,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+    FROM (
+        SELECT CASE WHEN event_type IN ('view', 'click', 'error')
+                    THEN 0 ELSE user_id END AS k,
+               value
+        FROM events
+    ) fact
+    JOIN (
+        SELECT c_custkey AS k,
+               CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT) AS tier
+        FROM customer
+    ) dim USING (k)
+    GROUP BY tier
+    """,
+)
+def join_skewed_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key join under SALTING, certified result-identical to the plain
+    join: anonymous traffic (view/click/error, ~60% of events) collapses
+    onto the house account key 0 — the classic default-foreign-key skew
+    that AQE's size-based skew split cannot always save (one key, one
+    reducer).  The mitigation: fact rows get salt = hash(event_id) mod S,
+    the dim side explodes into S replicas, and the join key becomes
+    (k, salt) — the hot key now spreads over S reducers.
+
+    The DuckDB oracle is the PLAIN join: a green hash is the proof the
+    salted rewrite changes no row (a mitigation that changes answers is
+    not an optimization).  The mechanism itself (hot key actually
+    spreading over >1 partition, replica count) is pinned plan-side in
+    tests/test_scale_patterns.py — locally Spark may still broadcast this
+    dim-sized build side, which is fine: salting is inert under
+    broadcast and takes over exactly when the dim outgrows it.  The
+    salt never leaves the plan: output is the per-tier rollup, identical
+    under any S."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    fact = ev.select(
+        "value",
+        F.when(F.col("event_type").isin(*_ANON_TYPES), F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+        F.pmod(F.hash("event_id"), F.lit(_SALT_BUCKETS)).alias("salt"),
+    )
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.floor(F.col("c_acctbal") / 2000.0).alias("tier"),
+        )
+        .withColumn(
+            "salt",
+            F.explode(F.array(*[F.lit(i) for i in range(_SALT_BUCKETS)])),
+        )
+    )
+    return (
+        fact.join(dim, ["k", "salt"])
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+    )
