@@ -700,3 +700,108 @@ def containment_pairs(
             F.round(j, 6).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C40. dedup_paragraphs — MassiveText-style duplicate-paragraph removal
+
+_PARA_WORDS = 20  # paragraph = 20-word chunk (the corpus has no newlines)
+_PARA_KEYBASE = 1 << 20  # survivor key = doc_id * 2^20 + pid (pid < 2^20)
+
+
+@register(
+    "dedup_paragraphs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               generate_subscripts(str_split(text, ' '), 1) AS pos,
+               unnest(str_split(text, ' ')) AS w
+        FROM documents
+    ),
+    paras AS (
+        SELECT doc_id, CAST((pos - 1) // {_PARA_WORDS} AS BIGINT) AS pid,
+               string_agg(w, ' ' ORDER BY pos) AS chunk
+        FROM toks GROUP BY doc_id, (pos - 1) // {_PARA_WORDS}
+    ),
+    keyed AS (
+        SELECT doc_id, pid, chunk,
+               (doc_id * {_PARA_KEYBASE} + pid) =
+                   min(doc_id * {_PARA_KEYBASE} + pid)
+                       OVER (PARTITION BY md5(chunk)) AS kept
+        FROM paras
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_paragraphs,
+           CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+           COALESCE(string_agg(CASE WHEN kept THEN chunk END, ' '
+                               ORDER BY pid), '') AS cleaned_text
+    FROM keyed GROUP BY doc_id
+    """,
+)
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup with document reassembly — the
+    MassiveText rule (Rae et al. 2021 §A1.2: remove duplicate paragraphs
+    ACROSS documents, keep the first occurrence, reassemble each doc from
+    its surviving paragraphs in original order).  Whole-doc dedup (C1)
+    misses boilerplate repeated INSIDE otherwise-unique pages — exactly
+    what this catches.  The corpus has no newline structure, so a
+    paragraph is a fixed {_PARA_WORDS}-word chunk; the survivor is the
+    globally first (doc_id, pid) per chunk hash.
+
+    Scale shape: chunking is row-local (split + slice per chunk index —
+    the text column is read once and never shuffled whole... the chunks
+    are, which IS the shuffle: ONE exchange on the uniform md5(chunk)
+    key, C1's discipline at paragraph grain); the survivor window needs
+    no second pass (min over the hash partition); reassembly is the
+    second exchange, back on doc_id, aggregating (pid, chunk) structs in
+    document order.  Survivor key packs (doc_id, pid) into one long —
+    exact while pid < 2^20 (a 20M-word doc), the knn_triangles packing
+    discipline.  Reassembly identity (nothing dropped ⇒ cleaned_text ==
+    text) is pytest-pinned."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(_PARA_WORDS)).cast("int")
+    # F.sequence(0, -1) runs BACKWARD on empty texts — guard with the
+    # explicit empty-array branch (the FNV empty-fold lesson)
+    chunk_arr = F.when(
+        F.size(words) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("long").alias("pid"),
+                F.array_join(
+                    F.slice(words, i * _PARA_WORDS + 1, _PARA_WORDS), " "
+                ).alias("chunk"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pid:long,chunk:string>>"))
+    paras = docs.select(
+        "doc_id", F.explode(chunk_arr).alias("p")
+    ).select("doc_id", F.col("p.pid").alias("pid"), F.col("p.chunk").alias("chunk"))
+    skey = F.col("doc_id") * _PARA_KEYBASE + F.col("pid")
+    kept = paras.withColumn(
+        "kept",
+        skey == F.min(skey).over(Window.partitionBy(F.md5(F.col("chunk")))),
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paragraphs"),
+        F.sum(F.when(F.col("kept"), 0).otherwise(1)).alias("n_dropped"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("kept"),
+                                F.struct("pid", "chunk"),
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("cleaned_text"),
+    )
