@@ -118,3 +118,115 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals the batch interval join (full hash gate)."""
     tune(spark)
     return run_stream_join(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# D10. streaming_left_outer_join — unmatched-click attribution
+
+_LOJ_SINK = "d10_left_outer_join_sink"
+
+#: clicks entering the outer join are bounded by this DECLARED cutoff so
+#: every click's eviction bound (cutoff + 24 h + 1 h delay) provably
+#: precedes the final watermark in every testdata SF (events end
+#: 2024-01-30 ~23:xx) — the B44 declared-bounds discipline applied to
+#: stream state: unbounded trailing clicks can NEVER flush their NULL row
+#: before an availableNow run terminates, which would make the streaming
+#: result diverge from the batch twin by exactly the trailing window.
+_LOJ_CLICK_CUTOFF = "2024-01-28 00:00:00"
+
+
+def run_left_outer_join(
+    spark: SparkSession, path: str, sink: str = _LOJ_SINK, **source_options
+) -> DataFrame:
+    """Run the click⟕purchase LEFT-OUTER interval join over `path` to
+    completion; unmatched clicks emit one NULL-purchase row once the
+    watermark passes their match window (state eviction)."""
+    _size_stream_state(spark)
+    _stop_query(spark, sink)
+    cutoff = F.lit(_LOJ_CLICK_CUTOFF).cast("timestamp")
+    clicks = (
+        _events_stream(spark, path, **source_options)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_event_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        # watermark BEFORE the cutoff filter: the watermark node must see
+        # ALL clicks, or the cutoff itself caps the clicks-side watermark
+        # at (cutoff - delay) and the last ~25 h of kept clicks can never
+        # evict (verified: 59 NULL rows silently missing at sf0.01).
+        # Catalyst cannot push a predicate on the watermark column through
+        # the watermark node, so the order is stable.
+        .withWatermark("click_ts", "1 hour")
+        .where(F.col("click_ts") < cutoff)
+    )
+    purchases = (
+        _events_stream(spark, path, **source_options)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            """
+            user_id = p_user_id AND
+            purchase_ts >= click_ts AND
+            purchase_ts <= click_ts + INTERVAL 24 HOURS
+            """
+        ),
+        "leftOuter",
+    ).select(
+        "click_event_id",
+        "user_id",
+        "click_ts",
+        "purchase_event_id",
+        "purchase_ts",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias(
+            "micros_after_click"
+        ),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+@register(
+    "streaming_left_outer_join",
+    oracle=f"""
+    SELECT c.event_id AS click_event_id,
+           c.user_id AS user_id,
+           c.ts AS click_ts,
+           p.event_id AS purchase_event_id,
+           p.ts AS purchase_ts,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS micros_after_click
+    FROM (SELECT * FROM events
+          WHERE event_type = 'click'
+            AND ts < TIMESTAMP '{_LOJ_CLICK_CUTOFF}') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 24 HOURS
+    """,
+)
+def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unmatched-click attribution: D4's interval join as a LEFT OUTER —
+    the join semantics D4 doesn't cover, where the watermark actively
+    FORCES output (a NULL row per expired unmatched click) rather than
+    merely bounding state.  The availableNow run equals the batch
+    left-outer twin exactly (full hash gate): matched pairs stream out as
+    found; NULL rows emit at state eviction, flushed by the trailing
+    no-data microbatch."""
+    tune(spark)
+    return run_left_outer_join(spark, os.path.join(sf_dir, "events.parquet"))
