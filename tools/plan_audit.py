@@ -4,55 +4,93 @@ For every batch query (streaming sinks are skipped — building their plan
 executes the stream) this prints scan count, exchange count, join
 strategies, and whether a CartesianProduct appears — the table SURVEY §6's
 plan review is based on.  Run after plan-affecting changes; the pytest
-plan gates pin the load-bearing shapes, this tool is for eyeballing the
-rest.
+plan gates pin the load-bearing shapes, and tests/test_plan_regression.py
+diffs the whole surface against the committed PLAN_BASELINE.json so a
+silent strategy flip (broadcast → sort-merge, new cartesian, extra
+shuffle) fails CI instead of waiting for a judge.
 
-Usage: python tools/plan_audit.py [sf_dir] [only_query ...]
+Usage:
+  python tools/plan_audit.py [sf_dir] [only_query ...]
+  python tools/plan_audit.py --baseline [sf_dir]   # rewrite PLAN_BASELINE.json
 """
 
 from __future__ import annotations
 
 import contextlib
 import io
+import json
 import os
 import re
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BASELINE_PATH = os.path.join(REPO, "PLAN_BASELINE.json")
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+def plan_counts(df) -> dict:
+    """Strategy-level fingerprint of a DataFrame's physical plan.
 
+    Counts are plan-shape facts (how many scans / shuffles / joins of each
+    strategy), not operator ids or expression text, so the fingerprint is
+    stable across Spark's plan-id renumbering but flips when a join
+    strategy or shuffle count actually changes.
+    """
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    return {
+        "scans": len(re.findall(r"^Location:", p, re.M)) or p.count("Location:"),
+        "exchanges": p.count("Exchange "),
+        "bhj": p.count("BroadcastHashJoin"),
+        "bnlj": p.count("BroadcastNestedLoopJoin"),
+        "smj": p.count("SortMergeJoin"),
+        "shj": p.count("ShuffledHashJoin"),
+        "cartesian": p.count("CartesianProduct"),
+    }
+
+
+def audit(sf_dir: str, only=()) -> dict[str, dict]:
     import mapreduceimplementation_spark as eng
     from mapreduceimplementation_spark.session import get_spark
 
     eng.load_all_operators()
     spark = get_spark("plan-audit")
-
-    print(f"{'query':34} {'scans':>5} {'exch':>4} {'bhj':>3} {'bnlj':>4} {'smj':>3} cartesian")
-    bad = []
+    out = {}
     for name in sorted(eng.QUERIES):
         if only and name not in only:
             continue
         if name.startswith("streaming_"):
-            print(f"{name:34}  (skipped: streaming)")
             continue
-        df = eng.QUERIES[name](spark, sf_dir)
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            df.explain("formatted")
-        p = buf.getvalue()
-        scans = len(re.findall(r"^Location:", p, re.M)) or p.count("Location:")
-        cart = "YES" if "CartesianProduct" in p else "-"
-        if cart == "YES":
+        out[name] = plan_counts(eng.QUERIES[name](spark, sf_dir))
+    return out
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    write_baseline = "--baseline" in args
+    args = [a for a in args if a != "--baseline"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
+
+    counts = audit(sf_dir, only)
+    if write_baseline:
+        with open(BASELINE_PATH, "w") as f:
+            json.dump({"sf_dir": sf_dir, "plans": counts}, f, indent=1, sort_keys=True)
+        print(f"wrote {BASELINE_PATH} ({len(counts)} batch plans)")
+        return 0
+
+    print(f"{'query':34} {'scans':>5} {'exch':>4} {'bhj':>3} {'bnlj':>4} {'smj':>3} {'shj':>3} cartesian")
+    bad = []
+    for name, c in counts.items():
+        cart = "YES" if c["cartesian"] else "-"
+        if c["cartesian"]:
             bad.append(name)
         print(
-            f"{name:34} {scans:>5} {p.count('Exchange '):>4}"
-            f" {p.count('BroadcastHashJoin'):>3}"
-            f" {p.count('BroadcastNestedLoopJoin'):>4}"
-            f" {p.count('SortMergeJoin'):>3} {cart:>9}"
+            f"{name:34} {c['scans']:>5} {c['exchanges']:>4} {c['bhj']:>3}"
+            f" {c['bnlj']:>4} {c['smj']:>3} {c['shj']:>3} {cart:>9}"
         )
     if bad:
         print(f"\nCARTESIAN PRODUCTS: {bad}")
