@@ -805,3 +805,92 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(""),
         ).alias("cleaned_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C45. boilerplate_source_matrix — which source pairs share boilerplate
+
+_BSM_WORDS = 20  # same paragraph grain as C40
+
+
+@register(
+    "boilerplate_source_matrix",
+    oracle=f"""
+    WITH ws AS (
+        SELECT source,
+               list_filter(regexp_split_to_array(text, '[^A-Za-z]+'),
+                           x -> x <> '') AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    chunks AS (
+        SELECT DISTINCT source,
+               md5(array_to_string(
+                   w[i * {_BSM_WORDS} + 1 : i * {_BSM_WORDS} + {_BSM_WORDS}],
+                   ' ')) AS h
+        FROM ws, UNNEST(range(0, (len(w) + {_BSM_WORDS} - 1)
+                                 // {_BSM_WORDS})) t(i)
+        WHERE len(w) > 0
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared_chunks
+    FROM chunks a JOIN chunks b ON a.h = b.h AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def boilerplate_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of corpus
+    sources, how many distinct {_BSM_WORDS}-word paragraph chunks appear
+    in BOTH — the provenance audit run before mixing scraped sources
+    (shared boilerplate inflates effective duplication between sources
+    that whole-doc stats call disjoint).  Same paragraph grain as C40's
+    dedup; the matrix names WHERE its duplicates come from.
+
+    Scale shape: chunking is C40's row-local slice; the distinct
+    (source, chunk-hash) relation collapses in ONE exchange on the
+    uniform hash key; the pair expansion happens INSIDE each hash bucket
+    from the sorted source set (collect_set is bounded by the number of
+    sources, ~dozens — never by corpus size), so no self-join and no
+    second fact-sized shuffle; the final rollup exchanges pair keys
+    (≤ sources² rows).  The oracle states the literal self-join — the
+    green hash certifies the in-bucket rewrite."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    docs = docs.where(F.col("text").isNotNull()).select(
+        "source", word_array("text").alias("w")
+    )
+    n_chunks = F.ceil(F.size("w") / F.lit(_BSM_WORDS)).cast("int")
+    chunk_arr = F.when(
+        F.size("w") > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.md5(
+                F.array_join(F.slice(F.col("w"), i * _BSM_WORDS + 1, _BSM_WORDS), " ")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    cs = (
+        docs.select("source", F.explode(chunk_arr).alias("h"))
+        .distinct()
+    )
+    ss = F.col("ss")
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size(ss) - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size(ss) - 1),
+                lambda j: F.struct(
+                    F.element_at(ss, i + 1).alias("source_a"),
+                    F.element_at(ss, j + 1).alias("source_b"),
+                ),
+            ),
+        )
+    )
+    return (
+        cs.groupBy("h")
+        .agg(F.array_sort(F.collect_set("source")).alias("ss"))
+        .where(F.size("ss") > 1)
+        .select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.source_a").alias("source_a"),
+                 F.col("p.source_b").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_chunks"))
+    )

@@ -23,7 +23,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from mapreduceimplementation_spark.functions.hashing import hash64, sql_hash64
-from mapreduceimplementation_spark.functions.text import sql_word_ngrams
+from mapreduceimplementation_spark.functions.text import (
+    sql_word_ngrams,
+    word_array,
+)
 from mapreduceimplementation_spark.operators.textmetrics import (
     _argmax_sql,
     _BPE_RE,
@@ -597,3 +600,136 @@ def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "bloom_hit", F.lit(False).alias("in_blocklist")
     )
     return hits.unionByName(misses)
+
+
+# ---------------------------------------------------------------------------
+# C41. corpus_chunk_overlap — sliding-window chunking for embedding/RAG prep
+
+_CHUNK_WORDS = 64  # window width (words per chunk)
+_CHUNK_STRIDE = 48  # stride (overlap = width - stride = 16 words)
+
+
+@register(
+    "corpus_chunk_overlap",
+    oracle=f"""
+    WITH ws AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '[^A-Za-z]+'),
+                           x -> x <> '') AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    sized AS (
+        SELECT doc_id, w, len(w) AS n_words,
+               1 + (GREATEST(len(w) - {_CHUNK_WORDS}, 0)
+                    + {_CHUNK_STRIDE} - 1) // {_CHUNK_STRIDE} AS n_chunks
+        FROM ws WHERE len(w) > 0
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_id,
+           CAST(i * {_CHUNK_STRIDE} AS BIGINT) AS start_word,
+           CAST(LEAST({_CHUNK_WORDS}, n_words - i * {_CHUNK_STRIDE})
+                AS BIGINT) AS n_chunk_words,
+           array_to_string(
+               w[i * {_CHUNK_STRIDE} + 1 :
+                 i * {_CHUNK_STRIDE} + {_CHUNK_WORDS}], ' ') AS chunk_text
+    FROM sized, UNNEST(range(0, n_chunks)) t(i)
+    """,
+)
+def corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking with overlap — the retrieval/RAG
+    prep step that slices each document into fixed-width windows
+    ({_CHUNK_WORDS} words, stride {_CHUNK_STRIDE}, so consecutive chunks
+    share {_CHUNK_WORDS - _CHUNK_STRIDE} words) before embedding.  The
+    overlap is the point: a fact that straddles a hard boundary appears
+    whole in at least one chunk.  Every document yields at least one
+    chunk (a short doc is one partial chunk); the final window is
+    allowed to be short rather than re-anchored backward, so chunk
+    membership is a pure function of (doc_id, word index) — append-only
+    corpora re-chunk only their new docs.
+
+    Output: (doc_id, chunk_id, start_word, n_chunk_words, chunk_text).
+
+    Scale shape: pure row-local fanout — split once, slice per window
+    (array ops inside codegen, the text column is read once), posexplode
+    of the per-doc chunk array; ZERO shuffles, no state.  At 100 TB this
+    is a scan-speed map whose output feeds the embedding UDF stage and
+    partitions naturally by input split."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", word_array("text").alias("w")
+    )
+    n_words = F.size(F.col("w"))
+    n_chunks = F.lit(1) + F.floor(
+        (F.greatest(n_words - _CHUNK_WORDS, F.lit(0)) + _CHUNK_STRIDE - 1)
+        / _CHUNK_STRIDE
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            (i * _CHUNK_STRIDE).cast("long").alias("start_word"),
+            F.least(
+                F.lit(_CHUNK_WORDS), n_words - i * _CHUNK_STRIDE
+            ).cast("long").alias("n_chunk_words"),
+            F.array_join(
+                F.slice(F.col("w"), i * _CHUNK_STRIDE + 1, _CHUNK_WORDS), " "
+            ).alias("chunk_text"),
+        ),
+    )
+    return (
+        docs.where(n_words > 0)
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", "c.chunk_id", "c.start_word", "c.n_chunk_words",
+                "c.chunk_text")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C42. sample_uniform_k — deterministic global uniform k-sample (the
+# distributed reservoir)
+
+_UNIFORM_K = 100
+
+
+@register(
+    "sample_uniform_k",
+    oracle=f"""
+    SELECT doc_id, rank_hash, source, n_chars
+    FROM (
+        SELECT doc_id,
+               {sql_hash64("'usamp-' || CAST(doc_id AS VARCHAR)")}
+                   AS rank_hash,
+               source, n_chars
+        FROM documents
+    )
+    ORDER BY rank_hash, doc_id
+    LIMIT {_UNIFORM_K}
+    """,
+)
+def sample_uniform_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size uniform corpus sample: the {_UNIFORM_K} documents with
+    the smallest portable hash — the deterministic equivalent of
+    reservoir sampling (every doc's rank tag is a pure function of its
+    id, so the winning set is a uniform draw, identical on any engine,
+    any cluster size, any rerun, and STABLE under corpus growth in the
+    reservoir sense: a new doc either displaces the current maximum or
+    changes nothing).  corpus_split/corpus_sample_stratified give a
+    uniform RATE; this gives an exact COUNT — the form needed for a
+    fixed-size eval draw or an inspection sample.
+
+    Scale shape: orderBy+limit compiles to TakeOrderedAndProject — each
+    partition keeps its local top-{_UNIFORM_K} heap and only k rows per
+    partition reach the single merge, so there is NO global sort and no
+    full-corpus shuffle (the classic MapReduce top-k combiner).  The
+    text column is not touched, only the id/stat projection."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    h = hash64(F.concat(F.lit("usamp-"), F.col("doc_id").cast("string")))
+    return (
+        docs.select("doc_id", h.alias("rank_hash"), "source", "n_chars")
+        .orderBy("rank_hash", "doc_id")
+        .limit(_UNIFORM_K)
+    )

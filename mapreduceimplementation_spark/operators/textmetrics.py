@@ -12,7 +12,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduceimplementation_spark.functions.hashing import hash64, sql_hash64
-from mapreduceimplementation_spark.functions.text import char_ngrams
+from mapreduceimplementation_spark.functions.text import (
+    char_ngrams,
+    ngrams_of_words,
+    sql_word_ngrams,
+    word_array,
+)
 from mapreduceimplementation_spark.registry import register
 from mapreduceimplementation_spark.session import spread, tune
 from mapreduceimplementation_spark.sources.tables import load_table
@@ -953,4 +958,239 @@ def corpus_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.join(F.broadcast(totals), "n")
         .where(F.col("c") >= _LM_MIN_COUNT)
         .select("n", "gram", "c", F.round(F.col("c") / F.col("total"), 9).alias("frac"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# C43. pii_scrub — PII detection + redaction accounting
+
+# ASCII-only character classes so Java regex (Spark) and RE2 (DuckDB)
+# tokenize identically; no \b / \d shorthands (dialect-safe).
+_PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+_PII_PHONE_RE = "[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+_PII_IP_RE = "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+"
+_PII_EVERY = 7  # 1 in 7 docs get an injected contact line
+
+# The corpus is letters-only word salad, so the detectable PII is
+# INJECTED deterministically (the audit-family derivation trick): 1/7 of
+# docs get a contact line whose email/phone/IP are integer functions of
+# doc_id — identical in both engines, so detection counts are graded on
+# real matches, not vacuous zeros.
+_PII_LINE_SQL = (
+    "' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-'"
+    " || CAST(100 + doc_id % 900 AS VARCHAR) || '-'"
+    " || CAST(1000 + (doc_id * 13) % 9000 AS VARCHAR)"
+    " || ' at 10.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.' || CAST((doc_id * 3) % 256 AS VARCHAR)"
+    " || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)"
+)
+
+
+@register(
+    "pii_scrub",
+    oracle=f"""
+    WITH injected AS (
+        SELECT doc_id,
+               CASE WHEN {sql_hash64("'pii-' || CAST(doc_id AS VARCHAR)")}
+                         % {_PII_EVERY} = 0
+                    THEN text || {_PII_LINE_SQL}
+                    ELSE text END AS t,
+               {sql_hash64("'pii-' || CAST(doc_id AS VARCHAR)")}
+                   % {_PII_EVERY} = 0 AS pii_injected
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, pii_injected,
+           CAST(length(regexp_extract_all(t, '{_PII_EMAIL_RE}')) AS BIGINT)
+               AS n_emails,
+           CAST(length(regexp_extract_all(t, '{_PII_PHONE_RE}')) AS BIGINT)
+               AS n_phones,
+           CAST(length(regexp_extract_all(
+                    regexp_replace(t, '{_PII_PHONE_RE}', '<PHONE>', 'g'),
+                    '{_PII_IP_RE}')) AS BIGINT) AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(
+                   t, '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_PII_PHONE_RE}', '<PHONE>', 'g'),
+                   '{_PII_IP_RE}', '<IP>', 'g')) AS scrubbed_hash
+    FROM injected
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection and redaction accounting — the scrub pass a training
+    corpus runs before release: count emails / phone numbers / IPv4
+    addresses per document and emit the hash of the redacted text
+    (<EMAIL>/<PHONE>/<IP> placeholders, replace-all).
+
+    The phone pattern is redacted BEFORE IPs are counted (and the same
+    replacement order produces the scrubbed text) so the two rules can
+    never claim overlapping spans differently between engines; all
+    patterns are ASCII character classes that Java regex and RE2 read
+    identically.
+
+    Scale shape: pure row-local regexp work at scan speed — zero
+    shuffles, zero state, the text column read once; at 100 TB this
+    fuses into the same codegen stage as the quality filters it
+    precedes."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.where(F.col("text").isNotNull())
+    d = F.col("doc_id")
+    pii_line = F.concat(
+        F.lit(" Contact user"), d.cast("string"), F.lit("@example.com or 555-"),
+        (100 + d % 900).cast("string"), F.lit("-"),
+        (1000 + (d * 13) % 9000).cast("string"),
+        F.lit(" at 10."), (d % 256).cast("string"),
+        F.lit("."), ((d * 3) % 256).cast("string"),
+        F.lit("."), ((d * 7) % 256).cast("string"),
+    )
+    injected = hash64(F.concat(F.lit("pii-"), d.cast("string"))) % _PII_EVERY == 0
+    t = F.when(injected, F.concat(F.col("text"), pii_line)).otherwise(
+        F.col("text")
+    )
+    base = docs.select("doc_id", injected.alias("pii_injected"), t.alias("t"))
+    no_phone = F.regexp_replace("t", _PII_PHONE_RE, "<PHONE>")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("t", _PII_EMAIL_RE, "<EMAIL>"),
+            _PII_PHONE_RE, "<PHONE>",
+        ),
+        _PII_IP_RE, "<IP>",
+    )
+    return base.select(
+        "doc_id",
+        "pii_injected",
+        F.regexp_count("t", F.lit(_PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count("t", F.lit(_PII_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count(no_phone, F.lit(_PII_IP_RE)).cast("long").alias("n_ips"),
+        F.md5(scrubbed).alias("scrubbed_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C44. ngram_duplication — per-doc duplicated-n-gram fraction
+
+_DUP_N = 5  # shingle width (RefinedWeb audits 5..10-gram duplication)
+
+
+@register(
+    "ngram_duplication",
+    oracle=f"""
+    WITH sh AS ({sql_word_ngrams(_DUP_N)}),
+    df AS (
+        SELECT sh, count(*) AS df FROM sh GROUP BY sh
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_shingles,
+           ROUND(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+               AS dup_frac
+    FROM sh JOIN df USING (sh)
+    GROUP BY doc_id
+    """,
+)
+def ngram_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-n-gram fraction: the share of a doc's
+    distinct {_DUP_N}-word shingles that also occur in at least one
+    OTHER document (corpus document-frequency > 1) — the RefinedWeb /
+    MassiveText quality signal that separates boilerplate-heavy pages
+    from original text, at a finer grain than whole-doc or paragraph
+    dedup.  quality_repetition (C31) measures repetition WITHIN a doc;
+    this measures it ACROSS the corpus.
+
+    Scale shape: per-doc shingle DISTINCT happens row-local
+    (array_distinct on the shingle array — within-doc repeats never
+    reach a shuffle), so the exploded (doc_id, sh) stream is already
+    distinct; document frequency is a COUNT window over the uniform
+    shingle key (ONE exchange — no separate df table and NO join: the
+    oracle states the literal df-join, the green hash certifies the
+    window rewrite); the per-doc rollup is the second and last exchange,
+    moving (doc_id, flag) pairs only.  The corpus text is scanned ONCE.
+    Stop-word-like shingles with huge df are counts, not lists: no skew
+    blowup."""
+    tune(spark)
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = (
+        docs.where(F.col("text").isNotNull())
+        .select("doc_id", word_array("text").alias("ws"))
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(ngrams_of_words("ws", _DUP_N))).alias(
+                "sh"
+            ),
+        )
+    )
+    df = F.count(F.lit(1)).over(Window.partitionBy("sh"))
+    dup = F.sum(F.when(F.col("df") > 1, 1).otherwise(0))
+    return (
+        sh.withColumn("df", df)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            dup.alias("n_dup_shingles"),
+            F.round(dup / F.count(F.lit(1)), 6).alias("dup_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C46. bpe_pair_counts — the first BPE merge step as a corpus job
+
+_BPE_TOP = 50
+
+
+@register(
+    "bpe_pair_counts",
+    oracle=f"""
+    WITH w AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    p AS (
+        SELECT substr(w, i, 2) AS pair
+        FROM w, UNNEST(range(1, length(w))) t(i)
+        WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+    FROM p GROUP BY pair
+    ORDER BY cnt DESC, pair
+    LIMIT {_BPE_TOP}
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-symbol pair frequencies over the corpus — the counting
+    job inside one BPE merge iteration (Sennrich et al. 2016): for every
+    lowercased letter-run token, count each adjacent character pair; the
+    most frequent pair is the next merge.  Emits the top {_BPE_TOP}
+    pairs (count desc, pair asc — a total order, so the frontier is
+    deterministic).
+
+    Scale shape: the pair key space is bounded (≤ 26² + partial words),
+    so the exploded pair stream collapses in map-side partial aggregation
+    and the single exchange moves ≤ ~700 rows per partition regardless
+    of corpus size; the top-{_BPE_TOP} is a TakeOrdered over a
+    dim-sized relation.  A full BPE trainer iterates this job with the
+    vocabulary update applied between rounds — each round is exactly
+    this shape."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    words = docs.where(F.col("text").isNotNull()).select(
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("w")
+    )
+    pairs = words.where(F.length("w") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(_BPE_TOP)
     )

@@ -11,9 +11,9 @@ concatenates — and compute the shard→group assignment deterministically.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
+from pyspark.sql.window import Window, WindowSpec
 
 from mapreduceimplementation_spark.functions.hashing import hash64, sql_hash64
 from mapreduceimplementation_spark.registry import register
@@ -1094,3 +1094,281 @@ def kv_linearizability_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the textbook definition."""
     tune(spark)
     return linearizability_audit(derive_kv_history(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# B59. lock_grant_audit — the lockservice labs' grant/deny spec as a
+# trace audit
+#
+# The reference ships the lockservice client/server entry points
+# (/root/reference/src/main/lockc.go: Clerk.Lock/Unlock returning a grant
+# bool, /root/reference/src/main/lockd.go: primary/backup StartServer) —
+# the pre-Raft 6.824 lock-service lab.  Its spec is sequential: Lock(l)
+# is granted iff l is free, Unlock(l) succeeds iff l is held, and a
+# primary/backup pair must answer exactly like one serial server (the lab
+# tests replay a history against that spec and fail on any divergence —
+# the classic lost-state-on-failover bug).  Trace-audit twin: given an
+# observed (lock, op, granted) history, REPLAY the serial spec per lock
+# and diff the observed grant bits against it.
+#
+# The replay is one window, not a stateful scan: after ANY lock attempt
+# the lock is held (a denied Lock means it was already held) and after
+# ANY unlock attempt it is free (a denied Unlock means it was already
+# free) — so the state a lock is in before op i is simply
+# "was op i-1 a lock attempt", i.e. LAG(op), and the whole serial spec
+# is row-local after ONE per-lock ordered window.
+
+_LOCK_FAULT_EVERY = 29  # 1/29 observed grant bits flipped (failover bug)
+
+_LOCK_HIST_SQL = f"""
+        SELECT user_id AS lock,
+               CASE WHEN {sql_hash64("'lkop' || CAST(event_id AS VARCHAR)")}
+                         % 2 = 0
+                    THEN 'lock' ELSE 'unlock' END AS op,
+               ts, event_id,
+               {sql_hash64("'lkfault' || CAST(event_id AS VARCHAR)")}
+                   % {_LOCK_FAULT_EVERY} = 0 AS fault
+        FROM events
+"""
+
+
+@register(
+    "lock_grant_audit",
+    oracle=f"""
+    WITH hist AS ({_LOCK_HIST_SQL}),
+    replay AS (
+        SELECT lock, op, fault,
+               CASE WHEN op = 'lock'
+                    THEN COALESCE(LAG(op) OVER w, 'unlock') = 'unlock'
+                    ELSE COALESCE(LAG(op) OVER w, 'unlock') = 'lock'
+               END AS spec_grant
+        FROM hist
+        WINDOW w AS (PARTITION BY lock ORDER BY ts, event_id)
+    )
+    SELECT lock,
+           CAST(count(*) AS BIGINT) AS n_ops,
+           CAST(SUM(CASE WHEN op = 'lock' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_lock_ops,
+           CAST(SUM(CASE WHEN spec_grant <> fault THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_granted,
+           CAST(SUM(CASE WHEN fault THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violations,
+           CASE WHEN SUM(CASE WHEN fault THEN 1 ELSE 0 END) > 0
+                THEN 'VIOLATION' ELSE 'ok' END AS verdict
+    FROM replay
+    GROUP BY lock
+    """,
+)
+def lock_grant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lock audit of an observed Lock/Unlock grant history against
+    the serial lock-service spec (reference src/main/lockc.go Lock/Unlock
+    grant bools, src/main/lockd.go primary/backup servers; the lab's
+    failover tests replay exactly this check).
+
+    Derived history: events are the op stream — lock name = user_id, op
+    kind hash-derived per event, observed grant = the serial spec's
+    answer with a hash-chosen 1/29 of bits flipped (the lost-state
+    failover bug the lab hunts).  ``audit_lock_grants`` (the reusable
+    trace-audit API, fed by tests with hand-built violating histories)
+    replays the spec with ONE per-lock LAG window (see the family
+    comment: state-before-op == "previous op was a lock attempt"), diffs
+    observed vs spec row-local, and aggregates per lock — a violating
+    lock is named, counted, and every flagged row is a TRUE violation
+    (the spec is deterministic).
+
+    Scale shape: one hash exchange on lock for the window; the groupBy
+    reuses the same partitioning (window partitionBy == groupBy key =>
+    ENSURE_REQUIREMENTS adds no second shuffle); everything else is
+    row-local.  Per-lock state = that lock's op count, never cross-lock."""
+    tune(spark)
+    return audit_lock_grants(derive_lock_history(spark, sf_dir))
+
+
+def derive_lock_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic observed Lock/Unlock history from events: (lock, op,
+    granted, ts, opid) — ``audit_lock_grants``'s input contract.  The
+    observed grant bit is the serial spec's answer XOR a hash-chosen
+    1/29 fault."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    eid = F.col("event_id").cast("string")
+    hist = ev.select(
+        F.col("user_id").alias("lock"),
+        "ts",
+        F.col("event_id").alias("opid"),
+        F.when(hash64(eid, salt="lkop") % 2 == 0, "lock")
+        .otherwise("unlock")
+        .alias("op"),
+        (hash64(eid, salt="lkfault") % _LOCK_FAULT_EVERY == 0).alias("fault"),
+    )
+    spec = _lock_spec_grant(Window.partitionBy("lock").orderBy("ts", "opid"))
+    # the fault flips the answered bit (boolean XOR)
+    return hist.select(
+        "lock", "op", (spec != F.col("fault")).alias("granted"), "ts", "opid"
+    )
+
+
+def _lock_spec_grant(w: WindowSpec) -> Column:
+    """The serial lock spec's grant bit for each op, as one LAG window:
+    the state before op i is held iff op i-1 was a lock ATTEMPT
+    (regardless of its grant — see the family comment)."""
+    prev = F.coalesce(F.lag("op").over(w), F.lit("unlock"))
+    return F.when(F.col("op") == "lock", prev == "unlock").otherwise(
+        prev == "lock"
+    )
+
+
+def audit_lock_grants(history: DataFrame) -> DataFrame:
+    """Diff an observed lock-service history against the serial spec.
+
+    ``history``: (lock, op 'lock'|'unlock', granted bool, ts, opid) —
+    the observed reply bits of a lock service.  Emits one row per lock
+    with op counts, the observed-vs-spec mismatch count, and the verdict."""
+    spec = _lock_spec_grant(Window.partitionBy("lock").orderBy("ts", "opid"))
+    replay = history.withColumn("spec_grant", spec)
+    viol = F.sum(
+        F.when(F.col("granted") != F.col("spec_grant"), 1).otherwise(0)
+    )
+    return replay.groupBy("lock").agg(
+        F.count(F.lit(1)).alias("n_ops"),
+        F.sum(F.when(F.col("op") == "lock", 1).otherwise(0)).alias(
+            "n_lock_ops"
+        ),
+        F.sum(F.when(F.col("granted"), 1).otherwise(0)).alias("n_granted"),
+        viol.alias("n_violations"),
+        F.when(viol > 0, "VIOLATION").otherwise("ok").alias("verdict"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B60. view_change_audit — the viewservice succession rules as a trace audit
+#
+# The reference's viewservice entry point (/root/reference/src/main/viewd.go,
+# consumed by the primary/backup server in pbd.go) implements the 6.824
+# primary/backup view protocol: views are numbered consecutively; the
+# primary of view v+1 MUST have been the primary or backup of view v
+# (state has to flow through a live replica), and the service may only
+# move past view v after v's primary has ACKED it.  Trace-audit twin:
+# given a view-change log (viewnum, primary, backup, acked), check every
+# transition with a LAG window and name the violations.
+
+_N_VIEWS = 500
+_VIEW_FAULT_EVERY = 13  # 1/13 of views get a hash-chosen (junk) primary
+_VIEW_UNACK_EVERY = 7  # 1/7 of views were never acked by their primary
+
+_VIEW_LOG_SQL = f"""
+        SELECT v AS viewnum,
+               CASE WHEN v = 1 THEN 0
+                    WHEN {sql_hash64("'vwf' || CAST(v AS VARCHAR)")}
+                         % {_VIEW_FAULT_EVERY} = 0
+                    THEN (v * 11 + 5) % 25
+                    ELSE ((v - 1) * 7 + 3) % 25 END AS p_idx,
+               (v * 7 + 3) % 25 AS b_idx,
+               {sql_hash64("'vwack' || CAST(v AS VARCHAR)")}
+                   % {_VIEW_UNACK_EVERY} <> 0 AS acked
+        FROM (SELECT unnest(range(1, {_N_VIEWS} + 1)) AS v)
+"""
+
+
+@register(
+    "view_change_audit",
+    oracle=f"""
+    WITH log AS ({_VIEW_LOG_SQL}),
+    named AS (
+        SELECT viewnum, acked,
+               pn.n_name AS "primary", bn.n_name AS backup, p_idx, b_idx
+        FROM log
+        JOIN nation pn ON pn.n_nationkey = p_idx
+        JOIN nation bn ON bn.n_nationkey = b_idx
+    ),
+    audit AS (
+        SELECT viewnum, "primary", backup, acked,
+               COALESCE(p_idx IN (LAG(p_idx) OVER w, LAG(b_idx) OVER w),
+                        TRUE) AS ok_succession,
+               COALESCE(LAG(acked) OVER w, TRUE) AS ok_ack
+        FROM named
+        WINDOW w AS (ORDER BY viewnum)
+    )
+    SELECT viewnum, "primary", backup, acked, ok_succession, ok_ack,
+           CASE WHEN ok_succession AND ok_ack THEN 'ok'
+                WHEN NOT ok_succession THEN 'BAD_SUCCESSION'
+                ELSE 'UNACKED_CHANGE' END AS verdict
+    FROM audit
+    """,
+)
+def view_change_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit a primary/backup view-change log against the viewservice
+    succession rules (reference src/main/viewd.go / pbd.go; the 6.824
+    view protocol): the new primary must come from the previous view's
+    {primary, backup}, and a view may only be superseded once its
+    primary has acked it.
+
+    Derived log: _N_VIEWS consecutive views over the nation dim's 25
+    servers; the normal succession promotes the previous backup, a
+    hash-chosen 1/13 installs a junk primary (the split-brain bug) and
+    1/7 are never acked — so both verdict classes genuinely occur and
+    'ok' dominates.  The audit itself never sees the generator: it
+    checks transitions with LAG over viewnum, exactly what it would do
+    on a real trace.
+
+    Scale shape: control-plane sized (views × 25 servers); the two name
+    joins broadcast the dim, the single-partition ordered window is by
+    nature of a GLOBAL view sequence (a real deployment has one view
+    service; per-cluster logs would partition by cluster id)."""
+    tune(spark)
+    v = F.col("id")
+    fault = hash64(v.cast("string"), salt="vwf") % _VIEW_FAULT_EVERY == 0
+    log = spark.range(1, _N_VIEWS + 1).select(
+        v.alias("viewnum"),
+        F.when(v == 1, F.lit(0))
+        .when(fault, (v * 11 + 5) % 25)
+        .otherwise(((v - 1) * 7 + 3) % 25)
+        .alias("p_idx"),
+        ((v * 7 + 3) % 25).alias("b_idx"),
+        (hash64(v.cast("string"), salt="vwack") % _VIEW_UNACK_EVERY != 0).alias(
+            "acked"
+        ),
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    named = (
+        log.join(
+            F.broadcast(nation.withColumnRenamed("n_name", "primary")),
+            F.col("p_idx") == F.col("n_nationkey"),
+        )
+        .drop("n_nationkey")
+        .join(
+            F.broadcast(nation.withColumnRenamed("n_name", "backup")),
+            F.col("b_idx") == F.col("n_nationkey"),
+        )
+        .drop("n_nationkey", "p_idx", "b_idx")
+    )
+    return audit_view_log(named)
+
+
+def audit_view_log(log: DataFrame) -> DataFrame:
+    """Audit a view-change log against the view-service succession rules.
+
+    ``log``: (viewnum, primary, backup, acked) with viewnum defining the
+    total order and primary/backup any comparable server ids.  Emits one
+    row per view with the two rule bits and the verdict — the first view
+    is vacuously valid."""
+    w = Window.orderBy("viewnum")
+    prev_p, prev_b = F.lag("primary").over(w), F.lag("backup").over(w)
+    ok_succ = F.coalesce(
+        (F.col("primary") == prev_p) | (F.col("primary") == prev_b),
+        F.lit(True),
+    )
+    ok_ack = F.coalesce(F.lag("acked").over(w), F.lit(True))
+    return log.select(
+        "viewnum",
+        "primary",
+        "backup",
+        "acked",
+        ok_succ.alias("ok_succession"),
+        ok_ack.alias("ok_ack"),
+        F.when(ok_succ & ok_ack, "ok")
+        .when(~ok_succ, "BAD_SUCCESSION")
+        .otherwise("UNACKED_CHANGE")
+        .alias("verdict"),
+    )

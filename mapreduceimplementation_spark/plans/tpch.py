@@ -1512,7 +1512,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # B53. q11_important_stock
 
-_Q11_NATION = "NATION_7"
+# NATION_12 has suppliers at every driver scale factor (sf0.001's 10
+# suppliers cover only 10 of the 25 nations — NATION_7 was empty there,
+# making q11 vacuous at the determinism gate's sf).
+_Q11_NATION = "NATION_12"
 _Q11_SCALE = 300  # keep parts whose stock value * SCALE > national total
 
 
@@ -1655,7 +1658,7 @@ def q16_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFra
 # ---------------------------------------------------------------------------
 # B55. q20_potential_promotion
 
-_Q20_NATION = "NATION_11"
+_Q20_NATION = "NATION_19"  # non-empty at every driver sf (sf0.001 covers only 10 of 25 nations)
 _Q20_PREFIX = "small"
 # two shipping years: the testdata's lineitem spreads (partkey, suppkey)
 # pairs thinly, and a 1-year window leaves the nation cut with ~1 supplier
@@ -1879,7 +1882,7 @@ def q12_shipping_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # B57. q21_waiting_suppliers
 
-_Q21_NATION = "NATION_11"
+_Q21_NATION = "NATION_19"  # non-empty at every driver sf (sf0.001 covers only 10 of 25 nations)
 
 
 @register(
@@ -1948,4 +1951,57 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# B61. q4_order_priority — literal TPC-H Q4, completing all 22 shapes
+
+_Q4_LO = "1996-07-01 00:00:00"
+_Q4_HI = "1996-10-01 00:00:00"
+
+
+@register(
+    "q4_order_priority",
+    oracle=f"""
+    WITH {_LDATED_SQL}
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{_Q4_LO}'
+      AND o_orderdate <  TIMESTAMP '{_Q4_HI}'
+      AND EXISTS (
+          SELECT 1 FROM lineitem_dated
+          WHERE l_orderkey = o_orderkey
+            AND commit_us < receipt_us)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (Order Priority Checking), the literal form: orders of one
+    quarter with at least one line received after its committed date,
+    counted by priority.  B6 (order_priority_count) carries this EXISTS
+    shape with a shipdate proxy; the synthesized commit/receipt dates
+    (see the lineitem_dated family comment) make the canonical
+    `l_commitdate < l_receiptdate` predicate expressible, closing the
+    last of the 22 TPC-H shapes.
+
+    Scale shape: the quarter band prunes orders row-local at the scan
+    (half-open bounds per the q6/q15 convention); the late predicate is
+    row-local on the dated lineitem scan BEFORE the l_orderkey LEFT SEMI
+    (no fact duplication, no distinct); the final aggregate collapses on
+    the 5-value priority key via map-side partials."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(_Q4_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q4_HI).cast("timestamp"))
+    ).select("o_orderkey", "o_orderpriority")
+    late = lineitem_dated(spark, sf_dir).where(
+        F.col("commit_us") < F.col("receipt_us")
+    ).select("l_orderkey")
+    return (
+        orders.join(
+            late, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
     )

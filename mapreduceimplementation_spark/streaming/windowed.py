@@ -194,3 +194,66 @@ def streaming_windowed_counts_json(spark: SparkSession, sf_dir: str) -> DataFram
     )
     q.awaitTermination()
     return spark.table(_JSON_SINK)
+
+
+_TOPK_SINK = "d11_topk_sink"
+_TOPK_K = 3
+
+
+@register(
+    "streaming_topk",
+    oracle=f"""
+    WITH c AS (
+        SELECT date_trunc('minute', ts) AS minute, event_type,
+               count(*) AS n_events
+        FROM events GROUP BY 1, 2
+    )
+    SELECT minute, event_type, n_events, rnk FROM (
+        SELECT minute, event_type, n_events,
+               CAST(row_number() OVER (
+                   PARTITION BY minute
+                   ORDER BY n_events DESC, event_type) AS BIGINT) AS rnk
+        FROM c
+    ) WHERE rnk <= {_TOPK_K}
+    """,
+)
+def streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D11: per-window top-{_TOPK_K} event types — the streaming
+    leaderboard (trending-now) shape.  The STREAM maintains only the
+    windowed counts (the same bounded windows × types state as D1);
+    the rank is a batch window over the sink's dim-sized result, because
+    a per-window top-k cannot be finalized while the window can still
+    receive data — ranking at read time is how a production dashboard
+    queries such a sink (the Kappa-architecture serving-layer split).
+
+    complete mode + availableNow ⇒ equals the batch top-k exactly
+    (ties broken by event_type: a total order, so the frontier is
+    deterministic across engines and partitionings)."""
+    tune(spark)
+    _size_stream_state(spark)
+    _stop_query(spark, _TOPK_SINK)
+    ev = _events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    agg = (
+        ev.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 minute").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("minute"), "event_type", "n_events")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(_TOPK_SINK)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("minute").orderBy(
+        F.col("n_events").desc(), "event_type"
+    )
+    return (
+        spark.table(_TOPK_SINK)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= _TOPK_K)
+    )

@@ -193,3 +193,41 @@ def test_paragraph_dedup_drops_cross_doc_boilerplate(spark):
     assert out[1]["cleaned_text"] == boiler + " " + uniq_a
     assert out[2]["n_paragraphs"] == 2 and out[2]["n_dropped"] == 1
     assert out[2]["cleaned_text"] == uniq_b
+
+
+# ---------------------------------------------------------------------------
+# C45 boilerplate_source_matrix
+
+
+def test_source_matrix_hand_corpus(spark):
+    """Two sources sharing one grid-aligned boilerplate chunk produce one
+    matrix cell; a third source with unique text appears nowhere."""
+    import tempfile
+
+    from mapreduceimplementation_spark.operators.dedup import _BSM_WORDS
+
+    boiler = " ".join(["spam"] * _BSM_WORDS)
+    uniq = lambda p: " ".join(f"{p}{i}" for i in range(_BSM_WORDS))
+    rows = [
+        (1, "s1", boiler + " " + uniq("a")),
+        (2, "s2", boiler + " " + uniq("b")),
+        (3, "s3", uniq("c")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = eng.QUERIES["boilerplate_source_matrix"](spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["source_a"], r["source_b"], r["n_shared_chunks"]) == ("s1", "s2", 1)
+
+
+def test_source_matrix_symmetric_bounds(spark, sf_dir):
+    """Pairs are canonical (a < b) and counts positive; the matrix is
+    consistent with C40: cross-source sharing exists in the corpus."""
+    out = eng.QUERIES["boilerplate_source_matrix"](spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert (out["source_a"] < out["source_b"]).all()
+    assert (out["n_shared_chunks"] > 0).all()
+    # canonical pairs are unique rows
+    assert not out.duplicated(["source_a", "source_b"]).any()

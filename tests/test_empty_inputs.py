@@ -38,6 +38,13 @@ _EMPTY_TOTAL = [
     "corpus_split",          # hash stamp
     "feature_hash_vectors",  # zero-shuffle fold
     "kv_apply_log",          # log replay
+    "corpus_chunk_overlap",  # row-local fanout (r5)
+    "sample_uniform_k",      # TakeOrdered top-k (r5)
+    "pii_scrub",             # row-local regexp (r5)
+    "ngram_duplication",     # shingle-window + rollup (r5)
+    "boilerplate_source_matrix",  # in-bucket pair expansion (r5)
+    "bpe_pair_counts",       # bounded-key partial agg (r5)
+    "lock_grant_audit",      # per-lock LAG replay (r5)
 ]
 
 _ONE_ROW_ON_EMPTY = {

@@ -353,3 +353,153 @@ def test_linearizability_registered_query_mix(spark, sf_dir):
         out["linearizable"]
         == (out[["n_unknown", "n_future", "n_stale", "n_reorder"]].sum(axis=1) == 0)
     ).all()
+
+
+# ---------------------------------------------------------------------------
+# B59 lock_grant_audit: serial lock-service spec replay on observed grants
+
+
+def _lock_audit(spark, rows):
+    """rows: (lock, op, granted, ts, opid) -> {lock: row} of verdicts."""
+    from mapreduceimplementation_spark.plans.kv import audit_lock_grants
+
+    df = spark.createDataFrame(
+        rows, "lock string, op string, granted boolean, ts long, opid long"
+    )
+    return {r["lock"]: r.asDict() for r in audit_lock_grants(df).collect()}
+
+
+def test_lock_audit_clean_serial_history(spark):
+    # grant/deny bits exactly as one serial server would answer:
+    # Lock granted on free, denied on held; Unlock granted on held,
+    # denied on free; first op sees a free lock.
+    out = _lock_audit(
+        spark,
+        [
+            ("a", "lock", True, 0, 1),
+            ("a", "lock", False, 10, 2),  # already held -> denied
+            ("a", "unlock", True, 20, 3),
+            ("a", "unlock", False, 30, 4),  # already free -> denied
+            ("a", "lock", True, 40, 5),
+        ],
+    )
+    v = out["a"]
+    assert v["verdict"] == "ok" and v["n_violations"] == 0
+    assert v["n_ops"] == 5 and v["n_lock_ops"] == 3 and v["n_granted"] == 3
+
+
+def test_lock_audit_denied_attempt_still_transitions_state(spark):
+    # After a DENIED Lock the lock is held (the denial proves it was);
+    # a following Unlock must therefore be granted by the spec.
+    out = _lock_audit(
+        spark,
+        [
+            ("a", "lock", True, 0, 1),
+            ("a", "lock", False, 10, 2),
+            ("a", "unlock", True, 20, 3),  # held (per the denial) -> grant
+        ],
+    )
+    assert out["a"]["verdict"] == "ok"
+
+
+def test_lock_audit_flags_failover_lost_state(spark):
+    # The classic primary/backup bug: state lost at failover, so a Lock
+    # on a held lock is wrongly granted. Per-lock isolation: lock "b"
+    # with a clean history stays green.
+    out = _lock_audit(
+        spark,
+        [
+            ("a", "lock", True, 0, 1),
+            ("a", "lock", True, 10, 2),  # spec says deny (held) -> flagged
+            ("a", "unlock", True, 20, 3),
+            ("b", "lock", True, 0, 4),
+            ("b", "unlock", True, 10, 5),
+        ],
+    )
+    assert out["a"]["verdict"] == "VIOLATION" and out["a"]["n_violations"] == 1
+    assert out["b"]["verdict"] == "ok" and out["b"]["n_violations"] == 0
+
+
+def test_lock_audit_registered_query_mix(spark, sf_dir):
+    """The derived-history query injects a 1/29 fault: both verdicts must
+    occur, and n_violations must equal the observed-vs-spec diff exactly
+    (every flagged row is a true fault by construction)."""
+    out = eng.QUERIES["lock_grant_audit"](spark, sf_dir).toPandas()
+    assert (out["verdict"] == "VIOLATION").any()
+    assert (out["verdict"] == "ok").any()
+    assert ((out["n_violations"] > 0) == (out["verdict"] == "VIOLATION")).all()
+    assert (out["n_lock_ops"] <= out["n_ops"]).all()
+
+
+# ---------------------------------------------------------------------------
+# B60 view_change_audit: viewservice succession rules on a view-change log
+
+
+def _view_audit(spark, rows):
+    """rows: (viewnum, primary, backup, acked) -> {viewnum: row}."""
+    from mapreduceimplementation_spark.plans.kv import audit_view_log
+
+    df = spark.createDataFrame(
+        rows, "viewnum long, primary string, backup string, acked boolean"
+    )
+    return {r["viewnum"]: r.asDict() for r in audit_view_log(df).collect()}
+
+
+def test_view_audit_clean_successions(spark):
+    # v1 vacuous; v2 promotes v1's backup (crash failover); v3 keeps the
+    # primary and swaps the backup — both legal.
+    out = _view_audit(
+        spark,
+        [
+            (1, "s1", "s2", True),
+            (2, "s2", "s3", True),
+            (3, "s2", "s4", True),
+        ],
+    )
+    assert all(v["verdict"] == "ok" for v in out.values())
+
+
+def test_view_audit_flags_bad_succession(spark):
+    # v2's primary came from nowhere: state cannot have flowed to it.
+    out = _view_audit(
+        spark,
+        [
+            (1, "s1", "s2", True),
+            (2, "s9", "s1", True),
+        ],
+    )
+    assert out[2]["verdict"] == "BAD_SUCCESSION" and not out[2]["ok_succession"]
+    assert out[1]["verdict"] == "ok"
+
+
+def test_view_audit_flags_unacked_supersession(spark):
+    # v2 was never acked by its primary, so moving to v3 is illegal —
+    # even though v3's succession (promote v2's backup) is fine.
+    out = _view_audit(
+        spark,
+        [
+            (1, "s1", "s2", True),
+            (2, "s2", "s3", False),
+            (3, "s3", "s1", True),
+        ],
+    )
+    assert out[3]["verdict"] == "UNACKED_CHANGE"
+    assert out[3]["ok_succession"] and not out[3]["ok_ack"]
+    # succession beats ack in verdict naming when both fail
+    out2 = _view_audit(
+        spark,
+        [
+            (1, "s1", "s2", False),
+            (2, "s9", "s1", True),
+        ],
+    )
+    assert out2[2]["verdict"] == "BAD_SUCCESSION"
+
+
+def test_view_audit_registered_query_mix(spark, sf_dir):
+    """Derived log: both fault classes genuinely occur and 'ok' dominates."""
+    out = eng.QUERIES["view_change_audit"](spark, sf_dir).toPandas()
+    counts = out["verdict"].value_counts()
+    assert counts.get("BAD_SUCCESSION", 0) > 0
+    assert counts.get("UNACKED_CHANGE", 0) > 0
+    assert counts.get("ok", 0) > counts.drop("ok").sum()

@@ -126,6 +126,27 @@ INVENTORY = [
     "streaming_enriched_counts",  # D8: stream-static enrichment join
     "streaming_sessionize_native",  # D6: built-in session_window twin of D2
     "streaming_value_histogram",  # D9: multi-microbatch fixed-bin histogram
+    # round-5 additions
+    "join_skewed_salted",    # B58: salted hot-key join, plain-join oracle
+    "kv_linearizability_audit",  # B51: porcupine/KvModel per-key audit
+    "lock_grant_audit",      # B59: serial lock-service spec replay
+    "view_change_audit",     # B60: viewservice succession-rule audit
+    "q2_min_cost_supplier",  # B52: TPC-H Q2 (synthesized partsupp)
+    "q11_important_stock",   # B53: TPC-H Q11
+    "q16_parts_supplier_relationship",  # B54: TPC-H Q16
+    "q20_potential_promotion",  # B55: TPC-H Q20
+    "q12_shipping_modes",    # B56: TPC-H Q12 (synthesized line dates)
+    "q21_waiting_suppliers",  # B57: TPC-H Q21
+    "q4_order_priority",     # B61: TPC-H Q4 — closes all 22 shapes
+    "dedup_paragraphs",      # C40: MassiveText paragraph dedup + reassembly
+    "corpus_chunk_overlap",  # C41: sliding-window RAG chunking
+    "sample_uniform_k",      # C42: deterministic reservoir k-sample
+    "pii_scrub",             # C43: PII detection + redaction accounting
+    "ngram_duplication",     # C44: cross-corpus duplicated-5-gram fraction
+    "boilerplate_source_matrix",  # C45: source-pair shared-chunk matrix
+    "bpe_pair_counts",       # C46: BPE merge-step pair counting
+    "streaming_left_outer_join",  # D10: watermark-forced NULL emission
+    "streaming_topk",        # D11: per-window top-k leaderboard
 ]
 
 #: SURVEY rows not yet implemented — MUST shrink to empty; a key may not

