@@ -64,6 +64,10 @@ HEADLINE = [
     # exchange) and the per-key linearizability audit (3 window probes)
     "q21_waiting_suppliers",
     "kv_linearizability_audit",
+    # round-5 text-pipeline additions: the window-rewritten df shape
+    # (1 scan / 2 exchanges, no join) and the in-bucket source matrix
+    "ngram_duplication",
+    "boilerplate_source_matrix",
 ]
 
 CANARY = "mr_wordcount"

@@ -1533,3 +1533,108 @@ def knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C47. embedding_quantize — int8 scalar quantization (per-dim min/max)
+
+_QUANT_LEVELS = 256  # 8-bit codes 0..255
+
+
+@register(
+    "embedding_quantize",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding FROM embeddings WHERE len(embedding) > 0
+    ),
+    dims AS (
+        SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs
+        FROM (
+            SELECT i,
+                   CAST(min(embedding[i + 1]) AS DOUBLE) AS mn,
+                   CAST(max(embedding[i + 1]) AS DOUBLE) AS mx
+            FROM e, UNNEST(range(0, len(embedding))) t(i)
+            GROUP BY i
+        )
+    )
+    SELECT vec_id,
+           array_to_string(
+               list_transform(
+                   list_zip(embedding, mins, maxs),
+                   z -> CAST(CASE
+                       WHEN CAST(z[3] AS DOUBLE) = CAST(z[2] AS DOUBLE)
+                       THEN 0
+                       ELSE LEAST({_QUANT_LEVELS - 1}, FLOOR(
+                           (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))
+                           * {_QUANT_LEVELS - 1}.0
+                           / (CAST(z[3] AS DOUBLE) - CAST(z[2] AS DOUBLE))
+                       )) END AS BIGINT)),
+               ',') AS codes_fp,
+           CAST(len(embedding) AS INT) AS dim
+    FROM e, dims
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column: per-dimension
+    corpus [min, max] ranges, each float mapped to an 8-bit code by
+    floor((x - min) · 255 / (max - min)) — the 4× storage shrink (plus
+    SIMD-friendly integer distance) every billion-vector ANN index
+    applies before sharding (FAISS SQ8 / product-quantization's scalar
+    little sibling).  Codes are emitted as a comma-joined fingerprint
+    (the C13 unit_fp discipline for array-valued results).
+
+    Engine exactness: code assignment uses FLOOR, never round() (Spark
+    HALF_UP vs DuckDB half-even would flip boundary codes); both engines
+    evaluate the identical (x-min)*255/(max-min) double expression on
+    identical float32 inputs, so the floor argument is bit-equal.  A
+    constant dimension (max == min) quantizes to code 0.
+
+    Scale shape: the per-dim stats are ONE partial-agg exchange of
+    (dim, min, max) pairs — dim-count-sized regardless of corpus size —
+    collapsed to a single broadcast row of two arrays; quantization is
+    then a row-local transform over the vector (codegen, no Python); the
+    corpus is scanned once and never shuffled.  Reconstruction-error
+    bounds are pytest-pinned (quantizer contract, not SQL surface)."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("e")
+    )
+    emb = emb.where(F.size("e") > 0)
+    dims = (
+        emb.select(F.posexplode("e").alias("i", "x"))
+        .groupBy("i")
+        .agg(
+            F.min("x").cast("double").alias("mn"),
+            F.max("x").cast("double").alias("mx"),
+        )
+        .groupBy()
+        .agg(
+            F.array_sort(F.collect_list(F.struct("i", "mn"))).alias("_mn"),
+            F.array_sort(F.collect_list(F.struct("i", "mx"))).alias("_mx"),
+        )
+        .select(
+            F.transform("_mn", lambda s: s["mn"]).alias("mins"),
+            F.transform("_mx", lambda s: s["mx"]).alias("maxs"),
+        )
+    )
+    mn = lambda i: F.element_at("mins", i + 1)  # noqa: E731
+    mx = lambda i: F.element_at("maxs", i + 1)  # noqa: E731
+    code = lambda x, i: F.when(  # noqa: E731
+        mx(i) == mn(i), F.lit(0).cast("long")
+    ).otherwise(
+        F.least(
+            F.lit(_QUANT_LEVELS - 1).cast("long"),
+            F.floor(
+                (x.cast("double") - mn(i))
+                * (_QUANT_LEVELS - 1)
+                / (mx(i) - mn(i))
+            ),
+        )
+    )
+    return emb.join(F.broadcast(dims)).select(
+        "vec_id",
+        F.array_join(
+            F.transform("e", lambda x, i: code(x, i).cast("string")), ","
+        ).alias("codes_fp"),
+        F.size("e").alias("dim"),
+    )

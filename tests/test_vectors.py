@@ -337,3 +337,51 @@ def test_knn_triangles_brute_force(spark, sf_dir):
     assert out["n_nodes"] == len(adj)
     assert out["n_wedges"] >= 3 * out["n_triangles"]
     assert 0.0 <= out["clustering"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# C47 embedding_quantize
+
+
+def test_quantize_codes_and_reconstruction(spark, sf_dir):
+    """Codes are 8-bit, the grid is the per-dim corpus [min,max], and
+    floor quantization reconstructs within one step everywhere."""
+    import numpy as np
+
+    from mapreduceimplementation_spark.operators.vectors import _QUANT_LEVELS
+    from mapreduceimplementation_spark.sources.tables import load_table
+
+    out = eng.QUERIES["embedding_quantize"](spark, sf_dir).toPandas()
+    emb = load_table(spark, sf_dir, "embeddings").toPandas()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for _, r in emb.iterrows() if len(r["embedding"])}
+    mat = np.stack(list(vecs.values()))
+    mins, maxs = mat.min(axis=0), mat.max(axis=0)
+    step = (maxs - mins) / (_QUANT_LEVELS - 1)
+    assert len(out) == len(vecs)
+    for _, r in out.iterrows():
+        q = np.array([int(c) for c in r["codes_fp"].split(",")])
+        assert r["dim"] == len(q)
+        assert q.min() >= 0 and q.max() <= _QUANT_LEVELS - 1
+        x = vecs[r["vec_id"]]
+        recon = mins + q * step
+        # floor quantization: x in [recon, recon + step]
+        assert (x - recon >= -1e-9).all()
+        assert (x - recon <= step + 1e-9).all()
+
+
+def test_quantize_constant_dim_is_zero(spark):
+    """A constant dimension (max == min) must emit code 0, not NaN/255."""
+    import tempfile
+
+    rows = [(1, [1.0, 5.0]), (2, [1.0, -5.0]), (3, [1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+        out = {r["vec_id"]: r["codes_fp"]
+               for r in eng.QUERIES["embedding_quantize"](spark, d).collect()}
+    assert all(c.split(",")[0] == "0" for c in out.values())
+    # dim 2 spans [-5, 5]: 5.0 -> 255, -5.0 -> 0, 0.0 -> floor(127.5) = 127
+    assert out[1].split(",")[1] == "255"
+    assert out[2].split(",")[1] == "0"
+    assert out[3].split(",")[1] == "127"
