@@ -1,0 +1,109 @@
+"""Property-based engine-parity fuzz (hypothesis): generate small random
+documents corpora — empty strings, whitespace runs, punctuation, digits,
+repeated texts — write them as parquet, and require the Spark plan and
+its registered DuckDB oracle to agree EXACTLY, the same check the driver
+runs but over adversarial inputs instead of the fixed testdata.
+
+Scope: the pure-documents text operators (their oracles read only the
+documents table, so a two-column corpus exercises the full semantics;
+lang/source columns are generated where the oracle touches them).
+Alphabet is ASCII (letters/digits/punct/space): both engines tokenize
+ASCII classes identically, while unicode CASING is a known cross-engine
+divergence (ICU vs JDK lower()) that the operators avoid by contract.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import mapreduceimplementation_spark as eng
+
+eng.load_all_operators()
+
+_ALPHABET = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    "0123456789"
+    " .,!?@-_%+:/()'"
+)
+
+_text = st.text(alphabet=_ALPHABET, min_size=0, max_size=120)
+
+# rows: (doc_id, text, lang, source, n_chars) — the full documents schema,
+# with duplicate texts made likely so dedup/df paths see collisions
+_corpus = st.lists(
+    st.tuples(
+        _text,
+        st.sampled_from(["en", "de", "zh"]),
+        st.sampled_from(["srcA", "srcB", "srcC"]),
+    ),
+    min_size=1,
+    max_size=12,
+).map(
+    lambda rows: [
+        (i, t if i % 3 != 2 or not rows else rows[0][0], lang, src)
+        for i, (t, lang, src) in enumerate(rows)
+    ]
+)
+
+#: operators whose oracle reads only the documents table and whose output
+#: is deterministic for ANY corpus (no top-k over ties, no corpus-size
+#: assumptions).  bpe_pair_counts is excluded: its LIMIT-50 frontier is
+#: deterministic (total order) but duckdb/pandas float column inference
+#: on empty results differs; covered by its own hand-corpus test.
+_FUZZ_QUERIES = [
+    "token_count",
+    "pii_scrub",
+    "ngram_duplication",
+    "corpus_chunk_overlap",
+    "dedup_paragraphs",
+    "boilerplate_source_matrix",
+    "corpus_split",
+    "doc_fingerprint",
+]
+
+
+@pytest.fixture(scope="module")
+def fuzz_dir():
+    d = tempfile.mkdtemp(prefix="fuzz_docs_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _write_corpus(spark, d, rows):
+    df = spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, t, lang, src in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    path = os.path.join(d, "documents.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+@pytest.mark.parametrize("name", _FUZZ_QUERIES)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_corpus)
+def test_oracle_parity_on_random_corpus(spark, fuzz_dir, name, rows):
+    from tests.conftest import assert_same_result
+
+    path = _write_corpus(spark, fuzz_dir, rows)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    try:
+        assert_same_result(
+            eng.QUERIES[name](spark, fuzz_dir), con, eng.ORACLES[name]
+        )
+    finally:
+        con.close()
