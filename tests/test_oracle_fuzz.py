@@ -107,3 +107,80 @@ def test_oracle_parity_on_random_corpus(spark, fuzz_dir, name, rows):
         )
     finally:
         con.close()
+
+
+# ---------------------------------------------------------------------------
+# events-table fuzz: time/rollup/order-statistic operators
+
+_EVENT_TYPES = ["view", "click", "purchase"]
+
+# (seconds offset, user, type index, cents value): timestamps at whole
+# seconds within a 2-hour band (minute boundaries get exercised), few
+# users so sessions/medians see per-key collisions, money-grain values so
+# decimal-exactness is tested without manufactured float pathology
+_events = st.lists(
+    st.tuples(
+        st.integers(0, 7200),
+        st.integers(1, 4),
+        st.integers(0, 2),
+        st.integers(-99999, 99999),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+_EVENTS_FUZZ = [
+    "events_minutely",
+    "events_running_total",
+    "events_exact_median",
+    "events_median_by_type",
+    "events_type_pivot",
+]
+
+
+def _write_events(spark, d, rows):
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 3, 1, 12, 0, 0)
+    data = [
+        (
+            i,
+            base + timedelta(seconds=sec),
+            user,
+            _EVENT_TYPES[ti],
+            cents / 100.0,
+            "{}",
+        )
+        for i, (sec, user, ti, cents) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    path = os.path.join(d, "events.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+@pytest.mark.parametrize("name", _EVENTS_FUZZ)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_events)
+def test_events_oracle_parity_on_random_streams(spark, fuzz_dir, name, rows):
+    from tests.conftest import assert_same_result
+
+    path = _write_events(spark, fuzz_dir, rows)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    try:
+        assert_same_result(
+            eng.QUERIES[name](spark, fuzz_dir), con, eng.ORACLES[name]
+        )
+    finally:
+        con.close()
