@@ -742,6 +742,8 @@ def shardkv_migration_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LIN_DUR_BASE = 1_000  # µs: minimum op latency in the derived history
 _LIN_DUR_MOD = 4_999_000  # µs: latency spread (max ~5 s, forces overlap)
 _LIN_STALE_EVERY = 17  # 1/17 of reads return the second-latest write
+_LIN_XMIN = -(1 << 62)  # "before all time": the initial value's virtual
+#: write returns at -2^62, so the initial cluster precedes every op
 
 
 def derive_kv_history(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -817,6 +819,16 @@ def linearizability_audit(history: DataFrame) -> DataFrame:
     val = -1 denoting a read of the initial value.  Emits one row per key
     with op counts, per-rule violation counts, and the verdict.
 
+    Rule set (complete for unique-write registers; differentially
+    verified against a brute-force all-linearizations checker on 9k+
+    random histories, tests/test_kv.py): unknown and future are per-read;
+    the DECIDING rule is write_order_cycle — value clusters (a write plus
+    its reads) must serialize as contiguous blocks, so the history is
+    linearizable iff no two clusters CROSS (x_u < y_v and x_v < y_u over
+    (x, y) = (min ret, max inv)); any longer precedence cycle implies a
+    crossing pair.  stale and reorder remain as named special cases of a
+    crossing (the classes ops teams grep for), counted per read.
+
     Scale shape (all per-key, porcupine's own decomposition): the
     read→write match is ONE equi-join on (key, val); the stale rule is a
     DESC-ordered interleave window — writes carry their return, each read
@@ -824,9 +836,11 @@ def linearizability_audit(history: DataFrame) -> DataFrame:
     earlier (= later-starting) writes yields min{w'.ret : w'.inv > w.ret}
     with no write×read pair expansion; the inversion rule is the ASC dual
     (probe at read invoke, running MAX of matched-write invokes over
-    completed reads).  Three key exchanges total, per-key state is the
-    key's own op count — a hot key costs what porcupine's per-key check
-    would, never a cross-key product."""
+    completed reads); the crossing rule is two more windows over the
+    WRITE-COUNT-sized cluster relation (running max for backward
+    clusters, one stale-style interleave for the rest — see the family
+    comment).  Per-key state is the key's own op count — a hot key costs
+    what porcupine's per-key check would, never a cross-key product."""
     writes = (
         history.where(F.col("kind") == "put")
         .select(
@@ -928,6 +942,90 @@ def linearizability_audit(history: DataFrame) -> DataFrame:
         )
     )
 
+    # rule: write_order_cycle — the COMPLETING rule (r5).  Group each
+    # write with its reads into a value cluster; cluster u must serialize
+    # as one contiguous block, so cluster precedence is an interval
+    # order on (x, y) = (min ret, max inv) over the cluster's ops:
+    # u ≺ v iff x_u < y_v.  A history with legal per-read matches is
+    # linearizable iff this relation is acyclic, and for threshold
+    # relations of this shape any cycle implies a 2-cycle
+    # (x_u < y_v AND x_v < y_u — clusters CROSS).  stale and reorder are
+    # the two special cases of a crossing that older rule sets catch;
+    # the brute-force differential (tests/test_kv.py) showed they are
+    # not complete — e.g. two overlapping writes whose reads force
+    # opposite write orders without any read pair being comparable.
+    # Reads of the initial value form a cluster whose virtual write
+    # returns before all time (x = -2^62).
+    #
+    # Detection without pair expansion: a crossing partner d of ANY
+    # cluster c must satisfy x_d < y_c ∧ y_d > x_c; a normal cluster
+    # (x ≥ y — its ops share a common instant) can never partner a
+    # normal cluster, so flag c iff it crosses a lexicographically
+    # ((x, val)) EARLIER cluster — backward c (x < y) needs only a
+    # running max of y over earlier clusters (the x_d < y_c bound is
+    # implied by x_d ≤ x_c < y_c), normal c needs the same interleave
+    # probe as the stale rule (entries = backward clusters at t = x_d,
+    # probes at t = y_c, probes first on ties for the strict bound).
+    # The oracle states the crossing as a literal EXISTS over cluster
+    # pairs with the same lex orientation.
+    cl_src = writes.select(
+        "key", "val", F.col("w_ret").alias("r"), F.col("w_inv").alias("i")
+    ).unionByName(
+        matched.where(ok).select(
+            "key", "val", F.col("ret").alias("r"), F.col("inv").alias("i")
+        )
+    )
+    clusters = (
+        cl_src.groupBy("key", "val")
+        .agg(F.min("r").alias("x0"), F.max("i").alias("y"))
+        .select(
+            "key",
+            "val",
+            F.when(F.col("val") == -1, F.lit(_LIN_XMIN))
+            .otherwise(F.col("x0"))
+            .alias("x"),
+            "y",
+        )
+        .localCheckpoint(eager=False)
+    )
+    w_lex = (
+        Window.partitionBy("key")
+        .orderBy("x", "val")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cycle_backward = (
+        clusters.withColumn("pm", F.max("y").over(w_lex))
+        .where(F.col("x") < F.col("y"))
+        .select("key", (F.col("pm") > F.col("x")).alias("crossed"))
+    )
+    cyc_entries = clusters.where(F.col("x") < F.col("y")).select(
+        "key",
+        F.col("x").alias("t"),
+        F.col("y").alias("ey"),
+        F.lit(0).alias("is_probe"),
+        "val",
+        F.lit(None).cast("long").alias("px"),
+    )
+    cyc_probes = clusters.where(F.col("x") >= F.col("y")).select(
+        "key",
+        F.col("y").alias("t"),
+        F.lit(None).cast("long").alias("ey"),
+        F.lit(1).alias("is_probe"),
+        "val",
+        F.col("x").alias("px"),
+    )
+    w_cyc = (
+        Window.partitionBy("key")
+        .orderBy(F.col("t").asc(), F.col("is_probe").desc(), "val")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cycle_normal = (
+        cyc_entries.unionByName(cyc_probes)
+        .withColumn("pm", F.max("ey").over(w_cyc))
+        .where(F.col("is_probe") == 1)
+        .select("key", (F.col("pm") > F.col("px")).alias("crossed"))
+    )
+
     ops = history.groupBy("key").agg(
         F.count(F.lit(1)).alias("n_ops"),
         F.sum(F.when(F.col("kind") == "put", 1).otherwise(0)).alias("n_puts"),
@@ -943,10 +1041,18 @@ def linearizability_audit(history: DataFrame) -> DataFrame:
     reorder_agg = reorder_flags.groupBy("key").agg(
         F.sum(F.when(F.col("reorder"), 1).otherwise(0)).alias("n_reorder")
     )
+    cycle_agg = (
+        cycle_backward.unionByName(cycle_normal)
+        .groupBy("key")
+        .agg(
+            F.sum(F.when(F.col("crossed"), 1).otherwise(0)).alias("n_cycle")
+        )
+    )
     out = (
         ops.join(base_flags, "key", "left")
         .join(stale_agg, "key", "left")
         .join(reorder_agg, "key", "left")
+        .join(cycle_agg, "key", "left")
         .select(
             "key",
             "n_ops",
@@ -956,8 +1062,12 @@ def linearizability_audit(history: DataFrame) -> DataFrame:
             F.coalesce("n_future", F.lit(0)).alias("n_future"),
             F.coalesce("n_stale", F.lit(0)).alias("n_stale"),
             F.coalesce("n_reorder", F.lit(0)).alias("n_reorder"),
+            F.coalesce("n_cycle", F.lit(0)).alias("n_cycle"),
         )
     )
+    # n_cycle alone (with unknown/future) decides the verdict — stale and
+    # reorder are always crossings too, so the sum is equivalent to
+    # unknown + future + cycle; keeping them in the sum is belt-and-braces
     return out.withColumn(
         "linearizable",
         (
@@ -965,6 +1075,7 @@ def linearizability_audit(history: DataFrame) -> DataFrame:
             + F.col("n_future")
             + F.col("n_stale")
             + F.col("n_reorder")
+            + F.col("n_cycle")
         )
         == 0,
     )
@@ -1059,6 +1170,27 @@ _LIN_HISTORY_SQL = f"""
                    AS n_reorder
         FROM flags GROUP BY key
     ),
+    cl AS (
+        SELECT key, val,
+               CASE WHEN val = -1 THEN CAST({_LIN_XMIN} AS BIGINT)
+                    ELSE MIN(r) END AS x,
+               MAX(i) AS y
+        FROM (
+            SELECT key, val, w_ret AS r, w_inv AS i FROM writes
+            UNION ALL
+            SELECT key, val, ret AS r, inv AS i FROM reads WHERE NOT unknown
+        ) GROUP BY key, val
+    ),
+    cagg AS (
+        SELECT a.key, CAST(count(*) AS BIGINT) AS n_cycle
+        FROM cl a
+        WHERE EXISTS (
+            SELECT 1 FROM cl b
+            WHERE b.key = a.key
+              AND (b.x < a.x OR (b.x = a.x AND b.val < a.val))
+              AND b.x < a.y AND a.x < b.y)
+        GROUP BY a.key
+    ),
     oagg AS (
         SELECT key,
                CAST(count(*) AS BIGINT) AS n_ops,
@@ -1073,10 +1205,12 @@ _LIN_HISTORY_SQL = f"""
            COALESCE(n_future, 0) AS n_future,
            COALESCE(n_stale, 0) AS n_stale,
            COALESCE(n_reorder, 0) AS n_reorder,
+           COALESCE(n_cycle, 0) AS n_cycle,
            (COALESCE(n_unknown, 0) + COALESCE(n_future, 0)
-            + COALESCE(n_stale, 0) + COALESCE(n_reorder, 0)) = 0
+            + COALESCE(n_stale, 0) + COALESCE(n_reorder, 0)
+            + COALESCE(n_cycle, 0)) = 0
                AS linearizable
-    FROM oagg LEFT JOIN ragg USING (key)
+    FROM oagg LEFT JOIN ragg USING (key) LEFT JOIN cagg USING (key)
     """,
 )
 def kv_linearizability_audit(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -319,25 +319,139 @@ def test_linearizability_flags_unknown_value(spark):
 def test_linearizability_clean_concurrent_history(spark):
     # overlapping writes: a read may observe either order; initial-value
     # reads before any write are fine; per-key isolation (key 2 violates,
-    # key 1 must stay green — porcupine's partition decomposition)
+    # key 1 must stay green — porcupine's partition decomposition).
+    # NOTE (r5): put(2) must OVERLAP get(1) — with put(2) returning
+    # before get(1) began, key 1's history is a genuine write-order
+    # cycle (see test_linearizability_flags_write_order_cycle, which
+    # pins that exact history as a violation); the original round-3
+    # version of this test wrongly asserted it linearizable.
     out = _audit(
         spark,
         [
             (1, "get", -1, 0, 5, 9),  # initial value, before any write
             (1, "put", 1, 10, 40, 10),
-            (1, "put", 2, 20, 30, 11),  # overlaps put(1): either order legal
-            (1, "get", 1, 35, 50, 12),  # concurrent with put(1): legal
+            (1, "put", 2, 20, 45, 11),  # overlaps put(1) AND get(1)
+            (1, "get", 1, 35, 50, 12),  # concurrent with both puts: legal
             (1, "get", 2, 60, 70, 13),  # latest definitive value
             (2, "put", 5, 0, 10, 20),
             (2, "get", -1, 50, 60, 21),  # initial AFTER a definitive write
         ],
     )
-    assert out[1]["linearizable"]
+    assert out[1]["linearizable"] and out[1]["n_cycle"] == 0
     assert out[1]["n_ops"] == 5 and out[1]["n_puts"] == 2 and out[1]["n_gets"] == 3
     v2 = out[2]
     # reading the initial value after val=5 was definitively written is a
-    # stale read of the initial state
+    # stale read of the initial state (and therefore also a crossing of
+    # the initial cluster with val=5's cluster)
     assert v2["n_stale"] == 1 and not v2["linearizable"]
+    assert v2["n_cycle"] >= 1
+
+
+def test_linearizability_flags_write_order_cycle(spark):
+    """The completeness gap the r5 brute-force differential exposed: two
+    overlapping writes whose reads force OPPOSITE write orders.  put(2)
+    finishes before get(1) begins, so put(2) < get(1) in real time ⇒
+    put(2) must precede put(1) (else it would sit between put(1) and its
+    read); but get(2) runs after everything ⇒ put(2) must FOLLOW put(1).
+    No read pair is comparable and no write sits inside a read's match
+    window, so stale and reorder both stay 0 — only the cluster-crossing
+    rule catches it."""
+    out = _audit(
+        spark,
+        [
+            (1, "put", 1, 10, 40, 10),
+            (1, "put", 2, 20, 30, 11),  # returns before get(1) starts
+            (1, "get", 1, 35, 50, 12),
+            (1, "get", 2, 60, 70, 13),
+        ],
+    )
+    v = out[1]
+    assert v["n_cycle"] >= 1 and not v["linearizable"]
+    assert v["n_stale"] == 0 and v["n_reorder"] == 0
+    assert v["n_future"] == 0 and v["n_unknown"] == 0
+
+
+def test_linearizability_flags_interlocked_write_pair(spark):
+    """Second witness (fuzz case): each write returns before the OTHER
+    write's read begins — the two clusters cross with no stale/reorder
+    signature."""
+    out = _audit(
+        spark,
+        [
+            (1, "put", 10, 5, 9, 10),
+            (1, "get", 10, 7, 13, 11),
+            (1, "put", 11, 4, 6, 12),  # ends before get(10) starts
+            (1, "get", 11, 10, 16, 13),  # starts after put(10) ends
+        ],
+    )
+    v = out[1]
+    assert v["n_cycle"] >= 1 and not v["linearizable"]
+    assert v["n_stale"] == 0 and v["n_reorder"] == 0
+
+
+def test_linearizability_matches_bruteforce_on_random_histories(spark):
+    """Differential gate: the audit's verdict must equal a brute-force
+    all-linearizations search on seeded random histories (unique write
+    values, ops <= 5 per key so the factorial search stays trivial).
+    This is the completeness/soundness certificate for the rule set."""
+    import itertools
+    import random
+
+    def brute(ops):
+        n = len(ops)
+        for perm in itertools.permutations(range(n)):
+            pos = {p: i for i, p in enumerate(perm)}
+            if any(
+                ops[a][3] < ops[b][2] and pos[a] > pos[b]
+                for a in range(n)
+                for b in range(n)
+                if a != b
+            ):
+                continue
+            cur = -1
+            good = True
+            for idx in perm:
+                k, v, inv, ret = ops[idx]
+                if k == "put":
+                    cur = v
+                elif v != cur:
+                    good = False
+                    break
+            if good:
+                return True
+        return False
+
+    rng = random.Random(20260814)
+    cases = []
+    for _ in range(120):
+        n = rng.randint(2, 5)
+        ops, wvals = [], []
+        for _ in range(n):
+            inv = rng.randint(0, 12)
+            ret = inv + rng.randint(1, 6)
+            if rng.random() < 0.5 or not wvals:
+                v = len(wvals) + 10
+                wvals.append(v)
+                ops.append(("put", v, inv, ret))
+            else:
+                ops.append(("get", rng.choice(wvals + [-1]), inv, ret))
+        cases.append(ops)
+
+    rows = [
+        (k, kind, val, inv, ret, i)
+        for k, ops in enumerate(cases)
+        for i, (kind, val, inv, ret) in enumerate(ops)
+    ]
+    from mapreduceimplementation_spark.plans.kv import linearizability_audit
+
+    df = spark.createDataFrame(
+        rows, "key long, kind string, val long, inv long, ret long, opid long"
+    )
+    got = {r["key"]: r["linearizable"] for r in linearizability_audit(df).collect()}
+    bad = [
+        (k, brute(ops), got[k]) for k, ops in enumerate(cases) if brute(ops) != got[k]
+    ]
+    assert not bad, f"audit disagrees with brute force: {bad[:5]}"
 
 
 def test_linearizability_registered_query_mix(spark, sf_dir):
@@ -351,7 +465,12 @@ def test_linearizability_registered_query_mix(spark, sf_dir):
     assert out["linearizable"].any() and (~out["linearizable"]).any()
     assert (
         out["linearizable"]
-        == (out[["n_unknown", "n_future", "n_stale", "n_reorder"]].sum(axis=1) == 0)
+        == (
+            out[
+                ["n_unknown", "n_future", "n_stale", "n_reorder", "n_cycle"]
+            ].sum(axis=1)
+            == 0
+        )
     ).all()
 
 
