@@ -146,7 +146,11 @@ def main() -> None:
                 "sf": float(sf) if sf else None,
                 "host_factor_vs_quiet_canary": factor,
                 "bench_passes": passes,
-                "quiet_window": factor is None or factor < QUIET_FACTOR,
+                # None = the canary only calibrates at sf0.1, so noise
+                # was NOT assessed for this run — never claim "quiet"
+                "quiet_window": (
+                    factor < QUIET_FACTOR if factor is not None else None
+                ),
             }
         )
     )

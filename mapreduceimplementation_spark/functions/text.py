@@ -83,3 +83,38 @@ def char_ngrams(col: Column | str, n: int) -> Column:
             lambda i: c.substr(i, F.lit(n)),
         ),
     ).otherwise(F.array(c))
+
+
+def word_chunks(words: Column | str, width: int, stride: int | None = None) -> Column:
+    """Array of ``struct<pid, start, chunk>`` fixed-width word windows of a
+    word-array column — the shared chunker behind paragraph-grain dedup
+    (C40/C45, stride == width: a disjoint grid) and sliding-window RAG
+    chunking (C41, stride < width: overlapping windows).  ONE definition:
+    drifted copies of the guarded transform would silently chunk the same
+    corpus differently across operators.
+
+    Pure built-ins (size/sequence/transform/slice/array_join) — row-local,
+    codegen, no shuffle.  The empty-array branch is explicit because
+    ``F.sequence(0, -1)`` runs BACKWARD (the FNV empty-fold lesson).
+    """
+    w = F.col(words) if isinstance(words, str) else words
+    stride = width if stride is None else stride
+    n = F.size(w)
+    n_chunks = F.lit(1) + F.floor(
+        (F.greatest(n - width, F.lit(0)) + stride - 1) / stride
+    ).cast("int")
+    return F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("long").alias("pid"),
+                (i * stride).cast("long").alias("start"),
+                F.array_join(F.slice(w, i * stride + 1, width), " ").alias(
+                    "chunk"
+                ),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<pid:long,start:long,chunk:string>>")
+    )

@@ -40,6 +40,7 @@ from mapreduceimplementation_spark.functions.text import (
     ngrams_of_words,
     sql_word_ngrams,
     word_array,
+    word_chunks,
 )
 from mapreduceimplementation_spark.registry import register
 from mapreduceimplementation_spark.session import spread, tune
@@ -321,10 +322,10 @@ def _sql_perm(expr: str, a: int, b: int, c: int, r: int) -> str:
     )
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH ws AS ({_SQL_SH}),
+#: DuckDB CTE chain producing the LSH candidate relation ``cand(a_id,
+#: b_id)`` from ``ws(doc_id, sh)`` — shared by the C7 oracle and the C48
+#: recall audit so both engines and both operators see the SAME banding.
+_SQL_MH_CAND = f"""
     h AS (SELECT doc_id, {sql_hash64('sh')} AS h FROM ws),
     sig AS (
         SELECT doc_id,
@@ -343,23 +344,16 @@ def _sql_perm(expr: str, a: int, b: int, c: int, r: int) -> str:
         SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
         FROM bands a
         JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-    ),
-    {_SQL_VERIFY}
-    """,
-)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(24) + LSH(6 bands x 4 rows) near-dup pairs, exact re-verify.
+    )
+"""
 
-    The scale path: signatures are computed **row-local** (array_min over a
-    transformed shingle-hash array — no shuffle, scan speed); the only
-    exchanges are the band-bucket equi-join (candidate volume tracks true
-    duplicate volume: P[band match] = j^4 per band over 6 bands, so a j=0.97
-    pair is missed with p ~ (1-0.97^4)^6 < 3e-6 while j<0.1 pairs almost
-    never collide) and the exact
-    Jaccard re-verify restricted to candidates.  Never O(n²).
-    """
-    tune(spark)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+def _minhash_candidates(docs: DataFrame, spark: SparkSession) -> DataFrame:
+    """LSH candidate pairs (a_id < b_id) of a documents relation: the
+    row-local signature pass + band-bucket equi-join shared by C7 (which
+    re-verifies them exactly) and C48 (which audits their recall).  The
+    candidate set's lineage is the full signature pass — localCheckpoint
+    so multiple consumers don't re-shingle the corpus."""
     sig = (
         _shingled(docs, spark)  # already filtered to >=1 shingle — do NOT re-filter
         .select("doc_id", F.transform("sh_arr", lambda s: hash64(s)).alias("hs"))
@@ -394,16 +388,36 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.bkey")
-    # the candidate set is tiny (tracks true-duplicate volume) but its
-    # lineage is the full signature pass — checkpoint it so the downstream
-    # consumers (broadcast verify join, id filter) don't each re-shingle
-    # the corpus
-    cand = (
+    return (
         _bucket_pairs(bands, ["band", "bkey"], ["doc_id"])
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
         .localCheckpoint()
     )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH ws AS ({_SQL_SH}),
+    {_SQL_MH_CAND},
+    {_SQL_VERIFY}
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(24) + LSH(6 bands x 4 rows) near-dup pairs, exact re-verify.
+
+    The scale path: signatures are computed **row-local** (array_min over a
+    transformed shingle-hash array — no shuffle, scan speed); the only
+    exchanges are the band-bucket equi-join (candidate volume tracks true
+    duplicate volume: P[band match] = j^4 per band over 6 bands, so a j=0.97
+    pair is missed with p ~ (1-0.97^4)^6 < 3e-6 while j<0.1 pairs almost
+    never collide) and the exact
+    Jaccard re-verify restricted to candidates.  Never O(n²).
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cand = _minhash_candidates(docs, spark)
     # verify only candidate documents: the broadcast id semi-join reaches
     # the scan, so the verification shingle passes cover ~|candidate| docs,
     # not the corpus — total full-corpus work is the ONE signature pass
@@ -760,25 +774,33 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     text) is pytest-pinned."""
     tune(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    words = F.split(F.col("text"), " ")
-    n_chunks = F.ceil(F.size(words) / F.lit(_PARA_WORDS)).cast("int")
-    # F.sequence(0, -1) runs BACKWARD on empty texts — guard with the
-    # explicit empty-array branch (the FNV empty-fold lesson)
-    chunk_arr = F.when(
-        F.size(words) > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_chunks - 1),
-            lambda i: F.struct(
-                i.cast("long").alias("pid"),
-                F.array_join(
-                    F.slice(words, i * _PARA_WORDS + 1, _PARA_WORDS), " "
-                ).alias("chunk"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<pid:long,chunk:string>>"))
     paras = docs.select(
-        "doc_id", F.explode(chunk_arr).alias("p")
+        "doc_id",
+        F.explode(word_chunks(F.split(F.col("text"), " "), _PARA_WORDS)).alias(
+            "p"
+        ),
     ).select("doc_id", F.col("p.pid").alias("pid"), F.col("p.chunk").alias("chunk"))
+    # the packed survivor key is exact only while pid < 2^20 and doc_id
+    # stays under 2^43 — fail LOUDLY on wider inputs instead of silently
+    # electing the wrong survivor (the knn_triangles guard discipline)
+    key_ok = (
+        (F.col("pid") >= 0)
+        & (F.col("pid") < F.lit(_PARA_KEYBASE))
+        & (F.col("doc_id") >= 0)
+        & (F.col("doc_id") < F.lit((1 << 63) // _PARA_KEYBASE))
+    )
+    paras = paras.where(
+        F.assert_true(
+            key_ok,
+            F.concat(
+                F.lit("dedup_paragraphs: (doc_id, pid) outside packed-key "
+                      "range: "),
+                F.col("doc_id").cast("string"),
+                F.lit(","),
+                F.col("pid").cast("string"),
+            ),
+        ).isNull()
+    )
     skey = F.col("doc_id") * _PARA_KEYBASE + F.col("pid")
     kept = paras.withColumn(
         "kept",
@@ -810,16 +832,14 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # C45. boilerplate_source_matrix — which source pairs share boilerplate
 
-_BSM_WORDS = 20  # same paragraph grain as C40
+_BSM_WORDS = 20  # C40's _PARA_WORDS: the SAME chunks, by construction
 
 
 @register(
     "boilerplate_source_matrix",
     oracle=f"""
     WITH ws AS (
-        SELECT source,
-               list_filter(regexp_split_to_array(text, '[^A-Za-z]+'),
-                           x -> x <> '') AS w
+        SELECT source, str_split(text, ' ') AS w
         FROM documents WHERE text IS NOT NULL
     ),
     chunks AS (
@@ -842,34 +862,30 @@ def boilerplate_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources, how many distinct {_BSM_WORDS}-word paragraph chunks appear
     in BOTH — the provenance audit run before mixing scraped sources
     (shared boilerplate inflates effective duplication between sources
-    that whole-doc stats call disjoint).  Same paragraph grain as C40's
-    dedup; the matrix names WHERE its duplicates come from.
+    that whole-doc stats call disjoint).  The chunks are BY CONSTRUCTION
+    the same as C40's (same raw space tokenization via the shared
+    word_chunks helper, same width, same grid), so the matrix names
+    exactly WHERE dedup_paragraphs' duplicates come from.
 
-    Scale shape: chunking is C40's row-local slice; the distinct
-    (source, chunk-hash) relation collapses in ONE exchange on the
-    uniform hash key; the pair expansion happens INSIDE each hash bucket
-    from the sorted source set (collect_set is bounded by the number of
-    sources, ~dozens — never by corpus size), so no self-join and no
-    second fact-sized shuffle; the final rollup exchanges pair keys
-    (≤ sources² rows).  The oracle states the literal self-join — the
-    green hash certifies the in-bucket rewrite."""
+    Scale shape: chunking is the shared row-local word_chunks slice; the
+    distinct (source, chunk-hash) relation collapses in ONE exchange on
+    the uniform hash key; the pair expansion happens INSIDE each hash
+    bucket from the sorted source set (collect_set is bounded by the
+    number of sources, ~dozens — never by corpus size), so no self-join
+    and no second fact-sized shuffle; the final rollup exchanges pair
+    keys (≤ sources² rows).  The oracle states the literal self-join —
+    the green hash certifies the in-bucket rewrite."""
     tune(spark)
     docs = load_table(spark, sf_dir, "documents").select("source", "text")
-    docs = docs.where(F.col("text").isNotNull()).select(
-        "source", word_array("text").alias("w")
-    )
-    n_chunks = F.ceil(F.size("w") / F.lit(_BSM_WORDS)).cast("int")
-    chunk_arr = F.when(
-        F.size("w") > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_chunks - 1),
-            lambda i: F.md5(
-                F.array_join(F.slice(F.col("w"), i * _BSM_WORDS + 1, _BSM_WORDS), " ")
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     cs = (
-        docs.select("source", F.explode(chunk_arr).alias("h"))
+        docs.where(F.col("text").isNotNull())
+        .select(
+            "source",
+            F.explode(
+                word_chunks(F.split(F.col("text"), " "), _BSM_WORDS)
+            ).alias("p"),
+        )
+        .select("source", F.md5(F.col("p.chunk")).alias("h"))
         .distinct()
     )
     ss = F.col("ss")
@@ -893,4 +909,88 @@ def boilerplate_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p.source_a").alias("source_a"),
                  F.col("p.source_b").alias("source_b"))
         .agg(F.count(F.lit(1)).alias("n_shared_chunks"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# C48. minhash_recall_audit — measure what the banding misses
+
+_RA_MIN_BAND = 5  # audit pairs with exact jaccard >= 0.5
+
+
+@register(
+    "minhash_recall_audit",
+    oracle=f"""
+    WITH ws AS ({_SQL_SH}),
+    {_SQL_MH_CAND},
+    xc AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+        FROM ws a JOIN ws b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM ws GROUP BY doc_id),
+    ex AS (
+        SELECT a_id, b_id,
+               LEAST(9, (10 * n_common) // (sa.n + sb.n - n_common)) AS band
+        FROM xc
+        JOIN sz sa ON sa.doc_id = a_id
+        JOIN sz sb ON sb.doc_id = b_id
+        WHERE (10 * n_common) // (sa.n + sb.n - n_common) >= {_RA_MIN_BAND}
+    )
+    SELECT CAST(band AS BIGINT) AS band,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN c.a_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_caught,
+           ROUND(SUM(CASE WHEN c.a_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS recall
+    FROM ex LEFT JOIN cand c ON c.a_id = ex.a_id AND c.b_id = ex.b_id
+    GROUP BY band
+    """,
+)
+def minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of C7's LSH banding against the exact Jaccard ground
+    truth: for every pair with exact similarity >= 0.5, did the band
+    buckets surface it as a candidate?  Emits per similarity band
+    (band b = pairs with j in [b/10, (b+1)/10), j = 1 folded into 9) the
+    pair count, catch count, and observed recall — the self-audit a
+    production dedup pipeline runs on a sample before trusting (b, r) at
+    full scale (theory: P[catch] = 1-(1-j^{_MH_R})^{_MH_BANDS}, so
+    recall should fall off exactly below the ~0.8 S-curve knee).
+
+    Band assignment is integer-exact ((10·n_common) div union-size —
+    truncating div, identical in Spark `div` and DuckDB `//`), so
+    frontier pairs cannot band differently between engines.
+
+    Scale shape: the ground-truth side is the C6 posting-list expansion
+    (quadratic in shingle df — this is a BASELINE-CLASS diagnostic, run
+    on a sample at 100 TB, exactly like C6 itself); the candidate side
+    is C7's row-local signature pass + band equi-join, shared code via
+    _minhash_candidates; the final rollup is 5 bands."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    common, sz = _pair_overlap_sizes(docs, spark)
+    band = F.least(
+        F.lit(9).cast("long"),
+        F.expr("(10 * n_common) div (na + nb - n_common)"),
+    )
+    ex = (
+        _with_pair_sizes(common, sz)
+        .select("a_id", "b_id", band.alias("band"))
+        .where(F.col("band") >= _RA_MIN_BAND)
+    )
+    cand = _minhash_candidates(docs, spark).withColumn(
+        "caught", F.lit(True)
+    )
+    return (
+        ex.join(cand, ["a_id", "b_id"], "left")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.when(F.col("caught"), 1).otherwise(0)).alias("n_caught"),
+            F.round(
+                F.sum(F.when(F.col("caught"), 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("recall"),
+        )
     )

@@ -26,6 +26,7 @@ from mapreduceimplementation_spark.functions.hashing import hash64, sql_hash64
 from mapreduceimplementation_spark.functions.text import (
     sql_word_ngrams,
     word_array,
+    word_chunks,
 )
 from mapreduceimplementation_spark.operators.textmetrics import (
     _argmax_sql,
@@ -659,29 +660,24 @@ def corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs.where(F.col("text").isNotNull()).select(
         "doc_id", word_array("text").alias("w")
     )
-    n_words = F.size(F.col("w"))
-    n_chunks = F.lit(1) + F.floor(
-        (F.greatest(n_words - _CHUNK_WORDS, F.lit(0)) + _CHUNK_STRIDE - 1)
-        / _CHUNK_STRIDE
-    ).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.struct(
-            i.cast("long").alias("chunk_id"),
-            (i * _CHUNK_STRIDE).cast("long").alias("start_word"),
-            F.least(
-                F.lit(_CHUNK_WORDS), n_words - i * _CHUNK_STRIDE
-            ).cast("long").alias("n_chunk_words"),
-            F.array_join(
-                F.slice(F.col("w"), i * _CHUNK_STRIDE + 1, _CHUNK_WORDS), " "
-            ).alias("chunk_text"),
-        ),
-    )
     return (
-        docs.where(n_words > 0)
-        .select("doc_id", F.explode(chunks).alias("c"))
-        .select("doc_id", "c.chunk_id", "c.start_word", "c.n_chunk_words",
-                "c.chunk_text")
+        docs.select(
+            "doc_id",
+            F.size("w").alias("n_words"),
+            F.explode(
+                word_chunks("w", _CHUNK_WORDS, stride=_CHUNK_STRIDE)
+            ).alias("c"),
+        )
+        .select(
+            "doc_id",
+            F.col("c.pid").alias("chunk_id"),
+            F.col("c.start").alias("start_word"),
+            F.least(
+                F.lit(_CHUNK_WORDS).cast("long"),
+                F.col("n_words") - F.col("c.start"),
+            ).alias("n_chunk_words"),
+            F.col("c.chunk").alias("chunk_text"),
+        )
     )
 
 

@@ -231,3 +231,64 @@ def test_source_matrix_symmetric_bounds(spark, sf_dir):
     assert (out["n_shared_chunks"] > 0).all()
     # canonical pairs are unique rows
     assert not out.duplicated(["source_a", "source_b"]).any()
+
+
+# ---------------------------------------------------------------------------
+# C48 minhash_recall_audit
+
+
+def test_recall_audit_consistency(spark, sf_dir):
+    out = eng.QUERIES["minhash_recall_audit"](spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert out["band"].between(5, 9).all()
+    assert (out["n_caught"] <= out["n_pairs"]).all()
+    assert (
+        out["recall"] == (out["n_caught"] / out["n_pairs"]).round(6)
+    ).all()
+    # this corpus' near-dups are all far above the (b,r) S-curve knee,
+    # so the banding must catch essentially everything it was tuned for
+    assert (out.loc[out["band"] == 9, "recall"] == 1.0).all()
+
+
+def test_recall_audit_scurve_on_borderline_pairs(spark):
+    """Controlled-similarity corpus: pairs at j = 0.5 sit far below the
+    (6 bands x 4 rows) S-curve knee (P[catch] ~ 0.32), pairs at j = 1.0
+    far above (P[miss] < 3e-6) — the audit must show the fall-off.  The
+    outcome is DETERMINISTIC (md5-derived permutations over fixed texts);
+    the bounds, not exact counts, are asserted so the test states the
+    semantic claim rather than pinning hash accidents."""
+    import tempfile
+
+    # letters-only words (word_array splits on [^A-Za-z]) — encode the
+    # pair/word indices as alphabetic suffixes
+    alpha = lambda n: "".join(chr(ord("a") + int(c)) for c in str(n))
+    rows = []
+    doc_id = 0
+    for p in range(24):  # j = 0.5: 14-word shared prefix, 6-word tails
+        shared = [f"p{alpha(p)}w{alpha(i)}" for i in range(14)]
+        rows.append(
+            (doc_id, " ".join(shared + [f"p{alpha(p)}xa{alpha(i)}" for i in range(6)]))
+        )
+        rows.append(
+            (doc_id + 1, " ".join(shared + [f"p{alpha(p)}xb{alpha(i)}" for i in range(6)]))
+        )
+        doc_id += 2
+    for p in range(8):  # j = 1.0: identical 20-word docs
+        txt = " ".join(f"e{alpha(p)}w{alpha(i)}" for i in range(20))
+        rows.append((doc_id, txt))
+        rows.append((doc_id + 1, txt))
+        doc_id += 2
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = {
+            r["band"]: r.asDict()
+            for r in eng.QUERIES["minhash_recall_audit"](spark, d).collect()
+        }
+    # identical pairs: band 9, all caught
+    assert out[9]["n_pairs"] == 8 and out[9]["recall"] == 1.0
+    # j=0.5 pairs land in band 5 (18 shingles each, 12 shared -> 12/24)
+    assert out[5]["n_pairs"] == 24
+    # below the knee the banding genuinely misses pairs — recall is
+    # strictly partial (P[all 24 caught] ~ 1e-12, P[none] ~ 1e-4)
+    assert 0 < out[5]["n_caught"] < 24

@@ -45,6 +45,7 @@ _EMPTY_TOTAL = [
     "boilerplate_source_matrix",  # in-bucket pair expansion (r5)
     "bpe_pair_counts",       # bounded-key partial agg (r5)
     "lock_grant_audit",      # per-lock LAG replay (r5)
+    "minhash_recall_audit",  # dual shingle-pass audit rollup (r5)
 ]
 
 _ONE_ROW_ON_EMPTY = {

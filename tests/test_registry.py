@@ -146,6 +146,7 @@ INVENTORY = [
     "boilerplate_source_matrix",  # C45: source-pair shared-chunk matrix
     "bpe_pair_counts",       # C46: BPE merge-step pair counting
     "embedding_quantize",    # C47: int8 scalar quantization (SQ8)
+    "minhash_recall_audit",  # C48: LSH banding recall vs exact ground truth
     "streaming_left_outer_join",  # D10: watermark-forced NULL emission
     "streaming_topk",        # D11: per-window top-k leaderboard
 ]
