@@ -66,6 +66,10 @@ _FUZZ_QUERIES = [
     "boilerplate_source_matrix",
     "corpus_split",
     "doc_fingerprint",
+    "dedup_exact",
+    "quality_score",
+    "lang_id",
+    "corpus_sample_stratified",
 ]
 
 
