@@ -114,11 +114,18 @@ def main() -> None:
     canary_applies = float(sf or 0) == 0.1
 
     best: dict[str, float] = {}
+    pass1: dict[str, float] = {}
     passes = 0
     factor = None
     while passes < MAX_PASSES:
         passes += 1
         timings = run_pass(spark, qs, sf_dir, F)
+        if passes == 1:
+            # Cold-pass timings recorded verbatim: passes 2+ run in a warm
+            # session (page cache + JIT), so the per-query minima carry a
+            # systematic flattering bias vs single-pass rounds — read
+            # round-over-round deltas on queries_pass1 for like-for-like.
+            pass1 = dict(timings)
         best = (
             {k: min(v, best.get(k, v)) for k, v in timings.items()}
             if best
@@ -142,6 +149,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": best,
+                "queries_pass1": pass1,
                 "skipped": skipped,
                 "sf": float(sf) if sf else None,
                 "host_factor_vs_quiet_canary": factor,

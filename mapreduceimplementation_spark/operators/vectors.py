@@ -1587,7 +1587,11 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     HALF_UP vs DuckDB half-even would flip boundary codes); both engines
     evaluate the identical (x-min)*255/(max-min) double expression on
     identical float32 inputs, so the floor argument is bit-equal.  A
-    constant dimension (max == min) quantizes to code 0.
+    constant dimension (max == min) quantizes to code 0.  Heterogeneous
+    dims FAIL LOUDLY (assert_true against the stats row): DuckDB's
+    list_zip NULL-pads short vectors while Spark's transform stops at
+    the vector's own length, so mixed-dim parity would silently hinge on
+    NULL-skipping — refusing is the packed-key guard discipline.
 
     Scale shape: the per-dim stats are ONE partial-agg exchange of
     (dim, min, max) pairs — dim-count-sized regardless of corpus size —
@@ -1631,10 +1635,22 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return emb.join(F.broadcast(dims)).select(
-        "vec_id",
-        F.array_join(
-            F.transform("e", lambda x, i: code(x, i).cast("string")), ","
-        ).alias("codes_fp"),
-        F.size("e").alias("dim"),
+    return (
+        emb.join(F.broadcast(dims))
+        .where(
+            F.assert_true(
+                F.size("e") == F.size("mins"),
+                F.lit(
+                    "embedding_quantize: mixed embedding dims "
+                    "(vector length != corpus stats width)"
+                ),
+            ).isNull()
+        )
+        .select(
+            "vec_id",
+            F.array_join(
+                F.transform("e", lambda x, i: code(x, i).cast("string")), ","
+            ).alias("codes_fp"),
+            F.size("e").alias("dim"),
+        )
     )

@@ -436,8 +436,8 @@ _Q7_NATION_B = "NATION_8"
         JOIN nation n2 ON c_nationkey = n2.n_nationkey
         WHERE ((n1.n_name = '{_Q7_NATION_A}' AND n2.n_name = '{_Q7_NATION_B}')
             OR (n1.n_name = '{_Q7_NATION_B}' AND n2.n_name = '{_Q7_NATION_A}'))
-          AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
-                             AND TIMESTAMP '1996-12-31 00:00:00'
+          AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
     ) shipping
     GROUP BY supp_nation, cust_nation, l_year
     """,
@@ -471,11 +471,12 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(two), F.col("c_nationkey") == F.col("n_nationkey"))
         .select("c_custkey", F.col("n_name").alias("cust_nation"))
     )
+    # half-open [1995-01-01, 1997-01-01): the repo-wide timestamp-bound
+    # convention (see q8/q6/q15) — an inclusive BETWEEN on a timestamp
+    # column silently truncates the last day to its 00:00 instant
     li = load_table(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate").between(
-            F.lit("1995-01-01 00:00:00").cast("timestamp"),
-            F.lit("1996-12-31 00:00:00").cast("timestamp"),
-        )
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
     ).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -1355,10 +1356,18 @@ def synth_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     s_cnt = load_table(spark, sf_dir, "supplier").agg(
         F.count(F.lit(1)).alias("s_cnt")
     )
-    cand = part.select(
-        F.col("p_partkey").alias("ps_partkey"),
-        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i"),
-    ).join(F.broadcast(s_cnt))
+    cand = (
+        part.select(
+            F.col("p_partkey").alias("ps_partkey"),
+            F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i"),
+        )
+        .join(F.broadcast(s_cnt))
+        # no suppliers -> no partsupp rows (hash % 0 would yield NULL
+        # ps_suppkey rows that every downstream join silently drops or,
+        # worse, keeps as a NULL group) — the empty-dims edge is pinned
+        # by tests/test_empty_inputs.py
+        .where(F.col("s_cnt") > 0)
+    )
     sk = (
         hash64(
             F.concat(
@@ -1400,6 +1409,7 @@ _PARTSUPP_SQL = f"""
         FROM part
         CROSS JOIN (SELECT unnest(range(0, 4)) AS i)
         CROSS JOIN sc
+        WHERE s_cnt > 0
     ),
     partsupp AS (
         SELECT DISTINCT ps_partkey, ps_suppkey,

@@ -600,15 +600,24 @@ def test_pii_scrub_redaction_order(spark):
     import hashlib
     import tempfile
 
-    # doc_id chosen non-injected for determinism of the test corpus
+    from mapreduceimplementation_spark.functions.hashing import py_hash64
+    from mapreduceimplementation_spark.operators.textmetrics import (
+        _PII_EVERY,
+    )
+
+    # Compute a non-injected doc_id from the operator's own hash split so
+    # the test can never pass vacuously: if _PII_EVERY or the salt ever
+    # changes, this recomputes (and the assertion below re-verifies).
+    doc_id = next(
+        i for i in range(1, 100) if py_hash64(f"pii-{i}") % _PII_EVERY != 0
+    )
     txt = "mail me at a@b.io or a@b.io call 555-123-4567 host 10.0.0.1"
-    df = spark.createDataFrame([(3, txt)], "doc_id long, text string")
+    df = spark.createDataFrame([(doc_id, txt)], "doc_id long, text string")
     with tempfile.TemporaryDirectory() as d:
         df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
         out = eng.QUERIES["pii_scrub"](spark, d).toPandas()
     r = out.iloc[0]
-    if r["pii_injected"]:
-        return  # hash-dependent; the sf-corpus test covers the split
+    assert not r["pii_injected"], "chosen doc_id must be non-injected"
     assert r["n_emails"] == 2 and r["n_phones"] == 1 and r["n_ips"] == 1
     scrub = "mail me at <EMAIL> or <EMAIL> call <PHONE> host <IP>"
     assert r["scrubbed_hash"] == hashlib.md5(scrub.encode()).hexdigest()
