@@ -1506,3 +1506,688 @@ def audit_view_log(log: DataFrame) -> DataFrame:
         .otherwise("UNACKED_CHANGE")
         .alias("verdict"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B62. kv_append_linearizability — Put/Append/Get linearizability audit
+# (the reference KvModel's FULL op set: src/models/kv.go:17 state machine,
+# Step at kv.go:40 — Get must equal state, Put replaces, Append
+# concatenates — checked by porcupine over every kvraft history at
+# src/kvraft/test_test.go).  B51 covers the register subset (Put/Get);
+# this audit adds Append, whose read-back value identifies the exact
+# append SEQUENCE, keeping per-key matching polynomial when append
+# payloads are unique (the labs' nrand() trick).
+
+_APLIN_SWAP_EVERY = 23  # 1/23 of reads observe their last two appends swapped
+_APLIN_DROP_EVERY = 17  # 1/17 of reads observe the state minus its last append
+
+
+def derive_kv_append_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic concurrent Put/Append/Get history from the events
+    table: key = user_id, puts = signup events, appends = purchase
+    events, reads = the rest.  invoke = the event's µs timestamp; return
+    = invoke + a hash-derived 1 ms..5 s latency (intervals overlap across
+    clients like a real trace).  State values are token sequences:
+    '<put_opid>|<append_opid>|...' with '-1' for the initial state, so a
+    read-back pins the exact append order (KvModel's concatenation,
+    tokenized).  Reads replay the '<=' convention state — except a
+    hash-chosen 1/23 (with >= 2 appends in segment) observe their last
+    two appends SWAPPED, and a further 1/17 (with >= 1) observe the state
+    MINUS its last append: genuine order-conflict and stale classes whose
+    violation status depends on the real interval overlaps.
+
+    Output: (key, kind 'put'|'append'|'get', val string, inv, ret, opid)
+    — ``append_linearizability_audit``'s input contract."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    dur = _LIN_DUR_BASE + hash64(
+        F.col("event_id").cast("string"), salt="aplz-dur"
+    ) % _LIN_DUR_MOD
+    kind = (
+        F.when(F.col("event_type") == "signup", "put")
+        .when(F.col("event_type") == "purchase", "append")
+        .otherwise("get")
+    )
+    base = ev.select(
+        F.col("user_id").alias("key"),
+        kind.alias("kind"),
+        F.col("event_id").alias("opid"),
+        F.unix_micros("ts").alias("inv"),
+        (F.unix_micros("ts") + dur).alias("ret"),
+    )
+    # total per-key order: mutations before reads at equal invoke (the
+    # "<=" replay convention B51 documents), puts opening segments
+    kr = F.when(F.col("kind") == "get", 1).otherwise(0)
+    w_cur = (
+        Window.partitionBy("key")
+        .orderBy("inv", kr, "opid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = base.withColumn(
+        "seg",
+        F.sum(F.when(F.col("kind") == "put", 1).otherwise(0)).over(w_cur),
+    )
+    w_seg_all = Window.partitionBy("key", "seg")
+    w_seg_cur = (
+        Window.partitionBy("key", "seg")
+        .orderBy("inv", kr, "opid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pid = F.coalesce(
+        F.max(F.when(F.col("kind") == "put", F.col("opid"))).over(w_seg_all),
+        F.lit(-1),
+    )
+    apps = F.collect_list(
+        F.when(F.col("kind") == "append", F.col("opid"))
+    ).over(w_seg_cur)
+    st = staged.select(
+        "key", "kind", "opid", "inv", "ret",
+        pid.alias("pid"), apps.alias("apps"),
+    )
+    n = F.size("apps")
+    sw = (
+        hash64(F.col("opid").cast("string"), salt="aplz-sw")
+        % _APLIN_SWAP_EVERY
+        == 0
+    )
+    dr = (
+        hash64(F.col("opid").cast("string"), salt="aplz-dr")
+        % _APLIN_DROP_EVERY
+        == 0
+    )
+    obs_apps = (
+        F.when(
+            (F.col("kind") == "get") & sw & (n >= 2),
+            F.concat(
+                F.slice("apps", 1, F.greatest(n - 2, F.lit(0))),
+                F.array(F.get("apps", n - 1)),
+                F.array(F.get("apps", n - 2)),
+            ),
+        )
+        .when(
+            (F.col("kind") == "get") & dr & (n >= 1),
+            F.slice("apps", 1, F.greatest(n - 1, F.lit(0))),
+        )
+        .otherwise(F.col("apps"))
+    )
+    val = F.when(
+        F.col("kind") != "get", F.col("opid").cast("string")
+    ).otherwise(
+        F.array_join(
+            F.concat(
+                F.array(F.col("pid").cast("string")),
+                F.transform(obs_apps, lambda a: a.cast("string")),
+            ),
+            "|",
+        )
+    )
+    return st.select("key", "kind", val.alias("val"), "inv", "ret", "opid")
+
+
+def append_linearizability_audit(history: DataFrame) -> DataFrame:
+    """Per-key linearizability audit of a concurrent Put/Append/Get
+    history over concatenation-valued registers (KvModel, kv.go:40).
+
+    ``history``: (key, kind 'put'|'append'|'get', val string, inv, ret,
+    opid) with inv <= ret and globally-unique opids.  A read's val is the
+    observed state '<pid>|<a1>|<a2>|...' (pid = the epoch-opening put's
+    opid or -1 for the initial state; a_i = append opids in observed
+    order); mutations carry their own opid as val.  Emits one row per key
+    with op counts, per-rule violation counts, and the verdict.
+
+    Rule set (complete for unique-payload appends; differentially
+    verified against a brute-force all-linearizations KvModel search on
+    seeded random histories, tests/test_kv.py): because payloads are
+    unique, every state string occurs at most once in any linearization,
+    so states form VALUE CLUSTERS (producing mutation + its readers)
+    chained inside PUT EPOCHS (prefix order), and epochs serialize as
+    contiguous super-blocks (once the next put runs, no earlier epoch's
+    state can recur).  An append observed by no read is a FREE singleton
+    block — placeable between any two epoch blocks (its effect dies at
+    the next put), so it needs no epoch assignment.  Rules:
+
+    - unknown: a read's pid is no put (and != -1), or an observed append
+      opid is no append — per read.
+    - conflict: an append observed at two distinct (epoch, position)
+      cells, or one cell observed with two distinct appends (observed
+      prefixes must form one chain) — counts conflicting apps + cells.
+    - future: a read returns before its own cluster's producer invokes.
+    - chain: within an epoch the fixed prefix order is contradicted by
+      real time (cluster at depth d has min-ret < some earlier-depth
+      cluster's max-inv) — one prefix-max window per epoch.
+    - cross: two blocks (epoch super-blocks, merged [min-ret, max-inv]
+      over their clusters; free appends as singletons; the initial
+      epoch pinned first via x = XMIN) mutually precede each other —
+      B51's write_order_cycle machinery verbatim (any precedence cycle
+      in an interval-threshold relation implies a crossing pair),
+      detected without pair expansion via the lex-orientation windows.
+
+    Scale shape: everything is per-key (porcupine's decomposition);
+    read parsing is row-local; matching is two equi-joins (constituent
+    appends, epoch puts); conflicts/clusters are groupBys on observation
+    cells (bounded by observed positions, not op pairs); chain and cross
+    are windows over cluster- and block-count-sized relations.  A hot
+    key costs what porcupine's per-key check would — never a cross-key
+    product, never an op-pair expansion."""
+    toks = F.split(F.col("val"), "[|]")
+    reads0 = history.where(F.col("kind") == "get").select(
+        "key",
+        F.col("opid").alias("ropid"),
+        "inv",
+        "ret",
+        F.element_at(toks, 1).cast("long").alias("pid"),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+        .cast("array<long>")
+        .alias("apps"),
+    )
+    puts = history.where(F.col("kind") == "put").select(
+        "key",
+        F.col("opid").alias("pid"),
+        F.col("inv").alias("p_inv"),
+        F.col("ret").alias("p_ret"),
+    )
+    appends = (
+        history.where(F.col("kind") == "append")
+        .select("key", "opid", "inv", "ret")
+        .localCheckpoint(eager=False)
+    )
+    # rule: unknown — any constituent token without a matching mutation
+    cons = reads0.select(
+        "key", "ropid", F.posexplode_outer("apps").alias("pos", "app")
+    )
+    amiss = (
+        cons.join(
+            appends.select(
+                "key", F.col("opid").alias("app"), F.lit(1).alias("ok_a")
+            ),
+            ["key", "app"],
+            "left",
+        )
+        .groupBy("key", "ropid")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("pos").isNotNull() & F.col("ok_a").isNull(), 1
+                ).otherwise(0)
+            ).alias("app_miss")
+        )
+    )
+    reads = (
+        reads0.join(
+            puts.select("key", "pid", F.lit(1).alias("ok_p")),
+            ["key", "pid"],
+            "left",
+        )
+        .join(amiss, ["key", "ropid"], "left")
+        .withColumn(
+            "unknown",
+            F.col("pid").isNull()
+            | ((F.col("pid") != -1) & F.col("ok_p").isNull())
+            | (F.coalesce("app_miss", F.lit(0)) == 1),
+        )
+        .localCheckpoint(eager=False)
+    )
+    okr = reads.where(~F.col("unknown")).select(
+        "key", "ropid", "inv", "ret", "pid", "apps",
+        F.size("apps").alias("depth"),
+    )
+    # observation cells (epoch, position, append) from valid reads only
+    obs = (
+        okr.select("key", "pid", F.posexplode("apps").alias("pos", "app"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # rule: conflict — observed prefixes must form one chain per epoch
+    conf_app = (
+        obs.groupBy("key", "app")
+        .agg(F.countDistinct(F.struct("pid", "pos")).alias("c"))
+        .where(F.col("c") > 1)
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_conf_app"))
+    )
+    conf_cell = (
+        obs.groupBy("key", "pid", "pos")
+        .agg(F.countDistinct("app").alias("c"))
+        .where(F.col("c") > 1)
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_conf_cell"))
+    )
+    # value clusters: producer mutation (min app pins the conflict case
+    # deterministically) + reader intervals; the virtual initial cluster
+    # carries XMIN (the initial state precedes all time)
+    cl_obs = (
+        obs.groupBy("key", "pid", "pos")
+        .agg(F.min("app").alias("producer"))
+        .select("key", "pid", (F.col("pos") + 1).alias("depth"), "producer")
+        .join(
+            appends.select(
+                "key",
+                F.col("opid").alias("producer"),
+                F.col("inv").alias("pr_inv"),
+                F.col("ret").alias("pr_ret"),
+            ),
+            ["key", "producer"],
+        )
+        .select("key", "pid", "depth", "pr_inv", "pr_ret")
+    )
+    cl_put = puts.select(
+        "key",
+        "pid",
+        F.lit(0).alias("depth"),
+        F.col("p_inv").alias("pr_inv"),
+        F.col("p_ret").alias("pr_ret"),
+    )
+    cl_init = (
+        okr.where(F.col("pid") == -1)
+        .select("key")
+        .distinct()
+        .select(
+            "key",
+            F.lit(-1).cast("long").alias("pid"),
+            F.lit(0).alias("depth"),
+            F.lit(_LIN_XMIN).alias("pr_inv"),
+            F.lit(_LIN_XMIN).alias("pr_ret"),
+        )
+    )
+    cl0 = (
+        cl_obs.unionByName(cl_put)
+        .unionByName(cl_init)
+        .localCheckpoint(eager=False)
+    )
+    cl_stats = (
+        cl0.select(
+            "key", "pid", "depth",
+            F.col("pr_ret").alias("r"), F.col("pr_inv").alias("i"),
+        )
+        .unionByName(
+            okr.select(
+                "key", "pid", "depth",
+                F.col("ret").alias("r"), F.col("inv").alias("i"),
+            )
+        )
+        .groupBy("key", "pid", "depth")
+        .agg(F.min("r").alias("x"), F.max("i").alias("y"))
+        .localCheckpoint(eager=False)
+    )
+    # rule: future — per read, against its own cluster's producer
+    fut = (
+        okr.join(cl0.select("key", "pid", "depth", "pr_inv"),
+                 ["key", "pid", "depth"])
+        .groupBy("key")
+        .agg(
+            F.sum(
+                F.when(F.col("ret") < F.col("pr_inv"), 1).otherwise(0)
+            ).alias("n_future")
+        )
+    )
+    # rule: chain — prefix-max of y over earlier depths vs this x
+    w_chain = (
+        Window.partitionBy("key", "pid")
+        .orderBy("depth")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chain = (
+        cl_stats.withColumn("pm", F.max("y").over(w_chain))
+        .groupBy("key")
+        .agg(
+            F.sum(
+                F.when(F.col("x") < F.col("pm"), 1).otherwise(0)
+            ).alias("n_chain")
+        )
+    )
+    # blocks: epoch super-blocks + free (unobserved) appends
+    ep = (
+        cl_stats.groupBy("key", "pid")
+        .agg(F.min("x").alias("x0"), F.max("y").alias("y"))
+        .select(
+            "key",
+            F.col("pid").alias("blkid"),
+            F.when(F.col("pid") == -1, F.lit(_LIN_XMIN))
+            .otherwise(F.col("x0"))
+            .alias("x"),
+            "y",
+        )
+    )
+    free = (
+        appends.join(
+            obs.select("key", F.col("app").alias("opid")).distinct(),
+            ["key", "opid"],
+            "left_anti",
+        )
+        .select(
+            "key",
+            F.col("opid").alias("blkid"),
+            F.col("ret").alias("x"),
+            F.col("inv").alias("y"),
+        )
+    )
+    blocks = ep.unionByName(free).localCheckpoint(eager=False)
+    # rule: cross — B51's lex-orientation crossing detection verbatim
+    # (backward blocks via prefix-max, normal blocks via the interleave
+    # probe; see linearizability_audit for the family derivation)
+    w_lex = (
+        Window.partitionBy("key")
+        .orderBy("x", "blkid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cross_b = (
+        blocks.withColumn("pm", F.max("y").over(w_lex))
+        .where(F.col("x") < F.col("y"))
+        .select("key", (F.col("pm") > F.col("x")).alias("crossed"))
+    )
+    entries = blocks.where(F.col("x") < F.col("y")).select(
+        "key",
+        F.col("x").alias("t"),
+        F.col("y").alias("ey"),
+        F.lit(0).alias("is_probe"),
+        "blkid",
+        F.lit(None).cast("long").alias("px"),
+    )
+    probes = blocks.where(F.col("x") >= F.col("y")).select(
+        "key",
+        F.col("y").alias("t"),
+        F.lit(None).cast("long").alias("ey"),
+        F.lit(1).alias("is_probe"),
+        "blkid",
+        F.col("x").alias("px"),
+    )
+    w_cyc = (
+        Window.partitionBy("key")
+        .orderBy(F.col("t").asc(), F.col("is_probe").desc(), "blkid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cross_n = (
+        entries.unionByName(probes)
+        .withColumn("pm", F.max("ey").over(w_cyc))
+        .where(F.col("is_probe") == 1)
+        .select("key", (F.col("pm") > F.col("px")).alias("crossed"))
+    )
+    cross = (
+        cross_b.unionByName(cross_n)
+        .groupBy("key")
+        .agg(
+            F.sum(F.when(F.col("crossed"), 1).otherwise(0)).alias("n_cross")
+        )
+    )
+    ops = history.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_ops"),
+        F.sum(F.when(F.col("kind") == "put", 1).otherwise(0)).alias("n_puts"),
+        F.sum(F.when(F.col("kind") == "append", 1).otherwise(0)).alias(
+            "n_appends"
+        ),
+        F.sum(F.when(F.col("kind") == "get", 1).otherwise(0)).alias("n_gets"),
+    )
+    unk = reads.groupBy("key").agg(
+        F.sum(F.when(F.col("unknown"), 1).otherwise(0)).alias("n_unknown")
+    )
+    out = (
+        ops.join(unk, "key", "left")
+        .join(conf_app, "key", "left")
+        .join(conf_cell, "key", "left")
+        .join(fut, "key", "left")
+        .join(chain, "key", "left")
+        .join(cross, "key", "left")
+        .select(
+            "key",
+            "n_ops",
+            "n_puts",
+            "n_appends",
+            "n_gets",
+            F.coalesce("n_unknown", F.lit(0)).alias("n_unknown"),
+            (
+                F.coalesce("n_conf_app", F.lit(0))
+                + F.coalesce("n_conf_cell", F.lit(0))
+            ).alias("n_conflict"),
+            F.coalesce("n_future", F.lit(0)).alias("n_future"),
+            F.coalesce("n_chain", F.lit(0)).alias("n_chain"),
+            F.coalesce("n_cross", F.lit(0)).alias("n_cross"),
+        )
+    )
+    return out.withColumn(
+        "linearizable",
+        (
+            F.col("n_unknown")
+            + F.col("n_conflict")
+            + F.col("n_future")
+            + F.col("n_chain")
+            + F.col("n_cross")
+        )
+        == 0,
+    )
+
+
+_APLZ_H_DUR = sql_hash64("'aplz-dur' || CAST(event_id AS VARCHAR)")
+_APLZ_H_SW = sql_hash64("'aplz-sw' || CAST(opid AS VARCHAR)")
+_APLZ_H_DR = sql_hash64("'aplz-dr' || CAST(opid AS VARCHAR)")
+
+_APLZ_HISTORY_SQL = f"""
+    raw AS (
+        SELECT user_id AS key,
+               CASE WHEN event_type = 'signup' THEN 'put'
+                    WHEN event_type = 'purchase' THEN 'append'
+                    ELSE 'get' END AS kind,
+               event_id AS opid,
+               CAST(epoch_us(ts) AS BIGINT) AS inv,
+               CAST(epoch_us(ts) AS BIGINT) + {_LIN_DUR_BASE}
+                   + ({_APLZ_H_DUR} % {_LIN_DUR_MOD}) AS ret
+        FROM events
+    ),
+    seg0 AS (
+        SELECT *,
+               SUM(CASE WHEN kind = 'put' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY key
+                         ORDER BY inv, CASE WHEN kind = 'get' THEN 1 ELSE 0 END,
+                                  opid
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS seg
+        FROM raw
+    ),
+    std AS (
+        SELECT key, kind, opid, inv, ret,
+               COALESCE(MAX(CASE WHEN kind = 'put' THEN opid END)
+                   OVER (PARTITION BY key, seg), -1) AS pid,
+               list_filter(
+                   list(CASE WHEN kind = 'append' THEN opid END) OVER w,
+                   a -> a IS NOT NULL) AS apps
+        FROM seg0
+        WINDOW w AS (PARTITION BY key, seg
+                     ORDER BY inv, CASE WHEN kind = 'get' THEN 1 ELSE 0 END,
+                              opid
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    inj AS (
+        SELECT key, kind, opid, inv, ret, pid,
+               CASE WHEN kind = 'get' AND ({_APLZ_H_SW} % {_APLIN_SWAP_EVERY}) = 0
+                         AND len(apps) >= 2
+                    THEN apps[1:len(apps)-2]
+                         || [apps[len(apps)]] || [apps[len(apps)-1]]
+                    WHEN kind = 'get' AND ({_APLZ_H_DR} % {_APLIN_DROP_EVERY}) = 0
+                         AND len(apps) >= 1
+                    THEN apps[1:len(apps)-1]
+                    ELSE apps END AS apps
+        FROM std
+    ),
+    hist AS (
+        SELECT key, kind, opid, inv, ret,
+               CASE WHEN kind = 'get'
+                    THEN array_to_string(
+                        list_prepend(CAST(pid AS VARCHAR),
+                            list_transform(apps, a -> CAST(a AS VARCHAR))),
+                        '|')
+                    ELSE CAST(opid AS VARCHAR) END AS val
+        FROM inj
+    )
+"""
+
+
+@register(
+    "kv_append_linearizability",
+    oracle=f"""
+    WITH {_APLZ_HISTORY_SQL},
+    puts AS (SELECT key, opid, inv, ret FROM hist WHERE kind = 'put'),
+    apps AS (SELECT key, opid, inv, ret FROM hist WHERE kind = 'append'),
+    rd AS (
+        SELECT key, opid, inv, ret,
+               TRY_CAST(string_split(val, '|')[1] AS BIGINT) AS pid,
+               list_transform(string_split(val, '|')[2:],
+                              s -> TRY_CAST(s AS BIGINT)) AS alist
+        FROM hist WHERE kind = 'get'
+    ),
+    rdu AS (
+        SELECT r.*,
+               (r.pid IS NULL
+                OR (r.pid <> -1 AND NOT EXISTS (
+                        SELECT 1 FROM puts p
+                        WHERE p.key = r.key AND p.opid = r.pid))
+                OR EXISTS (
+                        SELECT 1 FROM UNNEST(r.alist) t(a)
+                        WHERE a IS NULL OR NOT EXISTS (
+                            SELECT 1 FROM apps x
+                            WHERE x.key = r.key AND x.opid = a)))
+                   AS unknown
+        FROM rd r
+    ),
+    obs AS (
+        SELECT DISTINCT r.key, r.pid, i AS pos, r.alist[i + 1] AS app
+        FROM rdu r, UNNEST(range(0, len(r.alist))) t(i)
+        WHERE NOT r.unknown
+    ),
+    confa AS (
+        SELECT key, CAST(count(*) AS BIGINT) AS n_conf_app FROM (
+            SELECT DISTINCT key, app FROM obs o
+            WHERE EXISTS (
+                SELECT 1 FROM obs o2
+                WHERE o2.key = o.key AND o2.app = o.app
+                  AND (o2.pid <> o.pid OR o2.pos <> o.pos))
+        ) GROUP BY key
+    ),
+    confc AS (
+        SELECT key, CAST(count(*) AS BIGINT) AS n_conf_cell FROM (
+            SELECT DISTINCT key, pid, pos FROM obs o
+            WHERE EXISTS (
+                SELECT 1 FROM obs o2
+                WHERE o2.key = o.key AND o2.pid = o.pid AND o2.pos = o.pos
+                  AND o2.app <> o.app)
+        ) GROUP BY key
+    ),
+    clobs AS (
+        SELECT key, pid, pos + 1 AS depth, MIN(app) AS producer
+        FROM obs GROUP BY key, pid, pos
+    ),
+    cl0 AS (
+        SELECT c.key, c.pid, c.depth, a.inv AS pr_inv, a.ret AS pr_ret
+        FROM clobs c JOIN apps a ON a.key = c.key AND a.opid = c.producer
+        UNION ALL
+        SELECT key, opid AS pid, 0 AS depth, inv, ret FROM puts
+        UNION ALL
+        SELECT DISTINCT key, CAST(-1 AS BIGINT), 0,
+               CAST({_LIN_XMIN} AS BIGINT), CAST({_LIN_XMIN} AS BIGINT)
+        FROM rdu WHERE NOT unknown AND pid = -1
+    ),
+    clst AS (
+        SELECT key, pid, depth, MIN(r) AS x, MAX(i) AS y FROM (
+            SELECT key, pid, depth, pr_ret AS r, pr_inv AS i FROM cl0
+            UNION ALL
+            SELECT key, pid, len(alist) AS depth, ret AS r, inv AS i
+            FROM rdu WHERE NOT unknown
+        ) GROUP BY key, pid, depth
+    ),
+    fut AS (
+        SELECT r.key,
+               CAST(SUM(CASE WHEN r.ret < c.pr_inv THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_future
+        FROM rdu r
+        JOIN cl0 c ON c.key = r.key AND c.pid = r.pid
+                  AND c.depth = len(r.alist)
+        WHERE NOT r.unknown
+        GROUP BY r.key
+    ),
+    chn AS (
+        SELECT key, CAST(count(*) AS BIGINT) AS n_chain
+        FROM clst c
+        WHERE EXISTS (
+            SELECT 1 FROM clst c2
+            WHERE c2.key = c.key AND c2.pid = c.pid
+              AND c2.depth < c.depth AND c.x < c2.y)
+        GROUP BY key
+    ),
+    ep AS (
+        SELECT key, pid AS blkid,
+               CASE WHEN pid = -1 THEN CAST({_LIN_XMIN} AS BIGINT)
+                    ELSE MIN(x) END AS x,
+               MAX(y) AS y
+        FROM clst GROUP BY key, pid
+    ),
+    fr AS (
+        SELECT a.key, a.opid AS blkid, a.ret AS x, a.inv AS y
+        FROM apps a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM obs o WHERE o.key = a.key AND o.app = a.opid)
+    ),
+    blk AS (SELECT * FROM ep UNION ALL SELECT * FROM fr),
+    crs AS (
+        SELECT a.key, CAST(count(*) AS BIGINT) AS n_cross
+        FROM blk a
+        WHERE EXISTS (
+            SELECT 1 FROM blk b
+            WHERE b.key = a.key
+              AND (b.x < a.x OR (b.x = a.x AND b.blkid < a.blkid))
+              AND b.x < a.y AND a.x < b.y)
+        GROUP BY a.key
+    ),
+    ragg AS (
+        SELECT key,
+               CAST(SUM(CASE WHEN unknown THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_unknown
+        FROM rdu GROUP BY key
+    ),
+    oagg AS (
+        SELECT key,
+               CAST(count(*) AS BIGINT) AS n_ops,
+               CAST(SUM(CASE WHEN kind = 'put' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_puts,
+               CAST(SUM(CASE WHEN kind = 'append' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_appends,
+               CAST(SUM(CASE WHEN kind = 'get' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_gets
+        FROM hist GROUP BY key
+    )
+    SELECT key, n_ops, n_puts, n_appends, n_gets,
+           COALESCE(n_unknown, 0) AS n_unknown,
+           (COALESCE(n_conf_app, 0) + COALESCE(n_conf_cell, 0)) AS n_conflict,
+           COALESCE(n_future, 0) AS n_future,
+           COALESCE(n_chain, 0) AS n_chain,
+           COALESCE(n_cross, 0) AS n_cross,
+           (COALESCE(n_unknown, 0) + COALESCE(n_conf_app, 0)
+            + COALESCE(n_conf_cell, 0) + COALESCE(n_future, 0)
+            + COALESCE(n_chain, 0) + COALESCE(n_cross, 0)) = 0
+               AS linearizable
+    FROM oagg
+    LEFT JOIN ragg USING (key)
+    LEFT JOIN confa USING (key)
+    LEFT JOIN confc USING (key)
+    LEFT JOIN fut USING (key)
+    LEFT JOIN chn USING (key)
+    LEFT JOIN crs USING (key)
+    """,
+)
+def kv_append_linearizability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key linearizability verdicts over a derived concurrent
+    Put/Append/Get history — the reference KvModel's FULL op set
+    (src/models/kv.go:17, Step at kv.go:40: Get must equal state, Put
+    replaces, Append concatenates), the one reference semantic B51's
+    register audit left uncovered.  See ``append_linearizability_audit``
+    for the rule set (clusters -> epoch chains -> super-block crossing)
+    and scale shape; the swap (1/23) and drop-last (1/17) injections make
+    the output a genuine mix of conflict / chain / cross verdicts.
+
+    The DuckDB oracle replays the identical derivation, then states each
+    rule as its literal quadratic EXISTS (the per-epoch chain
+    contradiction and the block crossing spelled out over pairs) — a
+    green hash certifies the windowed no-pair-expansion formulation
+    against the textbook definition."""
+    return append_linearizability_audit(
+        derive_kv_append_history(spark, sf_dir)
+    )

@@ -622,3 +622,239 @@ def test_view_audit_registered_query_mix(spark, sf_dir):
     assert counts.get("BAD_SUCCESSION", 0) > 0
     assert counts.get("UNACKED_CHANGE", 0) > 0
     assert counts.get("ok", 0) > counts.drop("ok").sum()
+
+
+# ---------------------------------------------------------------------------
+# B62 kv_append_linearizability — concatenation-valued registers
+
+
+def _ap_audit(spark, rows):
+    """rows: (key, kind, val_str, inv, ret, opid) -> {key: verdict row}."""
+    from mapreduceimplementation_spark.plans.kv import (
+        append_linearizability_audit,
+    )
+
+    df = spark.createDataFrame(
+        rows, "key long, kind string, val string, inv long, ret long, opid long"
+    )
+    return {
+        r["key"]: r.asDict()
+        for r in append_linearizability_audit(df).collect()
+    }
+
+
+def test_append_lin_clean_history(spark):
+    out = _ap_audit(
+        spark,
+        [
+            (1, "put", "10", 0, 5, 10),
+            (1, "append", "11", 10, 15, 11),
+            (1, "get", "10|11", 20, 25, 12),
+            (1, "get", "10", 2, 30, 13),  # overlaps everything: legal
+        ],
+    )
+    v = out[1]
+    assert v["linearizable"]
+    assert v["n_ops"] == 4 and v["n_puts"] == 1 and v["n_appends"] == 1
+
+
+def test_append_lin_flags_order_conflict(spark):
+    """Two reads observing OPPOSITE append orders can never both hold —
+    observed prefixes must form one chain per epoch."""
+    out = _ap_audit(
+        spark,
+        [
+            (1, "put", "10", 0, 2, 10),
+            (1, "append", "11", 4, 6, 11),
+            (1, "append", "12", 4, 7, 12),
+            (1, "get", "10|11|12", 10, 12, 13),
+            (1, "get", "10|12|11", 10, 13, 14),
+        ],
+    )
+    v = out[1]
+    assert v["n_conflict"] > 0 and not v["linearizable"]
+
+
+def test_append_lin_flags_unobserved_append_before_initial_read(spark):
+    """A free (unobserved) append that truly precedes a read of the
+    initial state cannot be erased (no put exists) — the free block
+    crosses the pinned-first initial epoch."""
+    out = _ap_audit(
+        spark,
+        [
+            (1, "append", "11", 0, 5, 11),
+            (1, "get", "-1", 10, 15, 12),
+        ],
+    )
+    v = out[1]
+    assert v["n_cross"] >= 1 and not v["linearizable"]
+    assert v["n_unknown"] == 0 and v["n_conflict"] == 0
+
+
+def test_append_lin_free_append_erased_by_put_is_legal(spark):
+    """The same free append IS legal when a later put resets the state
+    before the read — free blocks slot between epoch blocks."""
+    out = _ap_audit(
+        spark,
+        [
+            (1, "append", "11", 0, 5, 11),
+            (1, "put", "12", 6, 8, 12),
+            (1, "get", "12", 10, 15, 13),
+        ],
+    )
+    assert out[1]["linearizable"]
+
+
+def test_append_lin_flags_chain_inversion(spark):
+    """A read of the pre-append state AFTER another read already
+    observed the append (and both follow the append in real time):
+    the epoch's fixed prefix order is contradicted by time."""
+    out = _ap_audit(
+        spark,
+        [
+            (1, "put", "10", 0, 2, 10),
+            (1, "append", "11", 4, 6, 11),
+            (1, "get", "10|11", 7, 8, 12),
+            (1, "get", "10", 10, 12, 13),
+        ],
+    )
+    v = out[1]
+    assert v["n_chain"] >= 1 and not v["linearizable"]
+
+
+def test_append_lin_flags_unknown_tokens(spark):
+    out = _ap_audit(
+        spark,
+        [
+            (1, "put", "10", 0, 2, 10),
+            (1, "get", "77", 5, 8, 11),        # no such put
+            (1, "get", "10|88", 9, 12, 12),    # no such append
+        ],
+    )
+    v = out[1]
+    assert v["n_unknown"] == 2 and not v["linearizable"]
+
+
+def _brute_append_linearizable(ops):
+    """Brute-force all-linearizations KvModel search (kv.go:40 Step:
+    Get == state, Put replaces, Append concatenates), memoized on
+    (remaining ops, state).  ops: (kind, val, inv, ret); mutation val is
+    its own token, get val the observed state string."""
+    n = len(ops)
+    memo = {}
+
+    def rec(remaining, state):
+        if not remaining:
+            return True
+        key = (remaining, state)
+        if key in memo:
+            return memo[key]
+        ok = False
+        for i in remaining:
+            # i may linearize next iff nothing remaining truly precedes it
+            if any(j != i and ops[j][3] < ops[i][2] for j in remaining):
+                continue
+            kind, val = ops[i][0], ops[i][1]
+            if kind == "put":
+                ns = (val,)
+            elif kind == "append":
+                ns = state + (val,)
+            else:
+                if "|".join(state) != val:
+                    continue
+                ns = state
+            if rec(remaining - {i}, ns):
+                ok = True
+                break
+        memo[key] = ok
+        return ok
+
+    return rec(frozenset(range(n)), ("-1",))
+
+
+def test_append_lin_matches_bruteforce_on_random_histories(spark):
+    """Differential gate for the Put/Append/Get rule set: verdicts must
+    equal the brute-force KvModel search on seeded random histories.
+    Reads take their values from a random (real-time-IGNORING)
+    serialization and are then corrupted (drop-last / swap / unknown),
+    so both verdicts and every rule class occur; brute force is the
+    ground truth."""
+    import random
+
+    rng = random.Random(20260814)
+    cases = []
+    for ci in range(140):
+        n = rng.randint(3, 8)
+        ops = []
+        mid = ci * 1000 + 10
+        for i in range(n):
+            inv = rng.randint(0, 14)
+            ret = inv + rng.randint(1, 7)
+            r = rng.random()
+            kind = "put" if r < 0.3 else ("append" if r < 0.6 else "get")
+            if kind == "get":
+                ops.append([kind, None, inv, ret, ci * 1000 + 500 + i])
+            else:
+                ops.append([kind, str(mid), inv, ret, mid])
+                mid += 1
+        order = list(range(n))
+        rng.shuffle(order)
+        state, seen = ("-1",), {}
+        for idx in order:
+            kind, v = ops[idx][0], ops[idx][1]
+            if kind == "put":
+                state = (v,)
+            elif kind == "append":
+                state = state + (v,)
+            else:
+                seen[idx] = "|".join(state)
+        for i, o in enumerate(ops):
+            if o[0] != "get":
+                continue
+            toks = seen[i].split("|")
+            r = rng.random()
+            if r < 0.18 and len(toks) >= 2:
+                toks = toks[:-1]
+            elif r < 0.30 and len(toks) >= 3:
+                toks[-1], toks[-2] = toks[-2], toks[-1]
+            elif r < 0.36:
+                toks = ["999999"]
+            o[1] = "|".join(toks)
+        cases.append(ops)
+
+    rows = [
+        (ci, kind, val, inv, ret, opid)
+        for ci, ops in enumerate(cases)
+        for (kind, val, inv, ret, opid) in ops
+    ]
+    from mapreduceimplementation_spark.plans.kv import (
+        append_linearizability_audit,
+    )
+
+    df = spark.createDataFrame(
+        rows, "key long, kind string, val string, inv long, ret long, opid long"
+    )
+    got = {
+        r["key"]: r["linearizable"]
+        for r in append_linearizability_audit(df).collect()
+    }
+    bad = []
+    for ci, ops in enumerate(cases):
+        want = _brute_append_linearizable(
+            [tuple(o[:4]) for o in ops]
+        )
+        if want != got[ci]:
+            bad.append((ci, want, got[ci], ops))
+    assert not bad, f"append audit disagrees with brute force: {bad[:3]}"
+
+
+def test_append_lin_registered_query_mix(spark, sf_dir):
+    """The derived-history query must emit a genuine verdict mix and
+    zero unknown/future flags (the derivation cannot produce those)."""
+    out = eng.QUERIES["kv_append_linearizability"](spark, sf_dir).toPandas()
+    assert (out["n_unknown"] == 0).all() and (out["n_future"] == 0).all()
+    assert out["linearizable"].any() and (~out["linearizable"]).any()
+    flagsum = out[
+        ["n_unknown", "n_conflict", "n_future", "n_chain", "n_cross"]
+    ].sum(axis=1)
+    assert (out["linearizable"] == (flagsum == 0)).all()
