@@ -2191,3 +2191,347 @@ def kv_append_linearizability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return append_linearizability_audit(
         derive_kv_append_history(spark, sf_dir)
     )
+
+
+# ---------------------------------------------------------------------------
+# B63. raft_election_safety — Election Safety trace audit
+# (raft/config.go:432 checkOneLeader: "term %d has %d (>1) leaders" — at
+# most one leader per term; a candidate leads a term iff a MAJORITY of
+# distinct peers granted it their vote, and the property can only break
+# when some voter grants two candidates in one term)
+
+_RAFT_PEERS = 5  # the labs' cluster size; majority = 3
+_RFE_TERMS = 40
+_RFE_DENY_EVERY = 13  # 1/13 vote RPCs are denied (granted = false)
+_RFE_DEV_EVERY = 9  # 1/9 (term, voter) CELLS vote for the second candidate
+_RFE_DBL_EVERY = 11  # 1/11 (term, voter) CELLS double-vote (both candidates)
+_RFE_HOT_EVERY = 8  # 1/8 of TERMS are contested: dev 1/3, dbl 1/2 of cells
+
+
+def audit_election_votes(votes: DataFrame, n_peers: int = _RAFT_PEERS) -> DataFrame:
+    """Election-safety audit over a vote-grant trace.
+
+    ``votes``: (term, voter, candidate, granted) records (duplicates =
+    RPC retries, benign).  A voter double-votes when it GRANTS two
+    distinct candidates in one term — the only way two leaders can both
+    assemble a majority (ceil((n+1)/2) distinct granted voters).  Emits
+    one row per term with vote/voter counts, double-voter count, leader
+    count, and the checkOneLeader verdict.
+
+    Scale shape: one scan; all aggregates key on (term, voter) or
+    (term, candidate) — bounded by terms x peers, with map-side partials
+    collapsing retry duplicates; no joins, no windows."""
+    majority = n_peers // 2 + 1
+    g = votes.where(F.col("granted"))
+    base = votes.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_votes"),
+        F.countDistinct(F.when(F.col("granted"), F.col("voter"))).alias(
+            "n_voters"
+        ),
+    )
+    dbl = (
+        g.groupBy("term", "voter")
+        .agg(F.countDistinct("candidate").alias("c"))
+        .where(F.col("c") > 1)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_double_voters"))
+    )
+    lead = (
+        g.groupBy("term", "candidate")
+        .agg(F.countDistinct("voter").alias("nv"))
+        .where(F.col("nv") >= majority)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_leaders"))
+    )
+    return (
+        base.join(dbl, "term", "left")
+        .join(lead, "term", "left")
+        .select(
+            "term",
+            "n_votes",
+            "n_voters",
+            F.coalesce("n_double_voters", F.lit(0)).alias("n_double_voters"),
+            F.coalesce("n_leaders", F.lit(0)).alias("n_leaders"),
+            (F.coalesce("n_leaders", F.lit(0)) <= 1).alias("election_safe"),
+        )
+    )
+
+
+def derive_raft_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic vote-grant trace from events: each event is one
+    RequestVote RPC outcome.  Each term has a hash-chosen default
+    candidate c0 and challenger c1; the vote choice is decided per
+    (term, voter) CELL — 1/9 of cells consistently vote c1 (split
+    votes), 1/11 DOUBLE-VOTE (their RPCs alternate between c0 and c1,
+    the bug that lets two candidates both assemble a majority) — so the
+    violation rate is a property of the bounded cell grid, not of event
+    volume, and the verdict mix is scale-stable; 1/13 of RPCs are
+    denied.  Everything is md5-derived, bit-identical in both engines."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    eid = F.col("event_id").cast("string")
+    term = hash64(eid, salt="rfe-t") % _RFE_TERMS
+    voter = hash64(eid, salt="rfe-v") % _RAFT_PEERS
+    cell = F.concat(term.cast("string"), F.lit("/"), voter.cast("string"))
+    c0 = hash64(term.cast("string"), salt="rfe-c") % _RAFT_PEERS
+    c1 = (
+        c0
+        + 1
+        + hash64(term.cast("string"), salt="rfe-e") % (_RAFT_PEERS - 1)
+    ) % _RAFT_PEERS
+    # contested terms (1/8) see real split elections: a third of their
+    # cells back the challenger and half double-vote, so two-majority
+    # terms genuinely occur; quiet terms keep the background rates
+    hot = hash64(term.cast("string"), salt="rfe-x") % _RFE_HOT_EVERY == 0
+    h_dev = hash64(cell, salt="rfe-d")
+    h_dbl = hash64(cell, salt="rfe-b")
+    dev = F.when(hot, h_dev % 3 == 0).otherwise(h_dev % _RFE_DEV_EVERY == 0)
+    dbl = F.when(hot, h_dbl % 2 == 0).otherwise(h_dbl % _RFE_DBL_EVERY == 0)
+    flip = hash64(eid, salt="rfe-f") % 2 == 0
+    cand = F.when(dbl & flip, c1).when(dbl, c0).when(dev, c1).otherwise(c0)
+    return ev.select(
+        term.alias("term"),
+        voter.alias("voter"),
+        cand.alias("candidate"),
+        (hash64(eid, salt="rfe-g") % _RFE_DENY_EVERY != 0).alias("granted"),
+    )
+
+
+_RFE_T = sql_hash64("'rfe-t' || CAST(event_id AS VARCHAR)")
+_RFE_V = sql_hash64("'rfe-v' || CAST(event_id AS VARCHAR)")
+_RFE_G = sql_hash64("'rfe-g' || CAST(event_id AS VARCHAR)")
+_RFE_F = sql_hash64("'rfe-f' || CAST(event_id AS VARCHAR)")
+_RFE_C0 = sql_hash64("'rfe-c' || CAST(term AS VARCHAR)")
+_RFE_C1 = sql_hash64("'rfe-e' || CAST(term AS VARCHAR)")
+_RFE_CELL = "CAST(term AS VARCHAR) || '/' || CAST(voter AS VARCHAR)"
+_RFE_DEV = sql_hash64(f"'rfe-d' || {_RFE_CELL}")
+_RFE_DBL = sql_hash64(f"'rfe-b' || {_RFE_CELL}")
+_RFE_HOT = sql_hash64("'rfe-x' || CAST(term AS VARCHAR)")
+
+
+@register(
+    "raft_election_safety",
+    oracle=f"""
+    WITH votes0 AS (
+        SELECT ({_RFE_T} % {_RFE_TERMS}) AS term,
+               ({_RFE_V} % {_RAFT_PEERS}) AS voter,
+               ({_RFE_G} % {_RFE_DENY_EVERY}) <> 0 AS granted,
+               ({_RFE_F} % 2) = 0 AS flip
+        FROM events
+    ),
+    votes1 AS (
+        SELECT *,
+               ({_RFE_C0} % {_RAFT_PEERS}) AS c0,
+               (({_RFE_C0} % {_RAFT_PEERS}) + 1
+                + ({_RFE_C1} % {_RAFT_PEERS - 1})) % {_RAFT_PEERS} AS c1,
+               CASE WHEN ({_RFE_HOT} % {_RFE_HOT_EVERY}) = 0
+                    THEN ({_RFE_DEV} % 3) = 0
+                    ELSE ({_RFE_DEV} % {_RFE_DEV_EVERY}) = 0 END AS dev,
+               CASE WHEN ({_RFE_HOT} % {_RFE_HOT_EVERY}) = 0
+                    THEN ({_RFE_DBL} % 2) = 0
+                    ELSE ({_RFE_DBL} % {_RFE_DBL_EVERY}) = 0 END AS dbl
+        FROM votes0
+    ),
+    votes AS (
+        SELECT term, voter, granted,
+               CASE WHEN dbl AND flip THEN c1
+                    WHEN dbl THEN c0
+                    WHEN dev THEN c1
+                    ELSE c0 END AS candidate
+        FROM votes1
+    ),
+    base AS (
+        SELECT term,
+               CAST(count(*) AS BIGINT) AS n_votes,
+               CAST(count(DISTINCT CASE WHEN granted THEN voter END)
+                    AS BIGINT) AS n_voters
+        FROM votes GROUP BY term
+    ),
+    dbl AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS n_double_voters FROM (
+            SELECT term, voter FROM votes WHERE granted
+            GROUP BY term, voter HAVING count(DISTINCT candidate) > 1
+        ) GROUP BY term
+    ),
+    lead AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS n_leaders FROM (
+            SELECT term, candidate FROM votes WHERE granted
+            GROUP BY term, candidate
+            HAVING count(DISTINCT voter) >= {_RAFT_PEERS // 2 + 1}
+        ) GROUP BY term
+    )
+    SELECT term, n_votes, n_voters,
+           COALESCE(n_double_voters, 0) AS n_double_voters,
+           COALESCE(n_leaders, 0) AS n_leaders,
+           COALESCE(n_leaders, 0) <= 1 AS election_safe
+    FROM base LEFT JOIN dbl USING (term) LEFT JOIN lead USING (term)
+    """,
+)
+def raft_election_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Election Safety trace audit — checkOneLeader
+    (/root/reference/src/raft/config.go:432, the "term %d has %d (>1)
+    leaders" fatal) as an analytics query over a derived vote-grant
+    trace.  See ``audit_election_votes`` for the rules and scale shape;
+    the per-(term, voter) split/double-vote cells make double-voters
+    common and genuine two-leader terms occasional, so the verdict
+    column is a real mix at every scale factor."""
+    return audit_election_votes(derive_raft_votes(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# B64. raft_log_matching — Log Matching / apply-consistency trace audit
+# (raft/config.go:140 checkLogs: a server committing a different value at
+# an index some other server already committed is the fatal
+# "commit index=%v ... %v != %v"; the applier at config.go:167 also
+# flags "apply out of order" when an index lands without its
+# predecessor)
+
+_RFL_IDXS = 300
+_RFL_CORRUPT_EVERY = 37  # 1/37 (server, idx) cells apply a corrupted value
+_RFL_SKIP_EVERY = 5  # 1/5 (server, idx) cells never apply (forced gaps)
+
+
+def audit_apply_log(records: DataFrame) -> DataFrame:
+    """Log-matching audit over an apply trace: (server, idx, value)
+    records of committed entries (duplicates = replays, benign).
+
+    Rules (checkLogs, config.go:140): every committed index must carry
+    ONE value across all servers (and across replays on one server);
+    an index applied by a server whose predecessor index that server
+    never applied is an out-of-order apply (the prevok check).  Emits
+    one row per index.
+
+    Scale shape: one distinct on (server, idx, value) — map-side
+    partials collapse replays; out-of-order = a LAG window per server
+    over its distinct indexes (no self-join); the per-index rollup
+    reuses bounded keys.  Nothing is ever op-pair expanded."""
+    cells = records.select("server", "idx", "value").distinct()
+    per_si = cells.select("server", "idx").distinct()
+    w = Window.partitionBy("server").orderBy("idx")
+    gaps = per_si.withColumn("prev", F.lag("idx").over(w)).select(
+        "server",
+        "idx",
+        (
+            (F.col("idx") > 1)
+            & (
+                F.col("prev").isNull()
+                | (F.col("prev") != F.col("idx") - 1)
+            )
+        ).alias("missing_prev"),
+    )
+    vals = cells.groupBy("idx").agg(
+        F.countDistinct("server").alias("n_servers"),
+        F.countDistinct("value").alias("n_values"),
+    )
+    g = gaps.groupBy("idx").agg(
+        F.sum(F.when(F.col("missing_prev"), 1).otherwise(0)).alias(
+            "n_missing_prev"
+        )
+    )
+    return (
+        vals.join(g, "idx")
+        .select(
+            "idx",
+            "n_servers",
+            "n_values",
+            (F.col("n_values") > 1).alias("value_conflict"),
+            "n_missing_prev",
+            (
+                (F.col("n_values") <= 1) & (F.col("n_missing_prev") == 0)
+            ).alias("matching_ok"),
+        )
+    )
+
+
+def derive_raft_apply_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic apply trace from events: each event is one ApplyMsg
+    (server, idx, value).  The canonical value is a pure function of the
+    index.  Divergence is decided per (server, idx) CELL, not per
+    record: 1/5 of cells never apply (the server skipped that index —
+    genuine out-of-order applies) and 1/37 apply a consistently
+    CORRUPTED value (the committed-divergence bug checkLogs exists to
+    catch) — so both violation rates are properties of the bounded cell
+    grid and the verdict mix is scale-stable."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    eid = F.col("event_id").cast("string")
+    server = hash64(eid, salt="rfl-p") % _RAFT_PEERS
+    idx = 1 + hash64(eid, salt="rfl-i") % _RFL_IDXS
+    cell = F.concat(server.cast("string"), F.lit("/"), idx.cast("string"))
+    corrupt = hash64(cell, salt="rfl-c") % _RFL_CORRUPT_EVERY == 0
+    value = F.when(corrupt, hash64(cell, salt="rfl-x")).otherwise(
+        hash64(idx.cast("string"), salt="rfl-v")
+    )
+    return (
+        ev.select(server.alias("server"), idx.alias("idx"), value.alias("value"))
+        .where(
+            hash64(
+                F.concat(
+                    F.col("server").cast("string"),
+                    F.lit("/"),
+                    F.col("idx").cast("string"),
+                ),
+                salt="rfl-a",
+            )
+            % _RFL_SKIP_EVERY
+            != 0
+        )
+    )
+
+
+_RFL_P = sql_hash64("'rfl-p' || CAST(event_id AS VARCHAR)")
+_RFL_I = sql_hash64("'rfl-i' || CAST(event_id AS VARCHAR)")
+_RFL_CELL = "CAST(server AS VARCHAR) || '/' || CAST(idx AS VARCHAR)"
+_RFL_C = sql_hash64(f"'rfl-c' || {_RFL_CELL}")
+_RFL_X = sql_hash64(f"'rfl-x' || {_RFL_CELL}")
+_RFL_A = sql_hash64(f"'rfl-a' || {_RFL_CELL}")
+_RFL_V = sql_hash64("'rfl-v' || CAST(idx AS VARCHAR)")
+
+
+@register(
+    "raft_log_matching",
+    oracle=f"""
+    WITH rec0 AS (
+        SELECT ({_RFL_P} % {_RAFT_PEERS}) AS server,
+               (1 + ({_RFL_I} % {_RFL_IDXS})) AS idx
+        FROM events
+    ),
+    rec AS (
+        SELECT server, idx,
+               CASE WHEN ({_RFL_C} % {_RFL_CORRUPT_EVERY}) = 0
+                    THEN {_RFL_X} ELSE {_RFL_V} END AS value
+        FROM rec0
+        WHERE ({_RFL_A} % {_RFL_SKIP_EVERY}) <> 0
+    ),
+    cells AS (SELECT DISTINCT server, idx, value FROM rec),
+    per_si AS (SELECT DISTINCT server, idx FROM cells),
+    gaps AS (
+        SELECT s.idx,
+               CAST(SUM(CASE WHEN s.idx > 1 AND NOT EXISTS (
+                   SELECT 1 FROM per_si p
+                   WHERE p.server = s.server AND p.idx = s.idx - 1)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_prev
+        FROM per_si s GROUP BY s.idx
+    ),
+    vals AS (
+        SELECT idx,
+               CAST(count(DISTINCT server) AS BIGINT) AS n_servers,
+               CAST(count(DISTINCT value) AS BIGINT) AS n_values
+        FROM cells GROUP BY idx
+    )
+    SELECT idx, n_servers, n_values,
+           n_values > 1 AS value_conflict,
+           n_missing_prev,
+           (n_values <= 1 AND n_missing_prev = 0) AS matching_ok
+    FROM vals JOIN gaps USING (idx)
+    """,
+)
+def raft_log_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log Matching / apply-consistency trace audit — checkLogs
+    (/root/reference/src/raft/config.go:140, committed-value divergence)
+    plus the applier's out-of-order check (config.go:167) as an
+    analytics query over a derived ApplyMsg trace.  See
+    ``audit_apply_log`` for rules and scale shape; the DuckDB oracle
+    states the predecessor rule as its literal NOT EXISTS, so the green
+    hash certifies the LAG-window rewrite."""
+    return audit_apply_log(derive_raft_apply_log(spark, sf_dir))

@@ -858,3 +858,82 @@ def test_append_lin_registered_query_mix(spark, sf_dir):
         ["n_unknown", "n_conflict", "n_future", "n_chain", "n_cross"]
     ].sum(axis=1)
     assert (out["linearizable"] == (flagsum == 0)).all()
+
+
+# ---------------------------------------------------------------------------
+# B63/B64 raft safety-property trace audits
+
+
+def test_election_audit_flags_double_vote_majorities(spark):
+    """Two leaders in one term require a double-voter: voters 0/1/2 grant
+    candidate A, voters 2/3/4 grant candidate B — voter 2 granted both,
+    and both candidates reach the 3-of-5 majority (the checkOneLeader
+    fatal, config.go:432)."""
+    from mapreduceimplementation_spark.plans.kv import audit_election_votes
+
+    rows = [(7, v, "A", True) for v in (0, 1, 2)] + [
+        (7, v, "B", True) for v in (2, 3, 4)
+    ]
+    df = spark.createDataFrame(
+        rows, "term long, voter long, candidate string, granted boolean"
+    )
+    out = {r["term"]: r.asDict() for r in audit_election_votes(df).collect()}
+    v = out[7]
+    assert v["n_leaders"] == 2 and not v["election_safe"]
+    assert v["n_double_voters"] == 1
+
+
+def test_election_audit_clean_and_denied_votes(spark):
+    """A denied vote grants nothing: candidate B's third 'vote' is
+    denied, so only A leads and the term is safe; RPC retries
+    (duplicate grants) count once."""
+    from mapreduceimplementation_spark.plans.kv import audit_election_votes
+
+    rows = (
+        [(1, v, "A", True) for v in (0, 1, 2)]
+        + [(1, 0, "A", True)]            # retry duplicate
+        + [(1, v, "B", True) for v in (3, 4)]
+        + [(1, 2, "B", False)]           # denied: no double-vote, no majority
+    )
+    df = spark.createDataFrame(
+        rows, "term long, voter long, candidate string, granted boolean"
+    )
+    v = audit_election_votes(df).collect()[0].asDict()
+    assert v["n_leaders"] == 1 and v["election_safe"]
+    assert v["n_double_voters"] == 0 and v["n_voters"] == 5
+
+
+def test_election_registered_query_mix(spark, sf_dir):
+    out = eng.QUERIES["raft_election_safety"](spark, sf_dir).toPandas()
+    assert out["election_safe"].any() and (~out["election_safe"]).any()
+    assert (out["election_safe"] == (out["n_leaders"] <= 1)).all()
+
+
+def test_apply_log_audit_flags_divergence_and_gaps(spark):
+    """checkLogs semantics (config.go:140): index 2 committed with two
+    different values -> conflict; server 1 applies index 4 without ever
+    applying 3 -> out-of-order; replays are benign."""
+    from mapreduceimplementation_spark.plans.kv import audit_apply_log
+
+    rows = [
+        (0, 1, 100), (0, 2, 200), (0, 3, 300),
+        (1, 1, 100), (1, 2, 201),            # divergent value at idx 2
+        (1, 4, 400),                          # idx 3 never applied: gap
+        (0, 1, 100),                          # replay, benign
+    ]
+    df = spark.createDataFrame(rows, "server long, idx long, value long")
+    out = {r["idx"]: r.asDict() for r in audit_apply_log(df).collect()}
+    assert out[1]["matching_ok"] and out[1]["n_servers"] == 2
+    assert out[2]["value_conflict"] and not out[2]["matching_ok"]
+    assert out[4]["n_missing_prev"] == 1 and not out[4]["matching_ok"]
+    assert out[3]["matching_ok"]
+
+
+def test_apply_log_registered_query_mix(spark, sf_dir):
+    out = eng.QUERIES["raft_log_matching"](spark, sf_dir).toPandas()
+    assert out["matching_ok"].any() and (~out["matching_ok"]).any()
+    assert out["value_conflict"].any()
+    assert (
+        out["matching_ok"]
+        == ((out["n_values"] <= 1) & (out["n_missing_prev"] == 0))
+    ).all()

@@ -130,6 +130,8 @@ INVENTORY = [
     "join_skewed_salted",    # B58: salted hot-key join, plain-join oracle
     "kv_linearizability_audit",  # B51: porcupine/KvModel per-key audit
     "kv_append_linearizability",  # B62: KvModel FULL op set (Put/Append/Get)
+    "raft_election_safety",  # B63: checkOneLeader trace audit
+    "raft_log_matching",     # B64: checkLogs / apply-order trace audit
     "lock_grant_audit",      # B59: serial lock-service spec replay
     "view_change_audit",     # B60: viewservice succession-rule audit
     "q2_min_cost_supplier",  # B52: TPC-H Q2 (synthesized partsupp)
