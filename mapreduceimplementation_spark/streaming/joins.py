@@ -230,3 +230,117 @@ def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     no-data microbatch."""
     tune(spark)
     return run_left_outer_join(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# D12. streaming_full_outer_join — both-sides-NULL attribution
+
+_FOJ_SINK = "d12_full_outer_join_sink"
+
+#: BOTH feeds are bounded by the declared cutoff: a click's NULL row
+#: flushes once the purchase-side watermark passes click_ts + 24 h, and a
+#: purchase's NULL row once the CLICK-side watermark passes purchase_ts
+#: (its match window is [purchase_ts - 24 h, purchase_ts]) — so both
+#: eviction bounds provably precede the final watermark in every testdata
+#: SF (events end 2024-01-30 ~23:xx).  D10's discipline, applied to the
+#: second buffer.
+_FOJ_CUTOFF = "2024-01-28 00:00:00"
+
+
+def run_full_outer_join(
+    spark: SparkSession, path: str, sink: str = _FOJ_SINK, **source_options
+) -> DataFrame:
+    """Run the click⟗purchase FULL-OUTER interval join over `path` to
+    completion: matched pairs stream out as found; each unmatched click
+    AND each unmatched purchase emits one NULL row at state eviction —
+    the only shape that exercises watermark-forced output on BOTH
+    buffers."""
+    _size_stream_state(spark)
+    _stop_query(spark, sink)
+    cutoff = F.lit(_FOJ_CUTOFF).cast("timestamp")
+    clicks = (
+        _events_stream(spark, path, **source_options)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_event_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        # watermark BEFORE the cutoff filter on BOTH sides (see D10: a
+        # filter on the watermark column would cap that side's watermark
+        # at cutoff - delay and strand the last day's NULL rows)
+        .withWatermark("click_ts", "1 hour")
+        .where(F.col("click_ts") < cutoff)
+    )
+    purchases = (
+        _events_stream(spark, path, **source_options)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+        .where(F.col("purchase_ts") < cutoff)
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            """
+            user_id = p_user_id AND
+            purchase_ts >= click_ts AND
+            purchase_ts <= click_ts + INTERVAL 24 HOURS
+            """
+        ),
+        "fullOuter",
+    ).select(
+        "click_event_id",
+        F.coalesce("user_id", "p_user_id").alias("user_id"),
+        "click_ts",
+        "purchase_event_id",
+        "purchase_ts",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias(
+            "micros_after_click"
+        ),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+@register(
+    "streaming_full_outer_join",
+    oracle=f"""
+    SELECT c.event_id AS click_event_id,
+           COALESCE(c.user_id, p.user_id) AS user_id,
+           c.ts AS click_ts,
+           p.event_id AS purchase_event_id,
+           p.ts AS purchase_ts,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS micros_after_click
+    FROM (SELECT * FROM events
+          WHERE event_type = 'click'
+            AND ts < TIMESTAMP '{_FOJ_CUTOFF}') c
+    FULL JOIN (SELECT * FROM events
+               WHERE event_type = 'purchase'
+                 AND ts < TIMESTAMP '{_FOJ_CUTOFF}') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 24 HOURS
+    """,
+)
+def streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both-sides attribution: D4's interval join as a FULL OUTER — the
+    one streaming join shape D4 (inner) and D10 (left outer) leave
+    untested, stressing watermark eviction on BOTH state buffers (every
+    unmatched row on either side must be force-flushed as a NULL row or
+    the result silently diverges from the batch twin).  The availableNow
+    run equals the batch full-outer interval join exactly (full hash
+    gate), trailing NULLs flushed by the no-data microbatch."""
+    tune(spark)
+    return run_full_outer_join(spark, os.path.join(sf_dir, "events.parquet"))

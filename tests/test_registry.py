@@ -132,6 +132,7 @@ INVENTORY = [
     "kv_append_linearizability",  # B62: KvModel FULL op set (Put/Append/Get)
     "raft_election_safety",  # B63: checkOneLeader trace audit
     "raft_log_matching",     # B64: checkLogs / apply-order trace audit
+    "streaming_full_outer_join",  # D12: both-buffers NULL eviction
     "lock_grant_audit",      # B59: serial lock-service spec replay
     "view_change_audit",     # B60: viewservice succession-rule audit
     "q2_min_cost_supplier",  # B52: TPC-H Q2 (synthesized partsupp)

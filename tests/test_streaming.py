@@ -662,3 +662,62 @@ def test_streaming_topk_shape(spark, sf_dir):
         assert list(grp["rnk"]) == list(range(1, len(grp) + 1))
         cnts = list(grp["n_events"])
         assert cnts == sorted(cnts, reverse=True)
+
+
+def test_streaming_full_outer_join_multibatch(spark, sf_dir, tmp_path):
+    """D12: NULL rows must emit via watermark-driven eviction from BOTH
+    buffers across microbatches — unmatched clicks AND unmatched
+    purchases — and the output must equal the batch FULL OUTER interval
+    join exactly, nulls included."""
+    from pyspark.sql import functions as F
+
+    from mapreduceimplementation_spark.streaming.joins import (
+        _FOJ_CUTOFF,
+        run_full_outer_join,
+    )
+
+    path = _split_events(spark, sf_dir, tmp_path)
+    out = run_full_outer_join(
+        spark, path, sink="d12_multibatch_sink", maxFilesPerTrigger=1
+    )
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(_FOJ_CUTOFF).cast("timestamp")
+    clicks = ev.where(
+        (F.col("event_type") == "click") & (F.col("ts") < cutoff)
+    ).select(
+        F.col("event_id").alias("click_event_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.where(
+        (F.col("event_type") == "purchase") & (F.col("ts") < cutoff)
+    ).select(
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    twin = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND purchase_ts >= click_ts "
+            "AND purchase_ts <= click_ts + INTERVAL 24 HOURS"
+        ),
+        "fullOuter",
+    ).select(
+        "click_event_id",
+        F.coalesce("user_id", "p_user_id").alias("user_id"),
+        "click_ts",
+        "purchase_event_id",
+        "purchase_ts",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias(
+            "micros_after_click"
+        ),
+    )
+    a = sorted(map(repr, out.collect()))
+    b = sorted(map(repr, twin.collect()))
+    # sanity: all three outcomes must occur, or the equality is vacuous
+    n_null_p = out.where(F.col("purchase_event_id").isNull()).count()
+    n_null_c = out.where(F.col("click_event_id").isNull()).count()
+    assert n_null_p > 0 and n_null_c > 0
+    assert n_null_p + n_null_c < out.count()
+    assert a == b
