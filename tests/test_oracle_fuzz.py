@@ -188,3 +188,152 @@ def test_events_oracle_parity_on_random_streams(spark, fuzz_dir, name, rows):
         )
     finally:
         con.close()
+
+
+# ---------------------------------------------------------------------------
+# TPC-H fuzz: date-boundary + decimal-rounding parity on the relational
+# family.  Random orders/lineitem straddle every date bound the queries
+# declare (timestamps are sampled as offsets around the literal boundary
+# instants, so >=-vs-> and half-open edges get hit), money-grain decimals
+# exercise the exact-sum discipline, orphan keys exercise join edges, and
+# customers with no orders exercise the Q13 outer-join zero bucket.  The
+# bounded dims (customer/part/supplier/nation/region) are the sf0.001
+# tables copied verbatim.
+
+_TPCH_FUZZ = [
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "q4_order_priority",
+    "q12_shipping_modes",
+    "q14_promo_revenue",
+    "q13_customer_distribution",
+    "q10_returned_items",
+]
+
+# every date literal the fuzzed queries compare against
+_BOUNDS = [
+    "1995-01-01", "1995-10-01", "1996-01-01", "1996-04-01",
+    "1996-09-01", "1996-10-01", "1997-01-01", "1998-06-01",
+]
+
+_ts = st.tuples(
+    st.integers(0, len(_BOUNDS) - 1),
+    st.integers(-2 * 86400, 2 * 86400),  # +/- 2 days around the boundary
+)
+
+# lineitem: (orderkey, partkey, suppkey, qty, price_cents, disc_pct,
+#            tax_pct, flag_i, status_i, shipdate)
+_li_rows = st.lists(
+    st.tuples(
+        st.integers(1, 8),
+        st.integers(0, 220),   # beyond the part range: orphan facts
+        st.integers(0, 12),
+        st.integers(1, 50),
+        st.integers(100, 9999999),
+        st.integers(0, 10),
+        st.integers(0, 8),
+        st.integers(0, 2),
+        st.integers(0, 1),
+        _ts,
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+# orders: (orderkey, custkey, status_i, total_cents, orderdate, prio_i)
+_ord_rows = st.lists(
+    st.tuples(
+        st.integers(1, 8),
+        st.integers(0, 160),
+        st.integers(0, 2),
+        st.integers(100, 99999999),
+        _ts,
+        st.integers(0, 4),
+    ),
+    min_size=1,
+    max_size=8,
+    unique_by=lambda r: r[0],
+)
+
+_PRIOS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@pytest.fixture(scope="module")
+def tpch_fuzz_dir(spark, sf_dir):
+    d = tempfile.mkdtemp(prefix="fuzz_tpch_")
+    from mapreduceimplementation_spark.sources.tables import load_table
+
+    for t in ["customer", "part", "supplier", "nation", "region"]:
+        load_table(spark, sf_dir, t).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, f"{t}.parquet"))
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _fuzz_ts(spec):
+    from datetime import datetime, timedelta
+
+    bi, sec = spec
+    y, m, dd = map(int, _BOUNDS[bi].split("-"))
+    return datetime(y, m, dd) + timedelta(seconds=sec)
+
+
+def _write_tpch(spark, d, li, orders):
+    li_data = [
+        (
+            ok, pk, sk, i + 1, float(q), pc / 100.0, dp / 100.0, tp / 100.0,
+            "RAN"[fi], "OF"[si], _fuzz_ts(ts),
+        )
+        for i, (ok, pk, sk, q, pc, dp, tp, fi, si, ts) in enumerate(li)
+    ]
+    spark.createDataFrame(
+        li_data,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "lineitem.parquet")
+    )
+    o_data = [
+        (ok, ck, "OFP"[si], tc / 100.0, _fuzz_ts(ts), _PRIOS[pi])
+        for (ok, ck, si, tc, ts, pi) in orders
+    ]
+    spark.createDataFrame(
+        o_data,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "orders.parquet")
+    )
+
+
+@pytest.mark.parametrize("name", _TPCH_FUZZ)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(li=_li_rows, orders=_ord_rows)
+def test_tpch_oracle_parity_on_random_facts(
+    spark, tpch_fuzz_dir, name, li, orders
+):
+    from tests.conftest import assert_same_result
+
+    _write_tpch(spark, tpch_fuzz_dir, li, orders)
+    con = duckdb.connect()
+    for t in [
+        "lineitem", "orders", "customer", "part",
+        "supplier", "nation", "region",
+    ]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(tpch_fuzz_dir, t)}.parquet/*.parquet')"
+        )
+    try:
+        assert_same_result(
+            eng.QUERIES[name](spark, tpch_fuzz_dir), con, eng.ORACLES[name]
+        )
+    finally:
+        con.close()
