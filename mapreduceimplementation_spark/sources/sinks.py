@@ -86,3 +86,53 @@ def compact(
         .option("maxRecordsPerFile", target_rows_per_file)
         .parquet(path)
     )
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_col: str,
+    n_files: int = 8,
+    *,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as parquet RANGE-SORTED on ``sort_col`` — the second
+    data-skipping lever after directory partitioning: parquet stores
+    per-row-group min/max statistics, and a sorted layout makes each
+    row group's [min, max] interval narrow and disjoint, so a range
+    predicate on ``sort_col`` prunes most row groups at the footer
+    (Spark's parquet filter pushdown) instead of decoding them.
+
+    Hash-partitioned layouts spread every value range over every file —
+    identical bytes, identical results, zero skipping.  At 100 TB the
+    sort-on-write cost is paid once; every time-range scan afterwards
+    reads only the row groups that can match (the clustered-index
+    discipline; table formats call this Z-ordering's 1-D case).
+
+    ``repartitionByRange`` gives disjoint per-file ranges;
+    ``sortWithinPartitions`` orders rows inside each file so row groups
+    within a file are tight too.
+
+    Timestamp gotcha (found empirically): Spark's default parquet
+    timestamp encoding is INT96, for which parquet writes NO usable
+    min/max statistics — a time-sorted INT96 layout skips NOTHING.
+    This sink forces TIMESTAMP_MICROS (int64) for the write so
+    timestamp sort columns actually carry the stats the pushdown needs;
+    a lake that wants time-range skipping must make that choice
+    table-wide."""
+    spark = df.sparkSession
+    key = "spark.sql.parquet.outputTimestampType"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        (
+            df.repartitionByRange(n_files, sort_col)
+            .sortWithinPartitions(sort_col)
+            .write.mode(mode)
+            .parquet(path)
+        )
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)

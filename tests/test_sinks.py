@@ -85,3 +85,68 @@ def test_compact_bounds_file_count_and_size(spark, sf_dir, tmp_path):
 
     for f in files:
         assert pq.read_metadata(f).num_rows <= target
+
+
+def test_sorted_write_enables_row_group_skipping(spark, sf_dir, tmp_path):
+    """Sort-on-write data-skipping exhibit: the same events written
+    range-sorted by ts vs hash-shuffled must (a) answer a time-range
+    query identically and (b) differ in SKIPPABILITY — the sorted
+    layout's parquet row-group [min, max] ts statistics let a 5%% range
+    predicate prune most row groups at the footer, while the shuffled
+    layout's row groups all straddle the full range and none can be
+    skipped.  The stats checked here are exactly what Spark's parquet
+    pushdown consults, so the assertion pins the I/O behavior without
+    timing anything."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from mapreduceimplementation_spark.sources.sinks import write_sorted
+    from mapreduceimplementation_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    sorted_p = str(tmp_path / "ev_sorted")
+    shuffled_p = str(tmp_path / "ev_shuffled")
+    write_sorted(ev, sorted_p, "ts", n_files=8)
+    # the shuffled twin must use the same int64 timestamp encoding, or
+    # the comparison measures INT96's missing stats rather than layout
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    try:
+        ev.repartition(8).write.mode("overwrite").parquet(shuffled_p)
+    finally:
+        spark.conf.unset("spark.sql.parquet.outputTimestampType")
+
+    lo_ts, hi_ts = ev.agg(F.min("ts"), F.max("ts")).first()
+    q_lo = lo_ts + (hi_ts - lo_ts) * 45 // 100
+    q_hi = lo_ts + (hi_ts - lo_ts) * 50 // 100
+
+    def touched_row_groups(path):
+        touched = total = 0
+        for f in sorted(glob.glob(f"{path}/*.parquet")):
+            pf = pq.ParquetFile(f)
+            ti = pf.schema_arrow.get_field_index("ts")
+            for i in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(i).column(ti).statistics
+                total += 1
+                # stats deserialize tz-aware (UTC); session is UTC too
+                mn = st.min.replace(tzinfo=None)
+                mx = st.max.replace(tzinfo=None)
+                if mn <= q_hi and mx >= q_lo:
+                    touched += 1
+        return touched, total
+
+    s_touch, s_total = touched_row_groups(sorted_p)
+    h_touch, h_total = touched_row_groups(shuffled_p)
+    # identical answers
+    pred = (F.col("ts") >= F.lit(q_lo)) & (F.col("ts") < F.lit(q_hi))
+    a = sorted(map(repr, spark.read.parquet(sorted_p).where(pred).collect()))
+    b = sorted(map(repr, spark.read.parquet(shuffled_p).where(pred).collect()))
+    assert a == b and len(a) > 0
+    # the shuffled layout cannot skip anything: every row group straddles
+    # the whole time range; the sorted layout prunes most of them
+    assert h_touch == h_total >= 8
+    assert s_touch < h_touch
+    assert s_touch <= max(1, s_total // 4), (s_touch, s_total)

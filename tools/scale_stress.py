@@ -1,0 +1,148 @@
+"""Scale-stress harness (round 6): measure, don't argue.
+
+Deterministically inflates the sf0.1 FACT tables REP x (re-salted unique
+ids: new_id = old_id * REP + replica, so orders<->lineitem keys stay
+consistent and every id stays unique; dims stay fixed — how real growth
+looks), then runs the bench HEADLINE queries at 1x and at REPx in one
+warm session and records:
+
+  - per-query wall seconds at both sizes + the growth ratio (linear
+    scaling means ratio <= ~REP; most queries sit far below because the
+    fixed overheads dominate at these sizes),
+  - the strategy-level plan fingerprint (tools/plan_audit.plan_counts)
+    at both sizes and whether they are EQUAL — the "no broadcast->SMJ
+    flip under 10x growth" contract the sf0.001 PLAN_BASELINE cannot
+    see (broadcast choices are file-size-driven),
+  - the canary factor, so a noisy host window is visible in the record.
+
+Usage: python tools/scale_stress.py [rep] [out_json]
+Writes SCALE_r06.json (default) at the repo root; the inflated dataset
+is cached under .scale_data/ and reused across runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+FACTS = ["events", "documents", "embeddings", "lineitem", "orders"]
+DIMS = ["region", "nation", "customer", "supplier", "part"]
+ID_COLS = {
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+}
+
+
+def build_inflated(spark, src_dir: str, rep: int) -> str:
+    from pyspark.sql import functions as F
+
+    out = os.path.join(REPO, ".scale_data", f"x{rep}")
+    marker = os.path.join(out, "_built.json")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    reps = spark.range(rep).select(F.col("id").alias("_rep"))
+    for t in FACTS:
+        df = spark.read.parquet(os.path.join(src_dir, f"{t}.parquet"))
+        idc = ID_COLS[t]
+        infl = df.crossJoin(F.broadcast(reps)).select(
+            *[
+                (F.col(idc) * rep + F.col("_rep")).alias(idc)
+                if c == idc
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+        infl.repartition(8).write.mode("overwrite").parquet(
+            os.path.join(out, f"{t}.parquet")
+        )
+    for t in DIMS:
+        spark.read.parquet(os.path.join(src_dir, f"{t}.parquet")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, f"{t}.parquet"))
+    with open(marker, "w") as f:
+        json.dump({"rep": rep, "src": src_dir, "ts": time.time()}, f)
+    return out
+
+
+def main() -> None:
+    rep = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        REPO, "SCALE_r06.json"
+    )
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    import bench
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from mapreduceimplementation_spark.session import get_spark
+    from tools.plan_audit import plan_counts
+
+    spark = get_spark("mri-scale-stress")
+    qs = entrymod.queries()
+    big = build_inflated(spark, src, rep)
+
+    # warm both datasets' footers outside timing
+    spark.read.parquet(os.path.join(src, "lineitem.parquet")).count()
+    spark.read.parquet(os.path.join(big, "lineitem.parquet")).count()
+
+    t1 = bench.run_pass(spark, qs, src, F)
+    tN = bench.run_pass(spark, qs, big, F)
+    # second pass, keep minima (the bench auto-quiet discipline, 2 passes)
+    t1 = {k: min(v, t1[k]) for k, v in bench.run_pass(spark, qs, src, F).items()}
+    tN = {k: min(v, tN[k]) for k, v in bench.run_pass(spark, qs, big, F).items()}
+
+    plans_equal, plan_diffs = {}, {}
+    for name in bench.HEADLINE:
+        if name not in qs or name.startswith("streaming_"):
+            continue
+        p1 = plan_counts(qs[name](spark, src))
+        pN = plan_counts(qs[name](spark, big))
+        plans_equal[name] = p1 == pN
+        if p1 != pN:
+            plan_diffs[name] = {
+                k: (p1.get(k), pN.get(k))
+                for k in sorted(set(p1) | set(pN))
+                if p1.get(k) != pN.get(k)
+            }
+
+    canary = t1.get(bench.CANARY)
+    factor = round(canary / bench.CANARY_QUIET, 2) if canary else None
+    record = {
+        "metric": "scale_stress",
+        "rep": rep,
+        "src": src,
+        "queries": {
+            name: {
+                "t1": t1[name],
+                f"t{rep}": tN[name],
+                "ratio": round(tN[name] / t1[name], 2) if t1[name] else None,
+            }
+            for name in sorted(set(t1) & set(tN))
+        },
+        "max_ratio": max(
+            round(tN[n] / t1[n], 2) for n in set(t1) & set(tN) if t1[n]
+        ),
+        "plans_equal_at_scale": plans_equal,
+        "plan_diffs": plan_diffs,
+        "host_factor_vs_quiet_canary": factor,
+    }
+    with open(out_path, "w") as f:
+        json.dump(record, f, indent=2)
+    print(json.dumps({k: record[k] for k in
+                      ["metric", "rep", "max_ratio", "plan_diffs",
+                       "host_factor_vs_quiet_canary"]}))
+    print(f"wrote {out_path}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
