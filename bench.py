@@ -68,6 +68,19 @@ HEADLINE = [
     # (1 scan / 2 exchanges, no join) and the in-bucket source matrix
     "ngram_duplication",
     "boilerplate_source_matrix",
+    # round-6 widening: one representative per previously-untimed family
+    # (VERDICT r5 item 8) — the lock/view audit family, the LSH recall
+    # audit, the quantizer, the partsupp and dated TPC-H batches, the
+    # salted-join mitigation — plus the round-6 additions themselves
+    "lock_grant_audit",
+    "minhash_recall_audit",
+    "embedding_quantize",
+    "q2_min_cost_supplier",
+    "q12_shipping_modes",
+    "join_skewed_salted",
+    "kv_append_linearizability",
+    "raft_log_matching",
+    "streaming_full_outer_join",
 ]
 
 CANARY = "mr_wordcount"

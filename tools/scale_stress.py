@@ -41,10 +41,10 @@ ID_COLS = {
 }
 
 
-def build_inflated(spark, src_dir: str, rep: int) -> str:
+def build_inflated(spark, src_dir: str, rep: int, out: str | None = None) -> str:
     from pyspark.sql import functions as F
 
-    out = os.path.join(REPO, ".scale_data", f"x{rep}")
+    out = out or os.path.join(REPO, ".scale_data", f"x{rep}")
     marker = os.path.join(out, "_built.json")
     if os.path.exists(marker):
         return out
