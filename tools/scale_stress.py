@@ -50,16 +50,47 @@ def build_inflated(spark, src_dir: str, rep: int, out: str | None = None) -> str
         return out
     os.makedirs(out, exist_ok=True)
     reps = spark.range(rep).select(F.col("id").alias("_rep"))
+
+    def _col(t: str, c: str, idc: str):
+        # Exact-replica content would be PATHOLOGICAL, not realistic:
+        # 10 identical copies of every embedding collapse into degenerate
+        # k-means cells (one cluster holding every replica shell — the
+        # in-cluster pair expansion then OOMs by design, since real
+        # corpora never put thousands of points at one coordinate), and
+        # 10 identical texts would decuple every exact-dup group.  Real
+        # growth adds NEW-but-similar content, so replicas are perturbed
+        # deterministically: embeddings get a rep-scaled displacement
+        # pattern, texts one replica-distinct trailing token.
+        if c == idc:
+            return (F.col(idc) * rep + F.col("_rep")).alias(idc)
+        if t == "embeddings" and c == "embedding":
+            return F.transform(
+                "embedding",
+                lambda x, i: (
+                    x + F.col("_rep") * 0.015 * ((i % 3) - 1)
+                ).cast("float"),
+            ).alias(c)
+        if t == "documents" and c == "text":
+            return F.when(F.col("_rep") == 0, F.col("text")).otherwise(
+                F.concat(
+                    F.col("text"),
+                    F.lit(" xr"),
+                    F.col("_rep").cast("string"),
+                )
+            ).alias(c)
+        if t == "documents" and c == "n_chars":
+            return F.when(F.col("_rep") == 0, F.col("n_chars")).otherwise(
+                F.col("n_chars")
+                + 3
+                + F.length(F.col("_rep").cast("string"))
+            ).alias(c)
+        return F.col(c)
+
     for t in FACTS:
         df = spark.read.parquet(os.path.join(src_dir, f"{t}.parquet"))
         idc = ID_COLS[t]
         infl = df.crossJoin(F.broadcast(reps)).select(
-            *[
-                (F.col(idc) * rep + F.col("_rep")).alias(idc)
-                if c == idc
-                else F.col(c)
-                for c in df.columns
-            ]
+            *[_col(t, c, idc) for c in df.columns]
         )
         infl.repartition(8).write.mode("overwrite").parquet(
             os.path.join(out, f"{t}.parquet")
