@@ -79,6 +79,7 @@ HEADLINE = [
     "q12_shipping_modes",
     "join_skewed_salted",
     "kv_append_linearizability",
+    "raft_election_safety",
     "raft_log_matching",
     "streaming_full_outer_join",
 ]

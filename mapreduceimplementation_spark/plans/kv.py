@@ -2218,10 +2218,13 @@ def audit_election_votes(votes: DataFrame, n_peers: int = _RAFT_PEERS) -> DataFr
     one row per term with vote/voter counts, double-voter count, leader
     count, and the checkOneLeader verdict.
 
-    Scale shape: one scan; all aggregates key on (term, voter) or
-    (term, candidate) — bounded by terms x peers, with map-side partials
-    collapsing retry duplicates; no joins, no windows."""
+    Scale shape: the vote trace is derived once (localCheckpoint — the
+    three consumers below would otherwise each re-scan the source); all
+    aggregates key on (term, voter) or (term, candidate) — bounded by
+    terms x peers, with map-side partials collapsing retry duplicates;
+    no fact-sized joins, no windows."""
     majority = n_peers // 2 + 1
+    votes = votes.localCheckpoint(eager=False)
     g = votes.where(F.col("granted"))
     base = votes.groupBy("term").agg(
         F.count(F.lit(1)).alias("n_votes"),
@@ -2401,11 +2404,17 @@ def audit_apply_log(records: DataFrame) -> DataFrame:
     never applied is an out-of-order apply (the prevok check).  Emits
     one row per index.
 
-    Scale shape: one distinct on (server, idx, value) — map-side
-    partials collapse replays; out-of-order = a LAG window per server
+    Scale shape: ONE distinct on (server, idx, value) — map-side
+    partials collapse replays, and the deduped cell relation is
+    localCheckpoint'ed so its two consumers (value rollup, gap window)
+    do not re-scan the source; out-of-order = a LAG window per server
     over its distinct indexes (no self-join); the per-index rollup
     reuses bounded keys.  Nothing is ever op-pair expanded."""
-    cells = records.select("server", "idx", "value").distinct()
+    cells = (
+        records.select("server", "idx", "value")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     per_si = cells.select("server", "idx").distinct()
     w = Window.partitionBy("server").orderBy("idx")
     gaps = per_si.withColumn("prev", F.lag("idx").over(w)).select(

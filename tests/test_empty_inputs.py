@@ -87,3 +87,27 @@ def test_total_on_empty_input(spark, empty_sf_dir, name):
         assert len(rows) <= 1
     else:
         assert rows == [], f"{name} fabricated rows from empty input: {rows[:3]}"
+
+
+def test_partsupp_empty_supplier_nonempty_part(spark, sf_dir, tmp_path):
+    """The s_cnt = 0 edge specifically: with a NON-empty part table and
+    an EMPTY supplier table, synth_partsupp's hash %% s_cnt expression is
+    reachable and must yield an EMPTY partsupp — never NULL-ps_suppkey
+    rows (the all-tables-empty fixture above can't exercise this: an
+    empty part empties the candidate set before the modulo runs)."""
+    from pyspark.sql import functions as F
+
+    from mapreduceimplementation_spark.plans.tpch import synth_partsupp
+    from mapreduceimplementation_spark.sources.tables import load_table
+
+    d = tmp_path / "half_empty"
+    d.mkdir()
+    load_table(spark, sf_dir, "part").write.parquet(str(d / "part.parquet"))
+    load_table(spark, sf_dir, "supplier").limit(0).write.parquet(
+        str(d / "supplier.parquet")
+    )
+    ps = synth_partsupp(spark, str(d))
+    assert ps.count() == 0
+    # and the guard is what does it: without the filter the candidate
+    # relation is non-empty, so NULLs would have to appear downstream
+    assert ps.where(F.col("ps_suppkey").isNull()).count() == 0

@@ -47,7 +47,20 @@ def build_inflated(spark, src_dir: str, rep: int, out: str | None = None) -> str
     out = out or os.path.join(REPO, ".scale_data", f"x{rep}")
     marker = os.path.join(out, "_built.json")
     if os.path.exists(marker):
-        return out
+        # reuse ONLY a cache built from the same source at the same rep —
+        # a stale cache from another sf would silently turn the recorded
+        # "growth ratios" into a cross-sf comparison
+        try:
+            with open(marker) as f:
+                built = json.load(f)
+        except (OSError, ValueError):
+            built = {}
+        if built.get("src") == src_dir and built.get("rep") == rep:
+            return out
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
     os.makedirs(out, exist_ok=True)
     reps = spark.range(rep).select(F.col("id").alias("_rep"))
 
@@ -146,7 +159,10 @@ def main() -> None:
                 if p1.get(k) != pN.get(k)
             }
 
-    canary = t1.get(bench.CANARY)
+    # the canary is calibrated at sf0.1 only (bench.py's guard): at any
+    # other src the factor would be meaningless, so record None
+    sf_name = os.path.basename(src.rstrip("/"))
+    canary = t1.get(bench.CANARY) if sf_name == "sf0.1" else None
     factor = round(canary / bench.CANARY_QUIET, 2) if canary else None
     record = {
         "metric": "scale_stress",
