@@ -486,6 +486,163 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# C49. events_hll_users (deterministic HyperLogLog cardinality audit)
+
+_HLL_P = 8  # register-index bits
+_HLL_M = 1 << _HLL_P  # 256 registers
+#: hash64 is 60 bits; after consuming _HLL_P index bits, 52 remain, so an
+#: all-zero suffix gets rank 52+1 (the standard rho(0) = width+1 sentinel).
+_HLL_WBITS = 60 - _HLL_P
+#: alpha_256 * m^2 as a shared SQL fragment — every literal is CAST to
+#: DOUBLE because a bare `0.7213` parses as DECIMAL in BOTH engines and
+#: decimal division truncates at engine-specific scales (parity trap,
+#: BASELINE.md); with explicit doubles the arithmetic is IEEE-exact and
+#: bit-identical across engines.
+_SQL_HLL_ALPHA_MM = (
+    "(CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE)"
+    f" + CAST(1.079 AS DOUBLE) / CAST({_HLL_M} AS DOUBLE)))"
+    f" * CAST({_HLL_M * _HLL_M} AS DOUBLE)"
+)
+
+#: rho = trailing-zero rank of the hash suffix (Flajolet's original FM
+#: rank; geometric(1/2) exactly like the leading-zero variant).  Computed
+#: via bin(): both engines print minimal binary strings, so trailing
+#: zeros = length lost when stripping '0+$'.  Template expects {w}.
+_SQL_HLL_RHO = (
+    "CASE WHEN {w} = 0 THEN %d ELSE length(bin({w}))"
+    " - length(regexp_replace(bin({w}), '0+$', '')) + 1 END" % (_HLL_WBITS + 1)
+)
+
+
+@register(
+    "events_hll_users",
+    oracle=f"""
+    WITH regs AS (
+        SELECT event_type, bucket, max(rho) AS r
+        FROM (
+            SELECT event_type,
+                   h % {_HLL_M} AS bucket,
+                   {_SQL_HLL_RHO.format(w=f"(h // {_HLL_M})")} AS rho
+            FROM (SELECT event_type,
+                         {sql_hash64("'hll-' || CAST(user_id AS VARCHAR)")} AS h
+                  FROM events)
+        ) GROUP BY event_type, bucket
+    ), sums AS (
+        SELECT event_type,
+               CAST(sum(1::BIGINT << (53 - r)) AS BIGINT) AS s,
+               {_HLL_M} - count(*) AS z
+        FROM regs GROUP BY event_type
+    ), est AS (
+        SELECT event_type,
+               CASE WHEN raw <= CAST({_HLL_M * 5} AS DOUBLE) / CAST(2 AS DOUBLE)
+                         AND z > 0
+                    THEN CAST({_HLL_M} AS DOUBLE)
+                         * ln(CAST({_HLL_M} AS DOUBLE) / CAST(z AS DOUBLE))
+                    ELSE raw END AS e
+        FROM (SELECT event_type, z,
+                     {_SQL_HLL_ALPHA_MM} * CAST(1::BIGINT << 53 AS DOUBLE)
+                         / CAST(s + z * (1::BIGINT << 53) AS DOUBLE) AS raw
+              FROM sums)
+    ), exact AS (
+        SELECT event_type, count(DISTINCT user_id) AS exact_users
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, exact_users,
+           CAST(floor(e + CAST(0.5 AS DOUBLE)) AS BIGINT) AS est_users,
+           CAST(abs(CAST(floor(e + CAST(0.5 AS DOUBLE)) AS BIGINT) - exact_users)
+                * 1000000 // exact_users AS BIGINT) AS err_ppm,
+           (abs(CAST(floor(e + CAST(0.5 AS DOUBLE)) AS BIGINT) - exact_users)
+                * 1000000 // exact_users) <= 195000 AS within_3sigma
+    FROM est JOIN exact USING (event_type)
+    """,
+)
+def events_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via a DETERMINISTIC HyperLogLog-256
+    next to the exact count — the cardinality member of the sketch-audit
+    family (CMS C25 for frequencies, C48 for LSH recall): at 100 TB you
+    count distincts with HLL registers, and this audit is how you pin the
+    sketch's observed error on a slice before trusting it fleet-wide.
+
+    The sketch is the textbook HLL (Flajolet et al. 2007): bucket = low
+    8 bits of the portable md5-derived hash64, rho = trailing-zero rank
+    of the remaining 52 bits, register = max rho per bucket, estimate =
+    alpha_m * m^2 / sum(2^-r) with the small-range linear-counting branch
+    (large-range branch unnecessary: 60-bit hash space).  Every step —
+    hash, rank, register max, even the register SUM (scaled to exact
+    BIGINTs: sum(2^(53-r)), order-independent integer addition, no float
+    accumulation) — is bit-identical in the DuckDB oracle, so the gate
+    certifies the ESTIMATOR itself, not a reimplementation.  The only
+    doubles are the two final closed-form expressions, built from
+    explicitly-CAST literals (decimal-literal division is an
+    engine-divergence trap) and rounded to an integer user count.
+
+    Scale shape: the register build is ONE partial-agg exchange whose
+    map-side output is bounded by groups x 256 cells regardless of event
+    volume — the production path.  The exact side (a distinct count) is
+    the audit harness, same role as CMS's exact_n: it shuffles distinct
+    (type, user) pairs, bounded by true cardinality not event count.
+    3-sigma bound: stderr = 1.04/sqrt(256) ~= 6.5%, so 195000 ppm.
+
+    vs reference: the reference has no sketch family; this extends its
+    aggregation surface the way a training-data pipeline needs
+    (SURVEY.md §2 C-block rationale)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    h = hash64(F.concat(F.lit("hll-"), F.col("user_id").cast("string")))
+    rho_sql = _SQL_HLL_RHO.format(w=f"(h div {_HLL_M})")
+    regs = (
+        ev.select("event_type", h.alias("h"))
+        .select(
+            "event_type",
+            (F.col("h") % _HLL_M).alias("bucket"),
+            F.expr(rho_sql).alias("rho"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    sums = regs.groupBy("event_type").agg(
+        F.expr("CAST(sum(shiftleft(CAST(1 AS BIGINT), 53 - r)) AS BIGINT)").alias(
+            "s"
+        ),
+        (F.lit(_HLL_M) - F.count(F.lit(1))).alias("z"),
+    )
+    est = sums.select(
+        "event_type",
+        "z",
+        F.expr(
+            f"{_SQL_HLL_ALPHA_MM} * CAST(shiftleft(CAST(1 AS BIGINT), 53) AS DOUBLE)"
+            f" / CAST(s + z * shiftleft(CAST(1 AS BIGINT), 53) AS DOUBLE)"
+        ).alias("raw"),
+    ).select(
+        "event_type",
+        F.expr(
+            f"CASE WHEN raw <= CAST({_HLL_M * 5} AS DOUBLE) / CAST(2 AS DOUBLE)"
+            f" AND z > 0 THEN CAST({_HLL_M} AS DOUBLE)"
+            f" * ln(CAST({_HLL_M} AS DOUBLE) / CAST(z AS DOUBLE))"
+            f" ELSE raw END"
+        ).alias("e"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    est_i = F.floor(F.col("e") + F.expr("CAST(0.5 AS DOUBLE)")).cast("long")
+    err_ppm = F.expr(
+        "abs(CAST(floor(e + CAST(0.5 AS DOUBLE)) AS BIGINT) - exact_users)"
+        " * 1000000 div exact_users"
+    )
+    return (
+        est.join(F.broadcast(exact), "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            est_i.alias("est_users"),
+            err_ppm.cast("long").alias("err_ppm"),
+            (err_ppm <= 195000).alias("within_3sigma"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # C28. quality_lm_score (char-trigram LM perplexity proxy)
 
 #: deterministic LM-training sample: every 10th doc.  At 100 TB you never

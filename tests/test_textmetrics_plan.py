@@ -172,3 +172,82 @@ def test_lm_counts_semantics(spark, sf_dir):
         assert grp["frac"].sum() <= 1.0 + 1e-6
     uni = out[out["n"] == 1]
     assert uni["frac"].sum() > 0.9  # tiny vocab: almost nothing pruned
+
+
+def _py_hll_estimate(values) -> int:
+    """Independent pure-Python HLL-256 over the same portable hash — the
+    differential that pins the SQL estimator (C49) to the textbook
+    algorithm, not to itself."""
+    import math
+
+    from mapreduceimplementation_spark.functions.hashing import py_hash64
+
+    m = 256
+    regs: dict[int, int] = {}
+    for v in values:
+        h = py_hash64("hll-" + str(v))
+        b, w = h % m, h // m
+        if w == 0:
+            rho = 53
+        else:
+            rho = 1
+            while w % 2 == 0:
+                w //= 2
+                rho += 1
+        regs[b] = max(regs.get(b, 0), rho)
+    z = m - len(regs)
+    s = sum(2 ** (53 - r) for r in regs.values())
+    alpha_mm = (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+    raw = alpha_mm * float(2**53) / float(s + z * 2**53)
+    e = 256.0 * math.log(256.0 / z) if (raw <= 640.0 and z > 0) else raw
+    return int(math.floor(e + 0.5))
+
+
+def test_hll_users_matches_oracle_and_python(spark, sf_dir, duck):
+    """C49: full-value oracle parity, plus every per-group estimate equals
+    an independent pure-Python HLL over the exact distinct-user sets (so
+    the SQL register/estimator math is pinned to the algorithm); the
+    observed error sits inside the 3-sigma band everywhere."""
+    from tests.conftest import assert_same_result
+
+    df = eng.QUERIES["events_hll_users"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["events_hll_users"])
+    out = df.toPandas().set_index("event_type")
+    users = duck.execute(
+        "SELECT event_type, list(DISTINCT user_id) FROM events GROUP BY 1"
+    ).fetchall()
+    assert len(users) > 0
+    for etype, uids in users:
+        assert out.loc[etype, "est_users"] == _py_hll_estimate(uids), etype
+    assert out["within_3sigma"].all()
+
+
+def test_hll_branches_cover_both_estimators(spark):
+    """The small-range (linear counting) branch and the raw-HLL branch are
+    BOTH exercised and both track the Python twin: 20 distinct keys land
+    in linear counting (raw <= 2.5m with empty registers), 5000 distinct
+    keys clear it into the raw harmonic-mean estimate."""
+    import pandas as pd
+
+    from mapreduceimplementation_spark.operators.textmetrics import (
+        events_hll_users,
+    )
+
+    for n, branch in ((20, "linear-counting"), (5000, "raw-hll")):
+        pdf = pd.DataFrame(
+            {
+                "event_type": ["t"] * n,
+                "user_id": list(range(n)),
+                # load_table normalizes events.ts, so the fixture needs one
+                "ts": pd.to_datetime("2024-01-01"),
+            }
+        )
+        src = spark.createDataFrame(pdf)
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            src.write.parquet(f"{d}/events.parquet")
+            row = events_hll_users(spark, d).collect()[0]
+        expect = _py_hll_estimate(range(n))
+        assert row["est_users"] == expect, (branch, row, expect)
+        assert row["exact_users"] == n
