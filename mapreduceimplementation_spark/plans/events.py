@@ -1218,3 +1218,167 @@ def join_skewed_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# B65. events_quantile_sketch (fixed-bin histogram quantiles vs exact)
+
+#: FIXED declared bin grid (B36's discipline: at 100 TB the edges cannot
+#: depend on a min/max pre-pass, and fixed edges make the cells mergeable
+#: across days/partitions by summing).  Unit-width bins over [0, 1024);
+#: the last bin absorbs overflow, flagged per row.
+_QS_BINS = 1024
+_QS_PCTS = (50, 90, 99)
+
+
+@register(
+    "events_quantile_sketch",
+    oracle=f"""
+    WITH hist AS (
+        SELECT event_type,
+               CAST(LEAST(GREATEST(FLOOR(value), 0), {_QS_BINS - 1}) AS BIGINT)
+                   AS bin,
+               count(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ), cum AS (
+        SELECT event_type, bin, cnt,
+               CAST(sum(cnt) OVER (
+                   PARTITION BY event_type ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum
+        FROM hist
+    ), targets AS (
+        SELECT event_type, n_total, q_pct,
+               (q_pct * n_total + 99) // 100 AS k
+        FROM (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_total FROM hist
+              GROUP BY 1),
+             (SELECT unnest([{", ".join(str(p) for p in _QS_PCTS)}]) AS q_pct)
+    ), located AS (
+        SELECT t.event_type, t.q_pct, t.n_total, t.k, c.bin,
+               CAST(c.bin AS DOUBLE)
+                   + CAST(t.k - (c.cum - c.cnt) AS DOUBLE)
+                     / CAST(c.cnt AS DOUBLE) AS est_v
+        FROM targets t JOIN cum c
+          ON t.event_type = c.event_type
+         AND c.cum >= t.k AND c.cum - c.cnt < t.k
+    ), ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY value, event_id) AS rn
+        FROM events
+    )
+    SELECT l.event_type, CAST(l.q_pct AS INT) AS q_pct, l.n_total,
+           CAST(floor(r.value * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+               AS exact_micro,
+           CAST(floor(l.est_v * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+               AS est_micro,
+           abs(CAST(floor(l.est_v * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+               - CAST(floor(r.value * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT))
+               AS err_micro,
+           l.bin = {_QS_BINS - 1} AS clamped,
+           abs(l.est_v - r.value) <= CAST(1 AS DOUBLE) AS within_bw
+    FROM located l JOIN ranked r
+      ON l.event_type = r.event_type AND r.rn = l.k
+    """,
+)
+def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p90/p99 of event value per type from a FIXED-bin
+    histogram sketch, next to the exact order statistic — the quantile
+    member of the sketch-audit family (C25 frequencies, C49 cardinality,
+    C48 recall), and the approximate twin that B17's exact-percentile
+    docstring promises: at 100 TB you estimate quantiles from mergeable
+    histogram cells (or t-digest/GK), and this audit pins the observed
+    error before you trust the sketch fleet-wide.
+
+    Sketch: unit-width bins over [0, 1024) (B36's fixed-grid discipline —
+    no data-dependent edges, cells merge across days by summing; overflow
+    clamps into the last bin, flagged per row).  Estimate = linear
+    interpolation at rank k = ceil(q·n/100) inside the bin where the
+    cumulative count crosses k.  The true rank-k value lands in that SAME
+    bin by construction, so |est − exact| ≤ bin width is GUARANTEED for
+    unclamped rows (within_bw, pytest-asserted).  Every arithmetic step —
+    integer k, IEEE divide, interpolation — is bit-identical in the
+    DuckDB oracle; outputs are micro-unit integers via floor (floor of
+    identical doubles is deterministic; round() would hang the verdict
+    on engine tie-breaking at half boundaries).
+
+    Scale shape: the sketch path is ONE partial-agg exchange bounded by
+    types x 1024 cells regardless of event volume, then a cumulative
+    window over <= 1024 rows per type — the production path, identical
+    in shape to B36 + B18.  The exact side (row_number rank probe, one
+    sort exchange) is the audit harness, run on samples at full scale.
+    Quantile conventions pinned to rank ceil(q·n/100) with (value,
+    event_id) tie-break in BOTH engines — not percentile_cont/disc
+    built-ins, whose interpolation conventions differ across engines."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "event_id"
+    )
+    bin_ = F.least(
+        F.greatest(F.floor(F.col("value")), F.lit(0)), F.lit(_QS_BINS - 1)
+    ).cast("long")
+    hist = (
+        ev.select("event_type", bin_.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(wcum).cast("long"))
+    targets = (
+        hist.groupBy("event_type")
+        .agg(F.sum("cnt").cast("long").alias("n_total"))
+        .select(
+            "event_type",
+            "n_total",
+            F.explode(F.array(*[F.lit(p) for p in _QS_PCTS])).alias("q_pct"),
+        )
+        .withColumn("k", F.expr("(q_pct * n_total + 99) div 100"))
+    )
+    located = (
+        targets.join(cum, "event_type")
+        .where((F.col("cum") >= F.col("k")) & (F.col("cum") - F.col("cnt") < F.col("k")))
+        .select(
+            "event_type",
+            "q_pct",
+            "n_total",
+            "k",
+            "bin",
+            (
+                F.col("bin").cast("double")
+                + (F.col("k") - (F.col("cum") - F.col("cnt"))).cast("double")
+                / F.col("cnt").cast("double")
+            ).alias("est_v"),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(wr)).select(
+        "event_type", "value", "rn"
+    )
+    micro = lambda c: F.floor(c * 1000000 + F.expr("CAST(0.5 AS DOUBLE)")).cast(
+        "long"
+    )
+    return (
+        located.join(
+            ranked,
+            (located["event_type"] == ranked["event_type"])
+            & (ranked["rn"] == located["k"]),
+        )
+        .select(
+            located["event_type"],
+            F.col("q_pct").cast("int").alias("q_pct"),
+            "n_total",
+            micro(F.col("value")).alias("exact_micro"),
+            micro(F.col("est_v")).alias("est_micro"),
+            F.abs(micro(F.col("est_v")) - micro(F.col("value"))).alias(
+                "err_micro"
+            ),
+            (F.col("bin") == _QS_BINS - 1).alias("clamped"),
+            (F.abs(F.col("est_v") - F.col("value")) <= F.expr("CAST(1 AS DOUBLE)")).alias(
+                "within_bw"
+            ),
+        )
+    )

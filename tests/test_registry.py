@@ -134,6 +134,7 @@ INVENTORY = [
     "raft_log_matching",     # B64: checkLogs / apply-order trace audit
     "streaming_full_outer_join",  # D12: both-buffers NULL eviction
     "events_hll_users",      # C49: deterministic HLL-256 cardinality audit
+    "events_quantile_sketch",  # B65: fixed-bin histogram quantiles vs exact
     "lock_grant_audit",      # B59: serial lock-service spec replay
     "view_change_audit",     # B60: viewservice succession-rule audit
     "q2_min_cost_supplier",  # B52: TPC-H Q2 (synthesized partsupp)

@@ -643,3 +643,62 @@ def test_q12_counts_partition_qualifying_lines(spark):
     out = eng.QUERIES["q12_shipping_modes"](spark, _SF01).toPandas()
     assert set(out["l_shipmode"]) == {"MAIL", "SHIP"}
     assert (out["high_line_count"] + out["low_line_count"] > 0).all()
+
+
+def test_quantile_sketch_matches_oracle(spark, sf_dir, duck):
+    df = eng.QUERIES["events_quantile_sketch"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["events_quantile_sketch"])
+
+
+def test_quantile_sketch_error_bound_holds(spark, sf_dir):
+    """B65's guarantee: for every unclamped row the histogram estimate is
+    within one bin width of the true rank-k order statistic — all three
+    percentiles, all types; and nothing clamps on the real value domain."""
+    out = eng.QUERIES["events_quantile_sketch"](spark, sf_dir).toPandas()
+    assert len(out) > 0 and set(out["q_pct"]) == {50, 90, 99}
+    assert not out["clamped"].any()
+    assert out["within_bw"].all()
+    assert (out["err_micro"] <= 1_000_000).all()
+
+
+def test_quantile_sketch_hand_case_and_clamp(spark, tmp_path):
+    """Constructed inputs pin the rank convention and the overflow flag:
+    100 values i+0.25 put rank k=ceil(q·n/100) at value (k-1)+0.25 with a
+    one-count bin (est = k exactly, err = 0.75); values beyond the grid
+    land in the clamp bin and are flagged."""
+    import pandas as pd
+
+    from mapreduceimplementation_spark.plans.events import (
+        events_quantile_sketch,
+    )
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    vals = [i + 0.25 for i in range(100)]
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(100),
+            "event_type": ["t"] * 100,
+            "value": vals,
+            "ts": pd.to_datetime("2024-01-01"),
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(str(d / "events.parquet"))
+    out = (
+        events_quantile_sketch(spark, str(d))
+        .toPandas()
+        .set_index("q_pct")
+        .sort_index()
+    )
+    for q in (50, 90, 99):
+        assert out.loc[q, "exact_micro"] == (q - 1) * 1_000_000 + 250_000
+        assert out.loc[q, "est_micro"] == q * 1_000_000
+        assert out.loc[q, "err_micro"] == 750_000
+        assert bool(out.loc[q, "within_bw"]) and not bool(out.loc[q, "clamped"])
+
+    d2 = tmp_path / "sf2"
+    d2.mkdir()
+    pdf2 = pdf.assign(value=[5000.0 + i for i in range(100)])
+    spark.createDataFrame(pdf2).write.parquet(str(d2 / "events.parquet"))
+    out2 = events_quantile_sketch(spark, str(d2)).toPandas()
+    assert out2["clamped"].all()
