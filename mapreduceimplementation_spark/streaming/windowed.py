@@ -257,3 +257,183 @@ def streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= _TOPK_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# D13. streaming_hll_users (mergeable-register cardinality on a stream)
+
+_HLL_SINK = "d13_hll_users_sink"
+
+
+def _hll_oracle() -> str:
+    """DuckDB twin built from C49's OWN fragments (one sketch definition —
+    a drifted copy would silently diverge from the batch estimator)."""
+    from mapreduceimplementation_spark.functions.hashing import sql_hash64
+    from mapreduceimplementation_spark.operators.textmetrics import (
+        _HLL_M,
+        _SQL_HLL_ALPHA_MM,
+        _SQL_HLL_RHO,
+    )
+
+    return f"""
+    WITH regs AS (
+        SELECT day, bucket, max(rho) AS r
+        FROM (
+            SELECT date_trunc('day', ts) AS day,
+                   h % {_HLL_M} AS bucket,
+                   {_SQL_HLL_RHO.format(w=f"(h // {_HLL_M})")} AS rho
+            FROM (SELECT ts,
+                         {sql_hash64("'hll-' || CAST(user_id AS VARCHAR)")} AS h
+                  FROM events)
+        ) GROUP BY day, bucket
+    ), sums AS (
+        SELECT day,
+               CAST(sum(1::BIGINT << (53 - r)) AS BIGINT) AS s,
+               {_HLL_M} - count(*) AS z
+        FROM regs GROUP BY day
+    ), est AS (
+        SELECT day,
+               CASE WHEN raw <= CAST({_HLL_M * 5} AS DOUBLE) / CAST(2 AS DOUBLE)
+                         AND z > 0
+                    THEN CAST({_HLL_M} AS DOUBLE)
+                         * ln(CAST({_HLL_M} AS DOUBLE) / CAST(z AS DOUBLE))
+                    ELSE raw END AS e
+        FROM (SELECT day, z,
+                     {_SQL_HLL_ALPHA_MM} * CAST(1::BIGINT << 53 AS DOUBLE)
+                         / CAST(s + z * (1::BIGINT << 53) AS DOUBLE) AS raw
+              FROM sums)
+    ), exact AS (
+        SELECT date_trunc('day', ts) AS day,
+               count(DISTINCT user_id) AS exact_users
+        FROM events GROUP BY 1
+    )
+    SELECT day, exact_users,
+           CAST(floor(e + CAST(0.5 AS DOUBLE)) AS BIGINT) AS est_users,
+           CAST(abs(CAST(floor(e + CAST(0.5 AS DOUBLE)) AS BIGINT) - exact_users)
+                * 1000000 // exact_users AS BIGINT) AS err_ppm,
+           (abs(CAST(floor(e + CAST(0.5 AS DOUBLE)) AS BIGINT) - exact_users)
+                * 1000000 // exact_users) <= 195000 AS within_3sigma
+    FROM est JOIN exact USING (day)
+    """
+
+
+@register("streaming_hll_users", oracle=_hll_oracle())
+def streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily distinct users ON A STREAM via mergeable HyperLogLog
+    registers — the streaming twin of C49 and the production answer to a
+    hard Structured Streaming restriction: count(DISTINCT) is unsupported
+    in streaming aggregation (D1's caveat), and exact dedup state grows
+    with true cardinality, but HLL registers are a commutative monoid
+    (per-(day, bucket) MAX of rho), so a plain streaming max-aggregation
+    maintains them incrementally with state bounded at days x 256
+    registers REGARDLESS of user volume.  This is how daily uniques are
+    actually counted on a 100 TB/day feed.
+
+    The stream keeps only the sketch; the closed-form estimate (C49's
+    alpha*m^2/sum + linear-counting branch, shared fragments — one sketch
+    definition, no drift) and the exact audit side are a finalize step
+    over the tiny register sink.  availableNow + complete mode replays
+    the file feed to end-of-input, so the result equals the batch twin
+    exactly (pytest-gated) and the DuckDB oracle certifies the whole
+    estimator at full value, same as C49.
+
+    Scale shape: watermark declared on ts so append-mode production
+    evicts closed days; the shuffle carries at most days x 256 register
+    cells per microbatch (map-side partial max), never per-user rows."""
+    from mapreduceimplementation_spark.sources.tables import load_table
+
+    regs = run_hll_register_stream(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return hll_finalize(regs, exact)
+
+
+def run_hll_register_stream(
+    spark: SparkSession, path: str, sink: str = _HLL_SINK, **options
+) -> DataFrame:
+    """The streaming half of D13: maintain per-(day, bucket) max-rho
+    registers over the feed; returns the register table after the
+    availableNow replay terminates."""
+    from mapreduceimplementation_spark.functions.hashing import hash64
+    from mapreduceimplementation_spark.operators.textmetrics import (
+        _HLL_M,
+        _SQL_HLL_RHO,
+    )
+
+    tune(spark)
+    _size_stream_state(spark)
+    _stop_query(spark, sink)
+    ev = _events_stream(spark, path, **options)
+    h = hash64(F.concat(F.lit("hll-"), F.col("user_id").cast("string")))
+    rho_sql = _SQL_HLL_RHO.format(w=f"(h div {_HLL_M})")
+    regs = (
+        ev.select("ts", h.alias("h"))
+        .select(
+            "ts",
+            (F.col("h") % _HLL_M).alias("bucket"),
+            F.expr(rho_sql).alias("rho"),
+        )
+        .withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("win"), "bucket")
+        .agg(F.max("rho").alias("r"))
+        .select(F.col("win.start").alias("day"), "bucket", "r")
+    )
+    q = (
+        regs.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+def hll_finalize(sink: DataFrame, exact: DataFrame) -> DataFrame:
+    """Batch finalize over the tiny register table: C49's closed-form
+    estimate (shared fragments) joined to the exact audit side."""
+    from mapreduceimplementation_spark.operators.textmetrics import (
+        _HLL_M,
+        _SQL_HLL_ALPHA_MM,
+    )
+
+    sums = sink.groupBy("day").agg(
+        F.expr("CAST(sum(shiftleft(CAST(1 AS BIGINT), 53 - r)) AS BIGINT)").alias(
+            "s"
+        ),
+        (F.lit(_HLL_M) - F.count(F.lit(1))).alias("z"),
+    )
+    est = sums.select(
+        "day",
+        "z",
+        F.expr(
+            f"{_SQL_HLL_ALPHA_MM} * CAST(shiftleft(CAST(1 AS BIGINT), 53) AS DOUBLE)"
+            f" / CAST(s + z * shiftleft(CAST(1 AS BIGINT), 53) AS DOUBLE)"
+        ).alias("raw"),
+    ).select(
+        "day",
+        F.expr(
+            f"CASE WHEN raw <= CAST({_HLL_M * 5} AS DOUBLE) / CAST(2 AS DOUBLE)"
+            f" AND z > 0 THEN CAST({_HLL_M} AS DOUBLE)"
+            f" * ln(CAST({_HLL_M} AS DOUBLE) / CAST(z AS DOUBLE))"
+            f" ELSE raw END"
+        ).alias("e"),
+    )
+    err_ppm = F.expr(
+        "abs(CAST(floor(e + CAST(0.5 AS DOUBLE)) AS BIGINT) - exact_users)"
+        " * 1000000 div exact_users"
+    )
+    return est.join(F.broadcast(exact), "day").select(
+        "day",
+        "exact_users",
+        F.floor(F.col("e") + F.expr("CAST(0.5 AS DOUBLE)")).cast("long").alias(
+            "est_users"
+        ),
+        err_ppm.cast("long").alias("err_ppm"),
+        (err_ppm <= 195000).alias("within_3sigma"),
+    )

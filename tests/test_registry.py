@@ -133,6 +133,7 @@ INVENTORY = [
     "raft_election_safety",  # B63: checkOneLeader trace audit
     "raft_log_matching",     # B64: checkLogs / apply-order trace audit
     "streaming_full_outer_join",  # D12: both-buffers NULL eviction
+    "streaming_hll_users",   # D13: mergeable-register streaming cardinality
     "events_hll_users",      # C49: deterministic HLL-256 cardinality audit
     "events_quantile_sketch",  # B65: fixed-bin histogram quantiles vs exact
     "lock_grant_audit",      # B59: serial lock-service spec replay

@@ -721,3 +721,37 @@ def test_streaming_full_outer_join_multibatch(spark, sf_dir, tmp_path):
     assert n_null_p > 0 and n_null_c > 0
     assert n_null_p + n_null_c < out.count()
     assert a == b
+
+
+def test_streaming_hll_multibatch_registers_merge(spark, sf_dir, tmp_path):
+    """D13's monoid claim under microbatching: stream the 3-file chunked
+    feed one file per trigger — per-(day, bucket) MAX registers must merge
+    across batch boundaries into EXACTLY the single-shot register table,
+    and the finalized estimates must equal the registered query's output
+    (which the oracle gate certifies against DuckDB at full value)."""
+    from pyspark.sql import functions as F
+
+    from mapreduceimplementation_spark.streaming.windowed import (
+        hll_finalize,
+        run_hll_register_stream,
+    )
+
+    path = _split_events(spark, sf_dir, tmp_path)
+    multi = run_hll_register_stream(
+        spark, path, sink="d13_multibatch_sink", maxFilesPerTrigger=1
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    tuples = lambda df: sorted(tuple(r) for r in df.collect())
+    got = hll_finalize(multi, exact)
+    assert tuples(got) == tuples(eng.QUERIES["streaming_hll_users"](spark, sf_dir))
+    single = run_hll_register_stream(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        sink="d13_single_sink",
+    )
+    assert tuples(multi) == tuples(single)
+    assert all(r["within_3sigma"] for r in got.collect())
