@@ -82,6 +82,11 @@ HEADLINE = [
     "raft_election_safety",
     "raft_log_matching",
     "streaming_full_outer_join",
+    # mid-round-6 sketch-audit family: HLL cardinality (batch + stream)
+    # and the fixed-bin quantile sketch
+    "events_hll_users",
+    "events_quantile_sketch",
+    "streaming_hll_users",
 ]
 
 CANARY = "mr_wordcount"

@@ -103,3 +103,16 @@ def test_knn_graph_pair_expansion_single_bucket_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "knn_graph")
     n_bucket_exchanges = plan.count("hashpartitioning(t#")
     assert n_bucket_exchanges == 1, plan
+
+
+def test_incident_join_is_equi_not_range(spark, sf_dir):
+    """B66's point: the interval-overlap semantics must plan as a
+    broadcast EQUI-join on the minute bucket — never the
+    BroadcastNestedLoop/cartesian a literal ts-BETWEEN theta-join
+    produces."""
+    from tests.conftest import formatted_plan
+
+    plan = formatted_plan(eng.QUERIES["events_incident_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan

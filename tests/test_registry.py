@@ -136,6 +136,7 @@ INVENTORY = [
     "streaming_hll_users",   # D13: mergeable-register streaming cardinality
     "events_hll_users",      # C49: deterministic HLL-256 cardinality audit
     "events_quantile_sketch",  # B65: fixed-bin histogram quantiles vs exact
+    "events_incident_join",  # B66: interval-overlap join as bucketed equi-join
     "lock_grant_audit",      # B59: serial lock-service spec replay
     "view_change_audit",     # B60: viewservice succession-rule audit
     "q2_min_cost_supplier",  # B52: TPC-H Q2 (synthesized partsupp)

@@ -702,3 +702,46 @@ def test_quantile_sketch_hand_case_and_clamp(spark, tmp_path):
     spark.createDataFrame(pdf2).write.parquet(str(d2 / "events.parquet"))
     out2 = events_quantile_sketch(spark, str(d2)).toPandas()
     assert out2["clamped"].all()
+
+
+def test_incident_join_hand_case(spark, tmp_path):
+    """B66 semantics on a constructed timeline: consecutive error minutes
+    merge into one incident, a gap splits incidents, non-error events
+    inside an incident minute are counted, events outside are not."""
+    import pandas as pd
+
+    from mapreduceimplementation_spark.plans.events import (
+        events_incident_join,
+    )
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    t = pd.Timestamp("2024-01-01 00:00:00")
+    m = pd.Timedelta(minutes=1)
+    s = pd.Timedelta(seconds=30)
+    rows = [
+        # incident 1: errors in minutes 0 and 1 (contiguous) + a view
+        ("error", 1, t),
+        ("error", 2, t + m),
+        ("view", 3, t + m + s),
+        # outside any incident: minute 2 has no error
+        ("view", 4, t + 2 * m),
+        # incident 2: minute 4 (gap at minute 2,3 splits)
+        ("error", 1, t + 4 * m + s),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_type", "user_id", "ts"])
+    pdf["event_id"] = range(len(pdf))
+    spark.createDataFrame(pdf).write.parquet(str(d / "events.parquet"))
+    out = (
+        events_incident_join(spark, str(d))
+        .orderBy("incident_id")
+        .collect()
+    )
+    assert len(out) == 2
+    one, two = out
+    assert one["n_minutes"] == 2 and one["n_events"] == 3
+    assert one["n_users"] == 3 and one["n_errors"] == 2
+    assert two["n_minutes"] == 1 and two["n_events"] == 1
+    assert two["n_errors"] == 1
+    # the minute-2 view event belongs to no incident
+    assert sum(r["n_events"] for r in out) == 4
