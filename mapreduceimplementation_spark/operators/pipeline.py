@@ -729,3 +729,76 @@ def sample_uniform_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rank_hash", "doc_id")
         .limit(_UNIFORM_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# C50. corpus_sample_weighted — deterministic weighted k-sample without
+# replacement (Efraimidis–Spirakis A-ES keys over the portable hash)
+
+_WSAMP_K = 100
+_H_SPACE = 1 << 60  # hash64 is 60 bits: u = (h+1)/2^60 in (0, 1]
+
+
+@register(
+    "corpus_sample_weighted",
+    oracle=f"""
+    SELECT doc_id, source, n_chars,
+           CAST(row_number() OVER (ORDER BY es_key DESC, doc_id) AS BIGINT)
+               AS sample_pos
+    FROM (
+        SELECT doc_id, source, n_chars,
+               ln(CAST({sql_hash64("'wsamp-' || CAST(doc_id AS VARCHAR)")} + 1
+                       AS DOUBLE)
+                  / CAST({_H_SPACE} AS DOUBLE))
+                   / CAST(n_chars AS DOUBLE) AS es_key
+        FROM documents WHERE n_chars > 0
+        ORDER BY es_key DESC, doc_id
+        LIMIT {_WSAMP_K}
+    )
+    """,
+)
+def corpus_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k weighted sample WITHOUT replacement, weight = n_chars —
+    the length-proportional draw a token-budgeted corpus selection runs
+    (C42 is the uniform twin; C23 reweights sources, this picks the
+    documents).  Algorithm: Efraimidis–Spirakis A-ES — per-doc key
+    u^(1/w) with u uniform in (0,1], keep the k largest; equivalently
+    rank by ln(u)/w, which avoids the pow() and keeps the key monotone.
+
+    u is NOT random: u = (hash64(doc_id)+1)/2^60, so the sample is a
+    pure function of doc_id — rerun-stable, growth-stable (an appended
+    doc displaces at most one survivor), and bit-identical in the DuckDB
+    oracle, which certifies the whole draw at full value.  Float keys
+    never leave the plan (the output carries the integer sample
+    position; a last-ulp ln() divergence could only matter if two docs'
+    keys collided to within one ulp — distinct 60-bit hashes keep them
+    provably apart, and doc_id tie-breaks pin the order regardless).
+
+    Scale shape: key computation is row-local scan-speed arithmetic on
+    the id/stat projection (text never read); orderBy+limit compiles to
+    TakeOrderedAndProject (C42's per-partition top-k heaps, k rows per
+    partition to the driver merge — no global sort, no shuffle); the
+    final position window runs over the k-row result only."""
+    tune(spark)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        .where(F.col("n_chars") > 0)
+    )
+    u = (
+        hash64(F.concat(F.lit("wsamp-"), F.col("doc_id").cast("string")))
+        + F.lit(1)
+    ).cast("double") / F.lit(float(_H_SPACE))
+    key = F.log(u) / F.col("n_chars").cast("double")
+    top = (
+        docs.select("doc_id", "source", "n_chars", key.alias("es_key"))
+        .orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(_WSAMP_K)
+    )
+    w = Window.orderBy(F.col("es_key").desc(), "doc_id")
+    return top.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(w).cast("long").alias("sample_pos"),
+    )

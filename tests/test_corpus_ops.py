@@ -683,3 +683,64 @@ def test_bpe_pair_counts_order(spark, sf_dir):
     cnts = [r["cnt"] for r in rows]
     assert cnts == sorted(cnts, reverse=True)
     assert all(len(r["pair"]) == 2 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# C50 corpus_sample_weighted
+
+
+def test_weighted_sample_is_top_k_es_keys(spark, sf_dir):
+    """The drawn set and its order equal an independent pure-Python A-ES
+    computation (ln((h+1)/2^60)/n_chars, k largest) — the differential
+    that pins the SQL draw to the algorithm."""
+    import math
+
+    from mapreduceimplementation_spark.functions.hashing import py_hash64
+    from mapreduceimplementation_spark.operators.pipeline import _WSAMP_K
+    from mapreduceimplementation_spark.sources.tables import load_table
+
+    out = eng.QUERIES["corpus_sample_weighted"](spark, sf_dir).toPandas()
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    )
+    keys = {
+        r["doc_id"]: math.log((py_hash64(f"wsamp-{r['doc_id']}") + 1) / 2**60)
+        / r["n_chars"]
+        for r in rows
+        if r["n_chars"] and r["n_chars"] > 0
+    }
+    want = sorted(keys, key=lambda d: (-keys[d], d))[:_WSAMP_K]
+    got = list(out.sort_values("sample_pos")["doc_id"])
+    assert got == want
+    assert list(out.sort_values("sample_pos")["sample_pos"]) == list(
+        range(1, _WSAMP_K + 1)
+    )
+
+
+def test_weighted_sample_prefers_heavy_docs(spark, tmp_path):
+    """Weight sensitivity: with one doc a million times heavier than 999
+    peers, it must be drawn first; zero-weight docs are never drawn."""
+    import pandas as pd
+
+    from mapreduceimplementation_spark.operators.pipeline import (
+        corpus_sample_weighted,
+    )
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(1000),
+            "text": ["x"] * 1000,
+            "lang": ["en"] * 1000,
+            "source": ["s"] * 1000,
+            "n_chars": [10] * 999 + [10_000_000],
+        }
+    )
+    pdf.loc[0, "n_chars"] = 0  # excluded: weight must be positive
+    spark.createDataFrame(pdf).write.parquet(str(d / "documents.parquet"))
+    out = corpus_sample_weighted(spark, str(d)).toPandas()
+    assert out[out["sample_pos"] == 1]["doc_id"].iloc[0] == 999
+    assert 0 not in set(out["doc_id"])
