@@ -136,3 +136,76 @@ def write_sorted(
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: tuple[str, ...],
+    n_files: int = 16,
+    bits: int = 10,
+    *,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as parquet clustered on a Z-ORDER (Morton) curve over
+    ``cols`` — the MULTI-dimensional data-skipping lever (write_sorted is
+    its 1-D case; table formats call this OPTIMIZE ZORDER BY).
+
+    A linear sort on ts gives perfect row-group pruning for time ranges
+    and ZERO pruning for user ranges (every file spans all users).  The
+    Z-curve interleaves the bits of all dimensions, so rows close in the
+    curve are close in EVERY dimension: each file's [min, max] envelope
+    is narrow on ts AND on user_id, and a predicate on either column —
+    or a box on both — prunes row groups at the footer.  The per-column
+    pruning is weaker than a dedicated sort (sqrt-ish locality instead
+    of disjoint ranges) — the price of serving all dimensions from one
+    layout, paid once at write time.
+
+    Mechanics: each column is quantized to 2^bits cells over its
+    [min, max] (one tiny stats pass — the same range-id step the lake
+    formats run), cell bits are interleaved round-robin into the Morton
+    key, and the write range-partitions + sorts on the key exactly like
+    write_sorted.  The quantization only shapes LAYOUT — row bytes and
+    query results are identical to any other layout (pytest-gated), so
+    float rounding here is harmless.  Timestamps are forced to int64
+    micros for the same reason as write_sorted: INT96 carries no stats.
+    """
+    spark = df.sparkSession
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(c).cast("double").alias(f"mx_{i}") for i, c in enumerate(cols)],
+    ).first()
+    ncells = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for d, c in enumerate(cols):
+        mn, mx = stats[f"mn_{d}"], stats[f"mx_{d}"]
+        span = (mx - mn) or 1.0
+        cell = F.least(
+            F.greatest(
+                F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * ncells),
+                F.lit(0),
+            ),
+            F.lit(ncells),
+        ).cast("long")
+        for i in range(bits):
+            # bit i of dim d lands at curve position i*D + d
+            z = z + F.shiftleft(
+                F.shiftright(cell, i).bitwiseAND(F.lit(1)), i * len(cols) + d
+            )
+    key = "spark.sql.parquet.outputTimestampType"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        (
+            df.withColumn("__z", z)
+            .repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+            .write.mode(mode)
+            .parquet(path)
+        )
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)

@@ -150,3 +150,86 @@ def test_sorted_write_enables_row_group_skipping(spark, sf_dir, tmp_path):
     assert h_touch == h_total >= 8
     assert s_touch < h_touch
     assert s_touch <= max(1, s_total // 4), (s_touch, s_total)
+
+
+def test_zorder_write_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order data-skipping exhibit: events written Morton-clustered on
+    (user_id, ts) vs range-sorted on ts alone.  The ts-sorted layout is
+    unbeatable on time ranges but prunes NOTHING for a user-range
+    predicate (every file spans all users); the Z layout must prune row
+    groups for a user range AND for a time range — sqrt-ish locality on
+    each dimension from one layout.  Row bytes and query answers are
+    identical in both layouts; only the footer statistics differ, and
+    those stats are exactly what Spark's parquet pushdown consults."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from mapreduceimplementation_spark.sources.sinks import (
+        write_sorted,
+        write_zordered,
+    )
+    from mapreduceimplementation_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    z_p = str(tmp_path / "ev_z")
+    lin_p = str(tmp_path / "ev_lin")
+    write_zordered(ev, z_p, ("user_id", "ts"), n_files=16)
+    write_sorted(ev, lin_p, "ts", n_files=16)
+
+    u_lo, u_hi, t_lo, t_hi = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("ts"), F.max("ts")
+    ).first()
+    # a 10% slice of each dimension, placed inside the first quadrant so
+    # curve-cell boundaries cannot straddle it
+    uq = (u_lo + (u_hi - u_lo) * 5 // 100, u_lo + (u_hi - u_lo) * 15 // 100)
+    tq = (
+        t_lo + (t_hi - t_lo) * 5 // 100,
+        t_lo + (t_hi - t_lo) * 15 // 100,
+    )
+
+    def touched(path, col, lo, hi):
+        hit = total = 0
+        for f in sorted(glob.glob(f"{path}/*.parquet")):
+            pf = pq.ParquetFile(f)
+            ti = pf.schema_arrow.get_field_index(col)
+            for i in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(i).column(ti).statistics
+                total += 1
+                mn, mx = st.min, st.max
+                if hasattr(mn, "replace"):
+                    mn = mn.replace(tzinfo=None)
+                    mx = mx.replace(tzinfo=None)
+                if mn <= hi and mx >= lo:
+                    hit += 1
+        return hit, total
+
+    zu, zt_total = touched(z_p, "user_id", *uq)
+    zt, _ = touched(z_p, "ts", *tq)
+    lu, l_total = touched(lin_p, "user_id", *uq)
+    lt, _ = touched(lin_p, "ts", *tq)
+
+    # linear-by-ts: great on ts, blind on user_id
+    assert lu == l_total
+    assert lt <= l_total // 4
+    # z-order: prunes BOTH dimensions (neither as tight as a dedicated
+    # sort, both far better than nothing)
+    assert zu <= zt_total // 2, (zu, zt_total)
+    assert zt <= zt_total // 2, (zt, zt_total)
+
+    # identical answers from identical bytes, any layout
+    for lo_hi, col in ((uq, "user_id"), (tq, "ts")):
+        a = (
+            spark.read.parquet(z_p)
+            .where(F.col(col).between(*lo_hi))
+            .agg(F.count(F.lit(1)), F.sum("event_id"))
+            .first()
+        )
+        b = (
+            spark.read.parquet(lin_p)
+            .where(F.col(col).between(*lo_hi))
+            .agg(F.count(F.lit(1)), F.sum("event_id"))
+            .first()
+        )
+        assert tuple(a) == tuple(b)
