@@ -1351,3 +1351,141 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "pair")
         .limit(_BPE_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# C51. events_hll_merge_audit (sketch-table rollup: merge == direct)
+
+_SQL_HLL_EST = f"""
+    CASE WHEN raw <= CAST({_HLL_M * 5} AS DOUBLE) / CAST(2 AS DOUBLE)
+              AND z > 0
+         THEN CAST({_HLL_M} AS DOUBLE)
+              * ln(CAST({_HLL_M} AS DOUBLE) / CAST(z AS DOUBLE))
+         ELSE raw END
+"""
+
+
+@register(
+    "events_hll_merge_audit",
+    oracle=f"""
+    WITH rho AS (
+        SELECT date_trunc('day', ts) AS day,
+               h % {_HLL_M} AS bucket,
+               {_SQL_HLL_RHO.format(w=f"(h // {_HLL_M})")} AS rho
+        FROM (SELECT ts,
+                     {sql_hash64("'hll-' || CAST(user_id AS VARCHAR)")} AS h
+              FROM events)
+    ), day_regs AS (
+        SELECT day, bucket, max(rho) AS r FROM rho GROUP BY day, bucket
+    ), merged AS (
+        SELECT bucket, max(r) AS r FROM day_regs GROUP BY bucket
+    ), direct AS (
+        SELECT bucket, max(rho) AS r FROM rho GROUP BY bucket
+    ), est_m AS (
+        SELECT {_SQL_HLL_EST} AS e
+        FROM (SELECT {_SQL_HLL_ALPHA_MM} * CAST(1::BIGINT << 53 AS DOUBLE)
+                         / CAST(s + z * (1::BIGINT << 53) AS DOUBLE) AS raw, z
+              FROM (SELECT CAST(sum(1::BIGINT << (53 - r)) AS BIGINT) AS s,
+                           {_HLL_M} - count(*) AS z
+                    FROM merged))
+    ), est_d AS (
+        SELECT {_SQL_HLL_EST} AS e
+        FROM (SELECT {_SQL_HLL_ALPHA_MM} * CAST(1::BIGINT << 53 AS DOUBLE)
+                         / CAST(s + z * (1::BIGINT << 53) AS DOUBLE) AS raw, z
+              FROM (SELECT CAST(sum(1::BIGINT << (53 - r)) AS BIGINT) AS s,
+                           {_HLL_M} - count(*) AS z
+                    FROM direct))
+    ), exact AS (
+        SELECT count(DISTINCT user_id) AS exact_users,
+               count(DISTINCT date_trunc('day', ts)) AS n_days
+        FROM events
+    )
+    SELECT exact_users, n_days,
+           CAST(floor(d.e + CAST(0.5 AS DOUBLE)) AS BIGINT) AS est_users,
+           CAST(floor(m.e + CAST(0.5 AS DOUBLE)) AS BIGINT) AS est_merged_users,
+           d.e = m.e AS merge_invariant,
+           CAST(abs(CAST(floor(d.e + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                    - exact_users) * 1000000 // exact_users AS BIGINT)
+               AS err_ppm,
+           (abs(CAST(floor(d.e + CAST(0.5 AS DOUBLE)) AS BIGINT) - exact_users)
+               * 1000000 // exact_users) <= 195000 AS within_3sigma
+    FROM est_d d, est_m m, exact
+    """,
+)
+def events_hll_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The property that makes HLL a TABLE format, not just a query: a
+    register sketch stored per day MERGES into the corpus sketch with
+    ZERO loss — max is associative, so merge(day sketches) == sketch of
+    everything, bit-for-bit.  This is the lakehouse rollup pattern at
+    100 TB: materialize days x 256 registers daily, answer any-window
+    distinct-count queries by max-merging the stored sketches, never
+    rescan the raw events.
+
+    The audit computes the corpus estimate BOTH ways from independent
+    aggregations of the event feed — direct (one max per bucket over all
+    events) and merged (per-day registers max-merged) — and asserts
+    their DOUBLE-typed estimates compare equal (merge_invariant), next
+    to the exact distinct count and the usual 3-sigma error verdict.
+    Fragments are C49's (one sketch definition).
+
+    Scale shape: both register paths are bounded partial-agg exchanges
+    (days x 256 and 1 x 256 cells); the exact side is the audit harness.
+    In production only the per-day path runs (incrementally, one day at
+    a time — D13 is its streaming form); the direct path exists here to
+    make the invariant check non-vacuous."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id")
+    h = hash64(F.concat(F.lit("hll-"), F.col("user_id").cast("string")))
+    rho_sql = _SQL_HLL_RHO.format(w=f"(h div {_HLL_M})")
+    rho = ev.select(
+        F.date_trunc("day", "ts").alias("day"), h.alias("h")
+    ).select(
+        "day",
+        (F.col("h") % _HLL_M).alias("bucket"),
+        F.expr(rho_sql).alias("rho"),
+    )
+    day_regs = rho.groupBy("day", "bucket").agg(F.max("rho").alias("r"))
+    merged = day_regs.groupBy("bucket").agg(F.max("r").alias("r"))
+    direct = rho.groupBy("bucket").agg(F.max("rho").alias("r"))
+
+    def estimate(regs: DataFrame, out: str) -> DataFrame:
+        sums = regs.agg(
+            F.expr(
+                "CAST(sum(shiftleft(CAST(1 AS BIGINT), 53 - r)) AS BIGINT)"
+            ).alias("s"),
+            (F.lit(_HLL_M) - F.count(F.lit(1))).alias("z"),
+        )
+        return sums.select(
+            F.expr(
+                f"{_SQL_HLL_ALPHA_MM} * CAST(shiftleft(CAST(1 AS BIGINT), 53) AS DOUBLE)"
+                f" / CAST(s + z * shiftleft(CAST(1 AS BIGINT), 53) AS DOUBLE)"
+            ).alias("raw"),
+            "z",
+        ).select(F.expr(_SQL_HLL_EST.replace("\n", " ")).alias(out))
+    est_d = estimate(direct, "e_d")
+    est_m = estimate(merged, "e_m")
+    exact = ev.agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.countDistinct(F.date_trunc("day", "ts")).alias("n_days"),
+    )
+    err_ppm = F.expr(
+        "abs(CAST(floor(e_d + CAST(0.5 AS DOUBLE)) AS BIGINT) - exact_users)"
+        " * 1000000 div exact_users"
+    )
+    return (
+        est_d.crossJoin(est_m)
+        .crossJoin(exact)
+        .select(
+            "exact_users",
+            "n_days",
+            F.floor(F.col("e_d") + F.expr("CAST(0.5 AS DOUBLE)"))
+            .cast("long")
+            .alias("est_users"),
+            F.floor(F.col("e_m") + F.expr("CAST(0.5 AS DOUBLE)"))
+            .cast("long")
+            .alias("est_merged_users"),
+            (F.col("e_d") == F.col("e_m")).alias("merge_invariant"),
+            err_ppm.cast("long").alias("err_ppm"),
+            (err_ppm <= 195000).alias("within_3sigma"),
+        )
+    )

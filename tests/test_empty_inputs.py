@@ -53,6 +53,7 @@ _EMPTY_TOTAL = [
     "events_quantile_sketch",  # bounded hist + rank probe join (r6)
     "events_incident_join",  # islands + bucket equi-join (r6)
     "corpus_sample_weighted",  # TakeOrdered ES-key top-k (r6)
+    "events_hll_merge_audit",  # global sketch rollup (r6)
     # r5 TPC-H additions over synthesized partsupp / dates: with an empty
     # supplier table synth_partsupp's hash % s_cnt edge (s_cnt = 0) must
     # yield an EMPTY partsupp, never NULL-suppkey rows (r6, per ADVICE)
@@ -68,6 +69,7 @@ _ONE_ROW_ON_EMPTY = {
     "q6_forecast_revenue",
     "q1_pricing_summary",
     "events_exact_median",  # ungrouped: one (n=0, median NULL) summary row
+    "events_hll_merge_audit",  # ungrouped sketch: one all-NULL audit row
 }
 
 

@@ -135,6 +135,7 @@ INVENTORY = [
     "streaming_full_outer_join",  # D12: both-buffers NULL eviction
     "streaming_hll_users",   # D13: mergeable-register streaming cardinality
     "corpus_sample_weighted",  # C50: deterministic A-ES weighted k-sample
+    "events_hll_merge_audit",  # C51: per-day sketch rollup == direct sketch
     "events_hll_users",      # C49: deterministic HLL-256 cardinality audit
     "events_quantile_sketch",  # B65: fixed-bin histogram quantiles vs exact
     "events_incident_join",  # B66: interval-overlap join as bucketed equi-join

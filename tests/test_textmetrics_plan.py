@@ -251,3 +251,18 @@ def test_hll_branches_cover_both_estimators(spark):
         expect = _py_hll_estimate(range(n))
         assert row["est_users"] == expect, (branch, row, expect)
         assert row["exact_users"] == n
+
+
+def test_hll_merge_audit_invariant_holds(spark, sf_dir, duck):
+    """C51: oracle parity, the merge-invariance verdict is TRUE (max is
+    associative — per-day sketches merge losslessly), and the merged
+    estimate string-matches the direct one."""
+    from tests.conftest import assert_same_result
+
+    df = eng.QUERIES["events_hll_merge_audit"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["events_hll_merge_audit"])
+    row = df.collect()[0]
+    assert row["merge_invariant"]
+    assert row["est_users"] == row["est_merged_users"]
+    assert row["within_3sigma"]
+    assert row["n_days"] > 1  # multi-day feed: the merge is non-trivial
