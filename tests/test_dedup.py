@@ -292,3 +292,75 @@ def test_recall_audit_scurve_on_borderline_pairs(spark):
     # below the knee the banding genuinely misses pairs — recall is
     # strictly partial (P[all 24 caught] ~ 1e-12, P[none] ~ 1e-4)
     assert 0 < out[5]["n_caught"] < 24
+
+
+# ---------------------------------------------------------------------------
+# C52 dedup_prefix_filter
+
+
+def test_prefix_filter_equals_exact_baseline(spark, sf_dir):
+    """Completeness in practice: the prefix-filtered pairs equal C6's
+    full-expansion pairs EXACTLY (same verify, same threshold) — no pair
+    below threshold generated, none above it missed."""
+    a = {
+        (r["a_id"], r["b_id"], r["jaccard"])
+        for r in eng.QUERIES["dedup_prefix_filter"](spark, sf_dir).collect()
+    }
+    b = {
+        (r["a_id"], r["b_id"], r["jaccard"])
+        for r in eng.QUERIES["dedup_ngram_jaccard"](spark, sf_dir).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_prefix_filter_candidate_reduction(spark, sf_dir):
+    """The point of the prefix bound: strictly fewer candidate pairs than
+    full posting-list expansion on the same corpus."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from mapreduceimplementation_spark.operators.dedup import (
+        _bucket_pairs,
+        _shingles,
+    )
+    from mapreduceimplementation_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = _shingles(docs, spark).localCheckpoint()
+    withdf = sh.select(
+        "doc_id",
+        "sh",
+        F.count(F.lit(1)).over(Window.partitionBy("sh")).alias("df"),
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "sh")
+    ranked = withdf.select(
+        "doc_id",
+        "sh",
+        F.row_number().over(wdoc).alias("pos"),
+        F.count(F.lit(1))
+        .over(
+            wdoc.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    prefix = ranked.where(
+        F.col("pos") <= F.col("n") - F.expr("(4 * n + 4) div 5") + 1
+    ).select("doc_id", "sh")
+
+    def n_pairs(rel):
+        return (
+            _bucket_pairs(rel, ["sh"], ["doc_id"])
+            .select(
+                F.col("a.doc_id").alias("a_id"),
+                F.col("b.doc_id").alias("b_id"),
+            )
+            .distinct()
+            .count()
+        )
+
+    n_prefix, n_full = n_pairs(prefix), n_pairs(sh)
+    assert n_prefix < n_full, (n_prefix, n_full)
+    # prefix postings are ~(1-tau) of the doc's set (+1): bound the ratio
+    assert n_prefix <= n_full // 2, (n_prefix, n_full)

@@ -54,6 +54,7 @@ _EMPTY_TOTAL = [
     "events_incident_join",  # islands + bucket equi-join (r6)
     "corpus_sample_weighted",  # TakeOrdered ES-key top-k (r6)
     "events_hll_merge_audit",  # global sketch rollup (r6)
+    "dedup_prefix_filter",   # df-rank windows + bucket pairs (r6)
     # r5 TPC-H additions over synthesized partsupp / dates: with an empty
     # supplier table synth_partsupp's hash % s_cnt edge (s_cnt = 0) must
     # yield an EMPTY partsupp, never NULL-suppkey rows (r6, per ADVICE)

@@ -136,6 +136,7 @@ INVENTORY = [
     "streaming_hll_users",   # D13: mergeable-register streaming cardinality
     "corpus_sample_weighted",  # C50: deterministic A-ES weighted k-sample
     "events_hll_merge_audit",  # C51: per-day sketch rollup == direct sketch
+    "dedup_prefix_filter",   # C52: AllPairs prefix-filtered exact Jaccard
     "events_hll_users",      # C49: deterministic HLL-256 cardinality audit
     "events_quantile_sketch",  # B65: fixed-bin histogram quantiles vs exact
     "events_incident_join",  # B66: interval-overlap join as bucketed equi-join
