@@ -82,11 +82,16 @@ HEADLINE = [
     "raft_election_safety",
     "raft_log_matching",
     "streaming_full_outer_join",
-    # mid-round-6 sketch-audit family: HLL cardinality (batch + stream)
-    # and the fixed-bin quantile sketch
+    # mid-round-6 sketch-audit family: HLL cardinality (batch + stream),
+    # the fixed-bin quantile sketch, the sketch-table merge audit
     "events_hll_users",
     "events_quantile_sketch",
     "streaming_hll_users",
+    "events_hll_merge_audit",
+    # mid-round-6 join/sampling/dedup additions
+    "events_incident_join",
+    "corpus_sample_weighted",
+    "dedup_prefix_filter",
 ]
 
 CANARY = "mr_wordcount"

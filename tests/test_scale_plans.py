@@ -51,6 +51,13 @@ _SCALE_PLAN_QUERIES = [
     "ngram_duplication",
     "join_skewed_salted",
     "mr_wordcount",
+    # r6 mid-round families: bounded-register sketch agg, interval
+    # bucket-join (its member-minute broadcast must survive growth),
+    # prefix-filtered pair expansion, ES top-k sampling
+    "events_hll_users",
+    "events_incident_join",
+    "dedup_prefix_filter",
+    "corpus_sample_weighted",
 ]
 
 
