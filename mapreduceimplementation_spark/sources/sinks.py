@@ -209,3 +209,37 @@ def write_zordered(
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    out: str,
+    target_bytes: int = 128 << 20,
+    *,
+    mode: str = "overwrite",
+) -> int:
+    """Rewrite a parquet directory's many small files into ~target-size
+    files — the OPTIMIZE-compact maintenance job every streaming/append
+    lake needs: microbatch and per-task writers leave thousands of tiny
+    files, and each one costs a footer read, an open, and a scheduler
+    task on every later scan (the small-files problem).
+
+    The rewrite uses COALESCE, not repartition: coalesce merges adjacent
+    partitions with NO shuffle (narrow dependency — pytest asserts no
+    Exchange in the write plan), so compaction moves each byte exactly
+    once even at 100 TB.  The trade: merged files inherit input order
+    rather than rebalancing perfectly — acceptable for compaction, and
+    composable with write_sorted/write_zordered when clustering is also
+    wanted.  Target file count = ceil(input bytes / target_bytes), from
+    the filesystem, not a row count estimate.  Returns the file count."""
+    import glob as _glob
+    import math
+    import os as _os
+
+    total = sum(
+        _os.path.getsize(f) for f in _glob.glob(_os.path.join(path, "*.parquet"))
+    )
+    n = max(1, math.ceil(total / target_bytes))
+    spark.read.parquet(path).coalesce(n).write.mode(mode).parquet(out)
+    return n

@@ -233,3 +233,45 @@ def test_zorder_write_prunes_both_dimensions(spark, sf_dir, tmp_path):
             .first()
         )
         assert tuple(a) == tuple(b)
+
+
+def test_compact_files_merges_without_shuffle(spark, sf_dir, tmp_path):
+    """Small-files compaction: 64 tiny files coalesce into few target-size
+    files with identical rows, and the rewrite plan contains NO Exchange
+    (coalesce is a narrow dependency — each byte moves once)."""
+    from pyspark.sql import functions as F
+
+    from mapreduceimplementation_spark.sources.sinks import compact_files
+    from mapreduceimplementation_spark.sources.tables import load_table
+
+    import glob
+
+    ev = load_table(spark, sf_dir, "events")
+    small_p = str(tmp_path / "small")
+    ev.repartition(64).write.parquet(small_p)
+    assert len(glob.glob(f"{small_p}/*.parquet")) == 64
+
+    out_p = str(tmp_path / "compacted")
+    n = compact_files(spark, small_p, out_p, target_bytes=64 << 20)
+    n_files = len(glob.glob(f"{out_p}/*.parquet"))
+    assert n_files <= n < 64
+
+    crc = lambda p: tuple(
+        spark.read.parquet(p)
+        .agg(
+            F.count(F.lit(1)),
+            F.sum(F.crc32(F.encode(F.to_json(F.struct("event_id", "value")), "UTF-8"))),
+        )
+        .first()
+    )
+    assert crc(out_p) == crc(small_p)
+
+    # the compaction plan itself must be shuffle-free
+    plan = (
+        spark.read.parquet(small_p)
+        .coalesce(n)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
