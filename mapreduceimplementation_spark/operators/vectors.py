@@ -166,35 +166,28 @@ _SQL_COS = (
     " i -> nq.v[i] * nc.v[i]), (a, b) -> a + b) / (nq.nrm * nc.nrm)"
 )
 
-
-@register(
-    "ann_topk",
-    oracle=f"""
-    WITH {_SQL_NORMED},
+#: DuckDB: exact brute-force cosine top-k per query as CTEs over ``n``
+#: (shared by ann_topk and the C53 recall audit so the two cannot drift)
+_SQL_TOPK_CTES = f"""
     s AS (
         SELECT nq.vec_id AS q_id, nc.vec_id AS neighbor_id,
                ROUND({_SQL_COS}, 6) AS cos
         FROM n nq JOIN n nc ON nq.vec_id < {_Q_MAX} AND nc.vec_id <> nq.vec_id
+    ),
+    ex AS (
+        SELECT q_id, neighbor_id, cos, rank FROM (
+            SELECT *, CAST(row_number() OVER (
+                PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+            FROM s
+        ) WHERE rank <= {_TOPK}
     )
-    SELECT q_id, neighbor_id, cos, rank FROM (
-        SELECT *, CAST(row_number() OVER (
-            PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
-        FROM s
-    ) WHERE rank <= {_TOPK}
-    """,
-)
-def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-10 per query vector (the exact baseline;
-    see _TOPK/_Q_MAX).
+"""
 
-    Broadcasts the bounded query set (vec_id < 8) and streams the corpus
-    once — a BroadcastNestedLoopJoin by design, NOT an accidental cartesian:
-    O(|Q|*n) work that any executor count divides evenly.  Ranking uses the
-    *rounded* cosine with neighbor_id tie-break so the top-k frontier is
-    deterministic across engines and partitionings.
-    """
-    tune(spark)
-    n = _normed(spark, sf_dir)
+
+def _exact_topk(n: DataFrame) -> DataFrame:
+    """Exact cosine top-k per query over ``n``: (q_id, neighbor_id, cos,
+    rank).  Broadcasts the bounded query set and streams the corpus once
+    (BroadcastNestedLoopJoin by design); shared by ann_topk and C53."""
     q = n.select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("qv"),
@@ -211,6 +204,28 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= _TOPK)
     )
+
+
+@register(
+    "ann_topk",
+    oracle=f"""
+    WITH {_SQL_NORMED},
+    {_SQL_TOPK_CTES}
+    SELECT q_id, neighbor_id, cos, rank FROM ex
+    """,
+)
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 per query vector (the exact baseline;
+    see _TOPK/_Q_MAX).
+
+    Broadcasts the bounded query set (vec_id < 8) and streams the corpus
+    once — a BroadcastNestedLoopJoin by design, NOT an accidental cartesian:
+    O(|Q|*n) work that any executor count divides evenly.  Ranking uses the
+    *rounded* cosine with neighbor_id tie-break so the top-k frontier is
+    deterministic across engines and partitionings.
+    """
+    tune(spark)
+    return _exact_topk(_normed(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -415,10 +430,9 @@ def _sql_cell_scores(vec: str) -> list[str]:
     return out
 
 
-@register(
-    "ann_ivf",
-    oracle=f"""
-    WITH {_SQL_NORMED},
+#: DuckDB: IVF cell assignment + nprobe candidate CTEs over ``n``
+#: (shared by ann_ivf and the C53 recall audit so the two cannot drift)
+_SQL_IVF_CAND_CTES = f"""
     cells AS (
         SELECT vec_id,
                CAST(list_position(sc, list_max(sc)) - 1 AS INT) AS cell
@@ -437,7 +451,48 @@ def _sql_cell_scores(vec: str) -> list[str]:
         SELECT DISTINCT q_id, c.vec_id AS neighbor_id
         FROM qprobe JOIN cells c ON c.cell = qprobe.cell
         WHERE c.vec_id <> q_id
-    ),
+    )
+"""
+
+
+def _ivf_candidates(n: DataFrame) -> DataFrame:
+    """IVF candidate pairs (q_id, neighbor_id) over ``n``: row-local cell
+    scores, argmax cell per vector, top-_IVF_NPROBE cells per query, then
+    a broadcast equi-join on cell.  Shared by ann_ivf and C53."""
+    scores = F.array(*_cell_scores(F.col("v")))
+    scored = n.select("vec_id", "v", "nrm", scores.alias("sc"))
+    cells = scored.select(
+        "vec_id",
+        (F.array_position("sc", F.array_max("sc")) - 1).cast("int").alias("cell"),
+    )
+    kcol = F.explode(F.sequence(F.lit(0), F.lit(_IVF_K - 1))).alias("k")
+    qprobe = (
+        scored.where(F.col("vec_id") < _Q_MAX)
+        .select(F.col("vec_id").alias("q_id"), "sc", kcol)
+        .withColumn(
+            "pr",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(
+                    F.element_at("sc", F.col("k") + 1).desc(), F.col("k")
+                )
+            ),
+        )
+        .where(F.col("pr") <= _IVF_NPROBE)
+        .select("q_id", F.col("k").cast("int").alias("cell"))
+    )
+    return (
+        cells.join(F.broadcast(qprobe), "cell")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+
+
+@register(
+    "ann_ivf",
+    oracle=f"""
+    WITH {_SQL_NORMED},
+    {_SQL_IVF_CAND_CTES},
     s AS (
         SELECT q_id, neighbor_id, ROUND({_SQL_COS}, 6) AS cos
         FROM cand JOIN n nq ON nq.vec_id = q_id JOIN n nc ON nc.vec_id = neighbor_id
@@ -466,33 +521,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune(spark)
     n = _normed(spark, sf_dir)
-    scores = F.array(*_cell_scores(F.col("v")))
-    scored = n.select("vec_id", "v", "nrm", scores.alias("sc"))
-    cells = scored.select(
-        "vec_id",
-        (F.array_position("sc", F.array_max("sc")) - 1).cast("int").alias("cell"),
-    )
-    kcol = F.explode(F.sequence(F.lit(0), F.lit(_IVF_K - 1))).alias("k")
-    qprobe = (
-        scored.where(F.col("vec_id") < _Q_MAX)
-        .select(F.col("vec_id").alias("q_id"), "sc", kcol)
-        .withColumn(
-            "pr",
-            F.row_number().over(
-                Window.partitionBy("q_id").orderBy(
-                    F.element_at("sc", F.col("k") + 1).desc(), F.col("k")
-                )
-            ),
-        )
-        .where(F.col("pr") <= _IVF_NPROBE)
-        .select("q_id", F.col("k").cast("int").alias("cell"))
-    )
-    cand = (
-        cells.join(F.broadcast(qprobe), "cell")
-        .where(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", F.col("vec_id").alias("neighbor_id"))
-        .distinct()
-    )
+    cand = _ivf_candidates(n)
     nq = n.select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
     )
@@ -504,6 +533,68 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "neighbor_id", cos.alias("cos"))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= _TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# C53. ivf_recall_audit — measure what nprobe-limited cell probing misses
+
+
+@register(
+    "ivf_recall_audit",
+    oracle=f"""
+    WITH {_SQL_NORMED},
+    {_SQL_IVF_CAND_CTES},
+    {_SQL_TOPK_CTES}
+    SELECT ex.q_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN cand.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_caught,
+           ROUND(SUM(CASE WHEN cand.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS recall
+    FROM ex LEFT JOIN cand
+      ON cand.q_id = ex.q_id AND cand.neighbor_id = ex.neighbor_id
+    GROUP BY ex.q_id
+    """,
+)
+def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of C11b's IVF index against the exact brute-force
+    ground truth: for each query, how many of the exact cosine top-10
+    landed in a probed cell (nprobe={_IVF_NPROBE} of {_IVF_K})?  Emits
+    per query the exact-neighbor count, the caught count, and observed
+    recall@{_TOPK} — C48's self-audit discipline applied to the vector
+    index: a production ANN deployment measures recall on a bounded
+    query sample before trusting (K, nprobe) at full corpus scale, and
+    re-measures after every re-train, because IVF recall degrades
+    silently as the corpus drifts away from the centroids.
+
+    Both sides are the SHARED fragments of the audited operators
+    themselves (_exact_topk / _ivf_candidates, same CTE text in the
+    oracle), so the audit measures the real index, not a re-derivation
+    that could drift.
+
+    Scale shape: the ground-truth side is the C10 bounded-query BNLJ
+    (baseline-class — at 100 TB this audit runs on a query sample, the
+    corpus side streams once); the candidate side is row-local cell
+    scores + a broadcast equi-join on cell; the shared normalized scan
+    is localCheckpoint'ed so the two consumers do not re-read parquet;
+    the final rollup is |Q| rows."""
+    tune(spark)
+    n = _normed(spark, sf_dir).localCheckpoint(eager=False)
+    ex = _exact_topk(n)
+    cand = _ivf_candidates(n).withColumn("caught", F.lit(True))
+    return (
+        ex.join(cand, ["q_id", "neighbor_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.when(F.col("caught"), 1).otherwise(0)).alias("n_caught"),
+            F.round(
+                F.sum(F.when(F.col("caught"), 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("recall"),
+        )
     )
 
 

@@ -52,6 +52,28 @@ def test_ann_ivf_subset_of_bruteforce_universe(spark, sf_dir):
         assert sorted(grp["rank"]) == list(range(1, len(grp) + 1))
 
 
+def test_ivf_recall_audit_consistent(spark, sf_dir):
+    """C53 must agree with what composing the two audited operators says:
+    caught == |exact top-k ∩ IVF candidate universe|, recall in (0, 1],
+    and every query from ann_topk gets an audit row."""
+    bf = eng.QUERIES["ann_topk"](spark, sf_dir).toPandas()
+    ivf = eng.QUERIES["ann_ivf"](spark, sf_dir).toPandas()
+    audit = eng.QUERIES["ivf_recall_audit"](spark, sf_dir).toPandas()
+    assert set(audit["q_id"]) == set(bf["q_id"])
+    assert (audit["n_caught"] <= audit["n_exact"]).all()
+    assert (audit["recall"] > 0).all() and (audit["recall"] <= 1).all()
+    # ann_ivf's top-k is a subset of the candidate universe the audit
+    # joins against, so per query: caught >= |exact ∩ ivf-top-k|
+    exact_pairs = set(zip(bf["q_id"], bf["neighbor_id"]))
+    ivf_hits = {
+        q: sum((q, n) in exact_pairs for n in grp["neighbor_id"])
+        for q, grp in ivf.groupby("q_id")
+    }
+    got = audit.set_index("q_id")["n_caught"]
+    for q, low in ivf_hits.items():
+        assert got[q] >= low
+
+
 def test_dedup_embedding_pairs(spark, sf_dir):
     out = eng.QUERIES["dedup_embedding"](spark, sf_dir).toPandas()
     assert (out["cos"] >= 0.4).all()
