@@ -2544,3 +2544,151 @@ def raft_log_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     states the predecessor rule as its literal NOT EXISTS, so the green
     hash certifies the LAG-window rewrite."""
     return audit_apply_log(derive_raft_apply_log(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# B67. raft_leader_completeness — Leader Completeness trace audit
+# (Raft §5.4.3, enforced by the labs' election restriction at
+# raft/raft.go RequestVote up-to-date check and observed by config.go's
+# one()/nCommitted agreement checks: an entry committed in term T must
+# be present in the log of the leader of every term > T)
+
+_RLC_TERMS = 30
+_RLC_IDXS = 200
+_RLC_ADV_MAX = 8  # commit index advances 0..7 entries per term
+_RLC_MISS_EVERY = 53  # 1/53 (term, idx) leader-log cells are missing
+
+
+def audit_leader_completeness(obs: DataFrame, commits: DataFrame) -> DataFrame:
+    """Leader-Completeness audit over a leader-log observation trace.
+
+    ``obs``: (term, idx, present) records — "the leader elected for
+    ``term`` does/does not hold log entry ``idx``" (duplicates = probe
+    retries, benign).  ``commits``: (idx, commit_term) — the term each
+    entry was committed in.  The property (Raft §5.4.3): for every
+    committed entry, EVERY later-term leader's log must contain it —
+    a later-term leader missing a committed entry would rewrite agreed
+    history when it replicates.  Emits one row per committed entry that
+    has at least one later-term observation.
+
+    Scale shape: ONE distinct on (term, idx, present) with map-side
+    partials collapsing retries; ``commits`` is bounded by the entry
+    universe and broadcast, so the fact-sized side never shuffles on a
+    skewed key; the rollup keys on (idx, commit_term) — bounded by the
+    entry grid.  No windows over fact data, no pair expansion."""
+    cells = obs.select("term", "idx", "present").distinct()
+    miss = F.countDistinct(F.when(~F.col("present"), F.col("term")))
+    return (
+        cells.join(F.broadcast(commits), "idx")
+        .where(F.col("term") > F.col("commit_term"))
+        .groupBy("idx", "commit_term")
+        .agg(
+            F.countDistinct("term").alias("n_later_terms"),
+            miss.alias("n_missing"),
+        )
+        .withColumn("leader_complete", F.col("n_missing") == 0)
+    )
+
+
+def derive_raft_leader_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic leader-log observation trace from events: each
+    event is one probe of one (term, idx) cell — "does term t's elected
+    leader hold entry idx?".  Presence is decided per CELL (md5 of
+    "term/idx"): 1/_RLC_MISS_EVERY of cells are missing, modelling a
+    leader elected without the up-to-date restriction — so the verdict
+    mix is a property of the bounded cell grid and stays scale-stable
+    (the B63/B64 lesson: never inject per-event).  Retried probes of a
+    cell always agree; distinct() collapses them."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    eid = F.col("event_id").cast("string")
+    term = hash64(eid, salt="rlc-t") % _RLC_TERMS
+    idx = hash64(eid, salt="rlc-i") % _RLC_IDXS + 1
+    cell = F.concat(term.cast("string"), F.lit("/"), idx.cast("string"))
+    return ev.select(
+        term.alias("term"),
+        idx.alias("idx"),
+        (hash64(cell, salt="rlc-m") % _RLC_MISS_EVERY != 0).alias("present"),
+    )
+
+
+def derive_raft_commits(spark: SparkSession) -> DataFrame:
+    """(idx, commit_term): per-term commit-index advance is md5-derived
+    (0.._RLC_ADV_MAX-1 entries per term), the commit bound is its
+    running sum over the BOUNDED term table, and each term commits the
+    half-open advance interval — so commit_term(idx) is the unique term
+    whose interval covers idx.  The single-partition window is over
+    _RLC_TERMS rows, not fact data."""
+    trms = spark.range(_RLC_TERMS).select(F.col("id").alias("term"))
+    adv = hash64(F.col("term").cast("string"), salt="rlc-a") % _RLC_ADV_MAX
+    w = Window.orderBy("term").rowsBetween(Window.unboundedPreceding, 0)
+    bounds = (
+        trms.select("term", adv.alias("adv"))
+        .withColumn("hi", F.sum("adv").over(w))
+        .withColumn("lo", F.col("hi") - F.col("adv") + 1)
+        .where(F.col("adv") > 0)
+    )
+    return bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("idx"),
+        F.col("term").alias("commit_term"),
+    )
+
+
+_RLC_T = sql_hash64("'rlc-t' || CAST(event_id AS VARCHAR)")
+_RLC_I = sql_hash64("'rlc-i' || CAST(event_id AS VARCHAR)")
+_RLC_CELL = "CAST(term AS VARCHAR) || '/' || CAST(idx AS VARCHAR)"
+_RLC_M = sql_hash64(f"'rlc-m' || {_RLC_CELL}")
+_RLC_A = sql_hash64("'rlc-a' || CAST(term AS VARCHAR)")
+
+
+@register(
+    "raft_leader_completeness",
+    oracle=f"""
+    WITH obs0 AS (
+        SELECT ({_RLC_T} % {_RLC_TERMS}) AS term,
+               (({_RLC_I} % {_RLC_IDXS}) + 1) AS idx
+        FROM events
+    ),
+    obs AS (
+        SELECT DISTINCT term, idx,
+               ({_RLC_M} % {_RLC_MISS_EVERY}) <> 0 AS present
+        FROM obs0
+    ),
+    trms AS (
+        SELECT CAST(t AS BIGINT) AS term FROM (SELECT unnest(range({_RLC_TERMS})) AS t)
+    ),
+    bounds AS (
+        SELECT term, adv, CAST(SUM(adv) OVER (ORDER BY term) AS BIGINT) AS hi
+        FROM (SELECT term, ({_RLC_A} % {_RLC_ADV_MAX}) AS adv FROM trms)
+    ),
+    cmt AS (
+        SELECT unnest(generate_series(hi - adv + 1, hi)) AS idx,
+               term AS commit_term
+        FROM bounds WHERE adv > 0
+    )
+    SELECT obs.idx, commit_term,
+           CAST(count(DISTINCT obs.term) AS BIGINT) AS n_later_terms,
+           CAST(count(DISTINCT CASE WHEN NOT present THEN obs.term END)
+                AS BIGINT) AS n_missing,
+           count(DISTINCT CASE WHEN NOT present THEN obs.term END) = 0
+               AS leader_complete
+    FROM obs JOIN cmt ON cmt.idx = obs.idx
+    WHERE obs.term > commit_term
+    GROUP BY obs.idx, commit_term
+    """,
+)
+def raft_leader_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leader Completeness trace audit — Raft §5.4.3 (an entry
+    committed in term T is present in the logs of the leaders of all
+    terms > T; the reference enforces it via RequestVote's up-to-date
+    restriction and its tests observe it through config.go's
+    one()/nCommitted agreement loop) as an analytics query over a
+    derived leader-log probe trace.  Completes the safety trio started
+    by B63 (Election Safety) and B64 (Log Matching).  See
+    ``audit_leader_completeness`` for rules and scale shape; presence
+    is decided per (term, idx) cell so the violation mix is
+    scale-stable, and the commit schedule is a running sum over the
+    bounded term table (``derive_raft_commits``)."""
+    return audit_leader_completeness(
+        derive_raft_leader_logs(spark, sf_dir), derive_raft_commits(spark)
+    )

@@ -937,3 +937,54 @@ def test_apply_log_registered_query_mix(spark, sf_dir):
         out["matching_ok"]
         == ((out["n_values"] <= 1) & (out["n_missing_prev"] == 0))
     ).all()
+
+
+def test_leader_completeness_audit_hand_trace(spark):
+    """Raft §5.4.3: entry 1 committed in term 0; term 2's leader missing
+    it -> violation.  Entry 2 committed in term 1, present in every
+    later-term observation -> complete.  Observations at or before the
+    commit term are out of audit scope; probe retries are benign."""
+    from mapreduceimplementation_spark.plans.kv import (
+        audit_leader_completeness,
+    )
+
+    obs = spark.createDataFrame(
+        [
+            (0, 1, True),   # commit-term observation: out of scope
+            (1, 1, True),
+            (2, 1, False),  # later-term leader lost a committed entry
+            (2, 1, False),  # probe retry, benign
+            (1, 2, True),
+            (2, 2, True),
+            (2, 9, False),  # idx 9 never committed: out of scope
+        ],
+        "term long, idx long, present boolean",
+    )
+    commits = spark.createDataFrame(
+        [(1, 0), (2, 1)], "idx long, commit_term long"
+    )
+    out = {
+        r["idx"]: r.asDict()
+        for r in audit_leader_completeness(obs, commits).collect()
+    }
+    assert set(out) == {1, 2}
+    assert not out[1]["leader_complete"]
+    assert out[1]["n_missing"] == 1 and out[1]["n_later_terms"] == 2
+    assert out[2]["leader_complete"] and out[2]["n_missing"] == 0
+
+
+def test_leader_completeness_registered_query_mix(spark, sf_dir):
+    """The derived trace must exercise both verdicts, commit terms must
+    precede every audited observation term, and the commit schedule must
+    assign each committed idx exactly one term."""
+    from mapreduceimplementation_spark.plans.kv import derive_raft_commits
+
+    out = eng.QUERIES["raft_leader_completeness"](spark, sf_dir).toPandas()
+    assert out["leader_complete"].any() and (~out["leader_complete"]).any()
+    assert (out["n_missing"] <= out["n_later_terms"]).all()
+    assert (
+        out["leader_complete"] == (out["n_missing"] == 0)
+    ).all()
+    cmt = derive_raft_commits(spark).toPandas()
+    assert cmt["idx"].is_unique
+    assert len(out) <= len(cmt)

@@ -132,6 +132,7 @@ INVENTORY = [
     "kv_append_linearizability",  # B62: KvModel FULL op set (Put/Append/Get)
     "raft_election_safety",  # B63: checkOneLeader trace audit
     "raft_log_matching",     # B64: checkLogs / apply-order trace audit
+    "raft_leader_completeness",  # B67: §5.4.3 committed-entry presence audit
     "streaming_full_outer_join",  # D12: both-buffers NULL eviction
     "streaming_hll_users",   # D13: mergeable-register streaming cardinality
     "corpus_sample_weighted",  # C50: deterministic A-ES weighted k-sample
