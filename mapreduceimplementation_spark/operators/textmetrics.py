@@ -1489,3 +1489,76 @@ def events_hll_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (err_ppm <= 195000).alias("within_3sigma"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C54. corpus_readability — Flesch reading-ease / FK grade per document
+
+_RD_SENT_RE = "[.!?]+"  # sentence terminators (runs collapse to one)
+_RD_SYL_RE = "[aeiouy]+"  # vowel groups ~ syllables (classic heuristic)
+
+
+@register(
+    "corpus_readability",
+    oracle=f"""
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CAST(floor((206.835
+                - 1.015 * (n_words * 1.0 / n_sentences)
+                - 84.6 * (n_syllables * 1.0 / n_words)) * 10000)
+               AS BIGINT) AS flesch_q,
+           CAST(floor((0.39 * (n_words * 1.0 / n_sentences)
+                + 11.8 * (n_syllables * 1.0 / n_words)
+                - 15.59) * 10000) AS BIGINT) AS grade_q
+    FROM (
+        SELECT doc_id,
+               CAST(length(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+                   AS n_words,
+               GREATEST(1, CAST(length(regexp_extract_all(text, '{_RD_SENT_RE}'))
+                   AS BIGINT)) AS n_sentences,
+               CAST(length(regexp_extract_all(lower(text), '{_RD_SYL_RE}'))
+                   AS BIGINT) AS n_syllables
+        FROM documents WHERE text IS NOT NULL
+    ) WHERE n_words > 0
+    """,
+)
+def corpus_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade per document — the
+    classic readability screen a quality-filtered training corpus runs
+    alongside C3's heuristic score (e.g. drop or down-weight documents
+    far outside the target band).  Syllables use the standard vowel-group
+    heuristic ([aeiouy]+ runs), sentences are terminator runs clamped to
+    >= 1 so headline-only fragments stay defined.
+
+    Scores are emitted as floor'd 1e-4 fixed-point BIGINTs: the formula
+    is pure +-*/ over integer counts (identical IEEE op order in both
+    engines), and floor-quantization sidesteps the ROUND half-boundary
+    hazard documented for embedding_outliers.
+
+    Scale shape: fully row-local — three regexp counts at scan speed
+    inside one WholeStageCodegen span, no UDF, no shuffle at all; the
+    scan reads (doc_id, text) only."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.regexp_count("text", F.lit("[A-Za-z]+")).cast("long").alias("n_words"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.regexp_count("text", F.lit(_RD_SENT_RE)).cast("long"),
+        ).alias("n_sentences"),
+        F.regexp_count(F.lower("text"), F.lit(_RD_SYL_RE))
+        .cast("long")
+        .alias("n_syllables"),
+    )
+    wps = F.col("n_words") * 1.0 / F.col("n_sentences")
+    spw = F.col("n_syllables") * 1.0 / F.col("n_words")
+    flesch = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    grade = F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    return base.where(F.col("n_words") > 0).select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.floor(flesch * 10000).cast("long").alias("flesch_q"),
+        F.floor(grade * 10000).cast("long").alias("grade_q"),
+    )

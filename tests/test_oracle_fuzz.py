@@ -68,6 +68,7 @@ _FUZZ_QUERIES = [
     "doc_fingerprint",
     "dedup_exact",
     "quality_score",
+    "corpus_readability",
     "lang_id",
     "corpus_sample_stratified",
 ]

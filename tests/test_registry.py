@@ -139,6 +139,7 @@ INVENTORY = [
     "events_hll_merge_audit",  # C51: per-day sketch rollup == direct sketch
     "dedup_prefix_filter",   # C52: AllPairs prefix-filtered exact Jaccard
     "ivf_recall_audit",      # C53: IVF nprobe recall vs exact top-k
+    "corpus_readability",    # C54: Flesch / FK-grade fixed-point screen
     "events_hll_users",      # C49: deterministic HLL-256 cardinality audit
     "events_quantile_sketch",  # B65: fixed-bin histogram quantiles vs exact
     "events_incident_join",  # B66: interval-overlap join as bucketed equi-join
