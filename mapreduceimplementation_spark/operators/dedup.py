@@ -1092,3 +1092,147 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return _verified_pairs(cand, docs, _TAU, spark, sh=sh)
+
+
+# ---------------------------------------------------------------------------
+# C55. dedup_substring_spans — maximal duplicated-token spans (Lee et al.)
+
+_SPAN_K = 10  # word k-gram grain for span detection
+
+
+def _span_gram_sql(k: int) -> str:
+    return " || ' ' || ".join(f"ws[i+{j}]" for j in range(k))
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH pos AS (
+        SELECT doc_id, len(ws) AS n_tokens, i AS pos, {_span_gram_sql(_SPAN_K)} AS sh
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '[^A-Za-z]+'),
+                                 x -> x <> '') AS ws
+              FROM documents WHERE text IS NOT NULL),
+             UNNEST(range(1, len(ws) - {_SPAN_K - 2})) AS t(i)
+    ),
+    dup AS (
+        SELECT doc_id, n_tokens, pos
+        FROM (SELECT doc_id, n_tokens, pos,
+                     min(doc_id) OVER (PARTITION BY sh)
+                         <> max(doc_id) OVER (PARTITION BY sh) AS is_dup
+              FROM pos)
+        WHERE is_dup
+    ),
+    isl AS (
+        SELECT doc_id, n_tokens, pos,
+               SUM(CASE WHEN prev IS NULL OR pos - prev > {_SPAN_K}
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM (SELECT doc_id, n_tokens, pos,
+                     lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+              FROM dup)
+    ),
+    spans AS (
+        SELECT doc_id, n_tokens, island,
+               max(pos) - min(pos) + {_SPAN_K} AS span_tokens
+        FROM isl GROUP BY doc_id, n_tokens, island
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS dup_spans,
+           CAST(sum(span_tokens) AS BIGINT) AS dup_tokens,
+           CAST(sum(span_tokens) * 1000000 // n_tokens AS BIGINT) AS dup_ppm
+    FROM spans GROUP BY doc_id, n_tokens
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-substring spans per document at word grain —
+    the "Deduplicating Training Data Makes Language Models Better"
+    (Lee et al., ACL'22) ExactSubstr signal: a position is duplicated
+    when its {_SPAN_K}-word gram also occurs in at least one OTHER
+    document, and overlapping/adjacent duplicated positions merge into
+    maximal spans (gaps-and-islands), yielding per doc the span count,
+    the duplicated-token total, and a ppm fraction — the numbers a
+    cut-list is built from.  C44 counts duplicated shingles; this
+    operator merges them into the contiguous spans you would actually
+    cut.  (The paper runs a suffix array at 50-BPE-token grain; the
+    k-gram-match + interval-merge formulation is the shuffle-native
+    equivalent — every span >= k tokens is found exactly, shorter ones
+    are below the grain by construction.)
+
+    Scale shape: gram build is row-local (ngrams_of_words inside
+    codegen); cross-doc occurrence is min!=max over ONE window exchange
+    keyed on xxhash64(gram) — 8-byte shuffle keys instead of ~80-byte
+    10-word strings, and counts-not-lists so stopword-like grams cannot
+    skew-blow; the oracle states the string key, the green hash
+    certifies the hashed rewrite.  Island-merge is the SECOND and last
+    exchange (doc_id window), and both rollups reuse that partitioning
+    (grouping keys are supersets of doc_id - no further shuffle).  The
+    ppm is exact integer math (div), no float tie-break hazard.  At
+    corpus scale the window key widens to a 128-bit hash (xxhash64
+    collisions ~n^2/2^64 start to matter past ~10^9 distinct grams).
+
+    Reference anchor: the gram->docs inversion is indexer.go:1-38's
+    map shape (src/mrapps/indexer.go), with positions carried through.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = spread(
+        docs.where(F.col("text").isNotNull()).select(
+            "doc_id", word_array("text").alias("ws")
+        ),
+        spark,
+    )
+    pos = base.select(
+        "doc_id",
+        F.size("ws").alias("n_tokens"),
+        F.posexplode(ngrams_of_words("ws", _SPAN_K)).alias("pos", "sh"),
+    ).select("doc_id", "n_tokens", "pos", F.xxhash64("sh").alias("shh"))
+    w_sh = Window.partitionBy("shh")
+    dup = pos.select(
+        "doc_id",
+        "n_tokens",
+        "pos",
+        (F.min("doc_id").over(w_sh) != F.max("doc_id").over(w_sh)).alias(
+            "is_dup"
+        ),
+    ).where("is_dup")
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    isl = dup.select(
+        "doc_id",
+        "n_tokens",
+        "pos",
+        F.lag("pos").over(w_doc).alias("prev"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "pos",
+        F.sum(
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("pos") - F.col("prev") > _SPAN_K),
+                1,
+            ).otherwise(0)
+        )
+        .over(w_doc)
+        .alias("island"),
+    )
+    spans = isl.groupBy("doc_id", "n_tokens", "island").agg(
+        (F.max("pos") - F.min("pos") + _SPAN_K).alias("span_tokens")
+    )
+    return (
+        spans.groupBy("doc_id", "n_tokens")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("dup_spans"),
+            F.sum("span_tokens").cast("long").alias("dup_tokens"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "dup_spans",
+            "dup_tokens",
+            F.expr("dup_tokens * 1000000 div n_tokens")
+            .cast("long")
+            .alias("dup_ppm"),
+        )
+    )

@@ -364,3 +364,56 @@ def test_prefix_filter_candidate_reduction(spark, sf_dir):
     assert n_prefix < n_full, (n_prefix, n_full)
     # prefix postings are ~(1-tau) of the doc's set (+1): bound the ratio
     assert n_prefix <= n_full // 2, (n_prefix, n_full)
+
+
+# ---------------------------------------------------------------------------
+# C55 dedup_substring_spans
+
+
+def test_substring_spans_hand_corpus(spark):
+    """Two cross-doc shared runs produce exact maximal spans; a run
+    repeated only WITHIN one doc is excluded (cross-doc semantics); the
+    gaps-and-islands merge keeps runs separated by > K apart."""
+    import tempfile
+
+    from mapreduceimplementation_spark.operators.dedup import _SPAN_K
+
+    assert _SPAN_K == 10  # the arithmetic below is pinned to K=10
+    S = " ".join(f"s{i}" for i in range(25))   # shared doc1 <-> doc2
+    T = " ".join(f"t{i}" for i in range(12))   # shared doc1 <-> doc3
+    R = " ".join(f"r{i}" for i in range(20))   # repeated inside doc4 only
+    rows = [
+        (
+            1,
+            " ".join(f"u{i}" for i in range(5))
+            + " " + S + " "
+            + " ".join(f"v{i}" for i in range(15))
+            + " " + T + " "
+            + " ".join(f"w{i}" for i in range(5)),
+        ),
+        (2, " ".join(f"x{i}" for i in range(3)) + " " + S + " "
+            + " ".join(f"y{i}" for i in range(8))),
+        (3, T + " " + " ".join(f"z{i}" for i in range(20))),
+        (4, R + " " + " ".join(f"q{i}" for i in range(15)) + " " + R),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = {
+            r["doc_id"]: r.asDict()
+            for r in eng.QUERIES["dedup_substring_spans"](spark, d).collect()
+        }
+    # doc1: S-span (25 tokens) and T-span (12), separated by 15 unique words
+    assert out[1]["n_tokens"] == 62
+    assert out[1]["dup_spans"] == 2
+    assert out[1]["dup_tokens"] == 37
+    assert out[1]["dup_ppm"] == 37 * 1_000_000 // 62
+    # doc2: exactly the S run
+    assert out[2] == {
+        "doc_id": 2, "n_tokens": 36, "dup_spans": 1, "dup_tokens": 25,
+        "dup_ppm": 25 * 1_000_000 // 36,
+    }
+    # doc3: exactly the T run
+    assert out[3]["dup_spans"] == 1 and out[3]["dup_tokens"] == 12
+    # doc4: within-doc repetition only -> not a cross-doc duplicate
+    assert 4 not in out

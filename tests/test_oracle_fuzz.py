@@ -61,6 +61,7 @@ _FUZZ_QUERIES = [
     "token_count",
     "pii_scrub",
     "ngram_duplication",
+    "dedup_substring_spans",
     "corpus_chunk_overlap",
     "dedup_paragraphs",
     "boilerplate_source_matrix",

@@ -140,6 +140,7 @@ INVENTORY = [
     "dedup_prefix_filter",   # C52: AllPairs prefix-filtered exact Jaccard
     "ivf_recall_audit",      # C53: IVF nprobe recall vs exact top-k
     "corpus_readability",    # C54: Flesch / FK-grade fixed-point screen
+    "dedup_substring_spans",  # C55: maximal duplicated-token spans (Lee et al.)
     "events_hll_users",      # C49: deterministic HLL-256 cardinality audit
     "events_quantile_sketch",  # B65: fixed-bin histogram quantiles vs exact
     "events_incident_join",  # B66: interval-overlap join as bucketed equi-join
