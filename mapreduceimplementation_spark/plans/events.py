@@ -4,7 +4,7 @@ plans re-run under Structured Streaming in streaming/ (D1)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -1231,9 +1231,10 @@ _QS_BINS = 1024
 _QS_PCTS = (50, 90, 99)
 
 
-@register(
-    "events_quantile_sketch",
-    oracle=f"""
+#: Shared oracle text for B65 and its streaming twin D14 — the stream's
+#: per-day cells merged across days are count-identical to this batch
+#: hist, so ONE oracle certifies both (the C51/D13 shared-fragment rule).
+_QS_ORACLE = f"""
     WITH hist AS (
         SELECT event_type,
                CAST(LEAST(GREATEST(FLOOR(value), 0), {_QS_BINS - 1}) AS BIGINT)
@@ -1279,8 +1280,10 @@ _QS_PCTS = (50, 90, 99)
            abs(l.est_v - r.value) <= CAST(1 AS DOUBLE) AS within_bw
     FROM located l JOIN ranked r
       ON l.event_type = r.event_type AND r.rn = l.k
-    """,
-)
+    """
+
+
+@register("events_quantile_sketch", oracle=_QS_ORACLE)
 def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate p50/p90/p99 of event value per type from a FIXED-bin
     histogram sketch, next to the exact order statistic — the quantile
@@ -1314,14 +1317,36 @@ def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", "value", "event_id"
     )
-    bin_ = F.least(
-        F.greatest(F.floor(F.col("value")), F.lit(0)), F.lit(_QS_BINS - 1)
-    ).cast("long")
     hist = (
-        ev.select("event_type", bin_.alias("bin"))
+        ev.select("event_type", qs_bin(F.col("value")).alias("bin"))
         .groupBy("event_type", "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    return quantile_sketch_audit(hist, ev)
+
+
+def qs_bin(value_col: Column) -> Column:
+    """The ONE bin function behind B65 and D14 — clamp-to-grid over
+    [0, {bins}) unit-width cells (a drifted copy would silently sketch
+    the same feed differently between the batch and streaming paths)."""
+    return (
+        F.least(F.greatest(F.floor(value_col), F.lit(0)), F.lit(_QS_BINS - 1))
+        .cast("long")
+    )
+
+
+def quantile_sketch_audit(hist: DataFrame, ev: DataFrame) -> DataFrame:
+    """Finalize + audit over a (event_type, bin, cnt) cell table: B65's
+    interpolation at rank k and the exact row_number probe — shared by
+    the batch sketch (B65) and the streaming cells merged across days
+    (D14), so the two paths cannot drift.
+
+    The cell table is bounded (types x 1024) and feeds BOTH the
+    cumulative window and the rank targets: localCheckpoint materializes
+    it once (the tiny-multi-use-relation rule — without it B65 re-scans
+    events per consumer, and D14's memory-sink lineage trips the
+    analyzer's conflicting-reference check on the self-join)."""
+    hist = hist.localCheckpoint()
     wcum = (
         Window.partitionBy("event_type")
         .orderBy("bin")

@@ -437,3 +437,89 @@ def hll_finalize(sink: DataFrame, exact: DataFrame) -> DataFrame:
         err_ppm.cast("long").alias("err_ppm"),
         (err_ppm <= 195000).alias("within_3sigma"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D14. streaming_quantile_sketch (mergeable histogram cells on a stream)
+
+_QSS_SINK = "d14_quantile_cells_sink"
+
+
+def _qs_oracle() -> str:
+    """B65's oracle verbatim (one sketch definition — the stream's per-day
+    cells merged across days are count-identical to the batch hist)."""
+    from mapreduceimplementation_spark.plans.events import _QS_ORACLE
+
+    return _QS_ORACLE
+
+
+@register("streaming_quantile_sketch", oracle=_qs_oracle())
+def streaming_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type p50/p90/p99 from histogram cells maintained ON A STREAM —
+    the streaming twin of B65 and the third member of the mergeable-
+    sketch-on-a-stream family (D13 cardinality registers, D7 incremental
+    rollup): fixed-grid cells are a commutative monoid (per-(day, type,
+    bin) COUNT sums), so a plain streaming count-aggregation maintains
+    them incrementally with state bounded at days x types x 1024 cells
+    REGARDLESS of event volume.  This is how latency/value quantiles are
+    actually served on a 100 TB/day feed: the stream keeps only cells,
+    any window's quantiles come from summing stored cells, never from
+    replaying raw events.
+
+    The finalize step (merge days -> interpolate at rank k -> exact
+    audit probe) is B65's quantile_sketch_audit VERBATIM on the merged
+    cells, and the oracle is B65's oracle string itself: per-day cells
+    merged across days are count-identical to the batch hist, so ONE
+    oracle + one audit certify both paths (the D13 shared-fragment rule).
+
+    Scale shape: watermark on ts so append-mode production evicts closed
+    days; the shuffle carries at most days x types x 1024 cell rows per
+    microbatch (map-side partial count), never raw events.  The exact
+    audit side is the harness, run on samples at full scale."""
+    from mapreduceimplementation_spark.plans.events import (
+        quantile_sketch_audit,
+    )
+    from mapreduceimplementation_spark.sources.tables import load_table
+
+    cells = run_quantile_cell_stream(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+    hist = cells.groupBy("event_type", "bin").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "event_id"
+    )
+    return quantile_sketch_audit(hist, ev)
+
+
+def run_quantile_cell_stream(
+    spark: SparkSession, path: str, sink: str = _QSS_SINK, **options
+) -> DataFrame:
+    """The streaming half of D14: maintain per-(day, event_type, bin)
+    histogram cells over the feed; returns the cell table after the
+    availableNow replay terminates."""
+    from mapreduceimplementation_spark.plans.events import qs_bin
+
+    tune(spark)
+    _size_stream_state(spark)
+    _stop_query(spark, sink)
+    ev = _events_stream(spark, path, **options)
+    cells = (
+        ev.select("ts", "event_type", qs_bin(F.col("value")).alias("bin"))
+        .withWatermark("ts", "1 day")
+        .groupBy(
+            F.window("ts", "1 day").alias("win"), "event_type", "bin"
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("win.start").alias("day"), "event_type", "bin", "cnt")
+    )
+    q = (
+        cells.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

@@ -755,3 +755,44 @@ def test_streaming_hll_multibatch_registers_merge(spark, sf_dir, tmp_path):
     )
     assert tuples(multi) == tuples(single)
     assert all(r["within_3sigma"] for r in got.collect())
+
+
+def test_streaming_quantile_multibatch_cells_merge(spark, sf_dir, tmp_path):
+    """D14's monoid claim under microbatching: stream the 3-file chunked
+    feed one file per trigger — per-(day, type, bin) COUNT cells must sum
+    across batch boundaries into EXACTLY the single-shot cell table, and
+    the finalized audit must equal the registered query's output (which
+    the oracle gate certifies against DuckDB at full value)."""
+    from pyspark.sql import functions as F
+
+    from mapreduceimplementation_spark.plans.events import (
+        quantile_sketch_audit,
+    )
+    from mapreduceimplementation_spark.streaming.windowed import (
+        run_quantile_cell_stream,
+    )
+
+    path = _split_events(spark, sf_dir, tmp_path)
+    multi = run_quantile_cell_stream(
+        spark, path, sink="d14_multibatch_sink", maxFilesPerTrigger=1
+    )
+    tuples = lambda df: sorted(tuple(r) for r in df.collect())
+    single = run_quantile_cell_stream(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        sink="d14_single_sink",
+    )
+    assert tuples(multi) == tuples(single)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "event_id"
+    )
+    got = quantile_sketch_audit(
+        multi.groupBy("event_type", "bin").agg(F.sum("cnt").alias("cnt")), ev
+    )
+    assert tuples(got) == tuples(
+        eng.QUERIES["streaming_quantile_sketch"](spark, sf_dir)
+    )
+    # and the streaming path agrees with the batch sketch B65 exactly
+    assert tuples(got) == tuples(
+        eng.QUERIES["events_quantile_sketch"](spark, sf_dir)
+    )
