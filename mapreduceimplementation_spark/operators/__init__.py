@@ -6,6 +6,7 @@ from mapreduceimplementation_spark.operators import (  # noqa: F401
     mapreduce,
     multimodal,
     pipeline,
+    retrieval,
     textmetrics,
     vectors,
 )
