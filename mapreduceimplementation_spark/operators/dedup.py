@@ -355,14 +355,14 @@ _SQL_MH_CAND = f"""
 """
 
 
-def _minhash_candidates(docs: DataFrame, spark: SparkSession) -> DataFrame:
-    """LSH candidate pairs (a_id < b_id) of a documents relation: the
-    row-local signature pass + band-bucket equi-join shared by C7 (which
-    re-verifies them exactly) and C48 (which audits their recall).  The
-    candidate set's lineage is the full signature pass — localCheckpoint
-    so multiple consumers don't re-shingle the corpus."""
+def _mh_bands(shd: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey) LSH band table of a shingled (doc_id, sh_arr)
+    relation — the row-local MinHash signature pass shared by C7/C48
+    (full in-bucket pair expansion) and C57 (incremental new-vs-all band
+    join).  ONE signature definition: a drifted copy would bucket the
+    same corpus differently between the full and incremental paths."""
     sig = (
-        _shingled(docs, spark)  # already filtered to >=1 shingle — do NOT re-filter
+        shd  # already filtered to >=1 shingle — do NOT re-filter
         .select("doc_id", F.transform("sh_arr", lambda s: hash64(s)).alias("hs"))
         .select(
             "doc_id",
@@ -379,7 +379,7 @@ def _minhash_candidates(docs: DataFrame, spark: SparkSession) -> DataFrame:
             ],
         )
     )
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -395,6 +395,15 @@ def _minhash_candidates(docs: DataFrame, spark: SparkSession) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.bkey")
+
+
+def _minhash_candidates(docs: DataFrame, spark: SparkSession) -> DataFrame:
+    """LSH candidate pairs (a_id < b_id) of a documents relation: the
+    row-local signature pass + band-bucket equi-join shared by C7 (which
+    re-verifies them exactly) and C48 (which audits their recall).  The
+    candidate set's lineage is the full signature pass — localCheckpoint
+    so multiple consumers don't re-shingle the corpus."""
+    bands = _mh_bands(_shingled(docs, spark))
     return (
         _bucket_pairs(bands, ["band", "bkey"], ["doc_id"])
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
@@ -1235,4 +1244,87 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("dup_ppm"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C57. dedup_incremental — today's batch vs the index, without recompute
+
+_INCR_EVERY = 5  # 1 in 5 docs form "today's batch" (deterministic split)
+
+
+def _incr_new_sql(col: str) -> str:
+    h = sql_hash64(f"'incr-' || CAST({col} AS VARCHAR)")
+    return f"{h} % {_INCR_EVERY} = 0"
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+    SELECT a_id, b_id, jaccard,
+           {_incr_new_sql('a_id')} AS a_new,
+           {_incr_new_sql('b_id')} AS b_new
+    FROM (
+        WITH ws AS ({_SQL_SH}),
+        {_SQL_MH_CAND},
+        {_SQL_VERIFY}
+    ) v
+    WHERE {_incr_new_sql('a_id')} OR {_incr_new_sql('b_id')}
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH dedup: near-dup pairs involving "today's
+    batch" (a deterministic 1-in-{_INCR_EVERY} hash split of doc_ids),
+    found WITHOUT re-pairing the historical corpus — the production
+    pattern for a crawl pipeline that ingests daily increments against a
+    100 TB index: store the band table, broadcast today's (much smaller)
+    band rows into an equi-join against it, and exact-verify only the
+    candidates that involve a new document.  Candidate volume scales
+    with batch size x bucket hit rate, never with index-pair volume;
+    new-vs-new pairs within the batch are found by the same join.
+
+    The oracle states the SPEC — the full-corpus recompute (C7's exact
+    fragments) filtered to new-involving pairs — so the green hash
+    proves the incremental join finds exactly the pairs the full rerun
+    would, and the equality pytest pins it against C7's registered
+    output.  Signatures come from the SAME _mh_bands fragment as C7
+    (one sketch definition; a drifted copy would bucket the same corpus
+    differently between the full and incremental paths).
+
+    Scale shape: band table built row-local off the one checkpointed
+    shingle relation (in production it is a STORED table partitioned by
+    (band, bkey) — this query is the backfill that creates it); today's
+    bands are broadcast (batch-sized); verification joins only the
+    candidates' shingle sets (C7's _verified_pairs, candidate-
+    restricted).  The corpus text is scanned once."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shd = _shingled(docs, spark).localCheckpoint()
+    bands = _mh_bands(shd).localCheckpoint()
+    new_flag = (
+        lambda c: hash64(F.concat(F.lit("incr-"), c.cast("string")))
+        % _INCR_EVERY
+        == 0
+    )
+    newb = bands.where(new_flag(F.col("doc_id"))).select(
+        F.col("doc_id").alias("n_id"), "band", "bkey"
+    )
+    cand = (
+        F.broadcast(newb)
+        .join(bands, ["band", "bkey"])
+        .where(F.col("doc_id") != F.col("n_id"))
+        .select(
+            F.least("n_id", "doc_id").alias("a_id"),
+            F.greatest("n_id", "doc_id").alias("b_id"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    sh = shd.select("doc_id", F.explode_outer("sh_arr").alias("sh"))
+    return _verified_pairs(cand, docs, _TAU, spark, sh=sh).select(
+        "a_id",
+        "b_id",
+        "jaccard",
+        new_flag(F.col("a_id")).alias("a_new"),
+        new_flag(F.col("b_id")).alias("b_new"),
     )

@@ -417,3 +417,29 @@ def test_substring_spans_hand_corpus(spark):
     assert out[3]["dup_spans"] == 1 and out[3]["dup_tokens"] == 12
     # doc4: within-doc repetition only -> not a cross-doc duplicate
     assert 4 not in out
+
+
+# ---------------------------------------------------------------------------
+# C57 dedup_incremental
+
+
+def test_incremental_equals_full_filtered(spark, sf_dir):
+    """The incremental new-vs-all band join finds EXACTLY the pairs the
+    full recompute (C7) finds among pairs involving a new doc — and its
+    flags agree with the hash split."""
+    from mapreduceimplementation_spark.functions.hashing import py_hash64
+    from mapreduceimplementation_spark.operators.dedup import _INCR_EVERY
+
+    is_new = lambda i: py_hash64(f"incr-{i}") % _INCR_EVERY == 0
+    full = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in eng.QUERIES["dedup_minhash_lsh"](spark, sf_dir).collect()
+    }
+    want = {k: v for k, v in full.items() if is_new(k[0]) or is_new(k[1])}
+    got = eng.QUERIES["dedup_incremental"](spark, sf_dir).collect()
+    assert {(r["a_id"], r["b_id"]): r["jaccard"] for r in got} == want
+    assert all(
+        r["a_new"] == is_new(r["a_id"]) and r["b_new"] == is_new(r["b_id"])
+        for r in got
+    )
+    assert all(r["a_new"] or r["b_new"] for r in got)
