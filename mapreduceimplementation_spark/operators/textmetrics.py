@@ -8,7 +8,7 @@ on 100 TB and are the filters you put *before* expensive dedup stages.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduceimplementation_spark.functions.hashing import hash64, sql_hash64
@@ -387,9 +387,10 @@ _CMS_W = 64  # buckets per row
 _CMS_TOPN = 10
 
 
-@register(
-    "heavy_hitters_cms",
-    oracle=f"""
+#: Shared oracle text for C25 and its streaming twin D15 — the stream's
+#: per-day cells merged across days are count-identical to this batch
+#: sketch, so ONE oracle certifies both (the B65/D14 shared-fragment rule).
+_CMS_ORACLE = f"""
     WITH cells AS (
         SELECT d, bucket, count(*) AS cell
         FROM (
@@ -412,8 +413,10 @@ _CMS_TOPN = 10
         FROM exact e, (SELECT unnest(range({_CMS_D})) AS d) t
     ) q JOIN cells USING (d, bucket)
     GROUP BY user_id, exact_n
-    """,
-)
+    """
+
+
+@register("heavy_hitters_cms", oracle=_CMS_ORACLE)
 def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters via a count-min sketch: the top-10 users by event
     volume with their CMS frequency estimate next to the exact count —
@@ -435,23 +438,37 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys to report).  Estimate >= exact always (pytest-asserted)."""
     tune(spark)
     ev = load_table(spark, sf_dir, "events").select("user_id")
-    d = F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("d")
-    keyed = ev.select("user_id", d).select(
-        "d",
+    keyed = ev.select(
         "user_id",
-        (
-            hash64(
-                F.concat(
-                    F.lit("cms-"),
-                    F.col("d").cast("string"),
-                    F.lit("-"),
-                    F.col("user_id").cast("string"),
-                )
-            )
-            % _CMS_W
-        ).alias("bucket"),
-    )
+        F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("d"),
+    ).select("d", "user_id", cms_bucket(F.col("d"), F.col("user_id")).alias("bucket"))
     cells = keyed.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cell"))
+    return cms_finalize(cells, ev)
+
+
+def cms_bucket(d_col: Column, key_col: Column) -> Column:
+    """The ONE (row, key) -> bucket map behind C25 and D15 (a drifted
+    copy would sketch the same feed differently between the batch and
+    streaming paths).  Portable md5-derived hash64 so DuckDB replays the
+    identical cells."""
+    return (
+        hash64(
+            F.concat(
+                F.lit("cms-"),
+                d_col.cast("string"),
+                F.lit("-"),
+                key_col.cast("string"),
+            )
+        )
+        % _CMS_W
+    )
+
+
+def cms_finalize(cells: DataFrame, ev: DataFrame) -> DataFrame:
+    """Finalize + audit over a (d, bucket, cell) CMS table: C25's exact
+    top-N probe and min-cell estimate — shared by the batch sketch (C25)
+    and the streaming cells merged across days (D15), so the two paths
+    cannot drift."""
     exact = (
         ev.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("exact_n"))
@@ -466,17 +483,7 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "exact_n",
         "d",
-        (
-            hash64(
-                F.concat(
-                    F.lit("cms-"),
-                    F.col("d").cast("string"),
-                    F.lit("-"),
-                    F.col("user_id").cast("string"),
-                )
-            )
-            % _CMS_W
-        ).alias("bucket"),
+        cms_bucket(F.col("d"), F.col("user_id")).alias("bucket"),
     )
     return (
         probes.join(F.broadcast(cells), ["d", "bucket"])

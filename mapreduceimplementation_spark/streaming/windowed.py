@@ -523,3 +523,97 @@ def run_quantile_cell_stream(
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# D15. streaming_cms_topk (count-min cells on a stream)
+
+_CMS_SINK = "d15_cms_cells_sink"
+
+
+def _cms_oracle() -> str:
+    """C25's oracle verbatim (one sketch definition — the stream's
+    per-day cells merged across days are count-identical to the batch
+    sketch)."""
+    from mapreduceimplementation_spark.operators.textmetrics import (
+        _CMS_ORACLE,
+    )
+
+    return _CMS_ORACLE
+
+
+@register("streaming_cms_topk", oracle=_cms_oracle())
+def streaming_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter frequencies from a count-min sketch maintained ON A
+    STREAM — the streaming twin of C25 and the fourth member of the
+    mergeable-sketch-on-a-stream family (D13 cardinality, D14 quantiles,
+    D7 rollup): CMS cells are a commutative monoid (per-(day, d, bucket)
+    COUNT sums), so a plain streaming count-aggregation maintains them
+    incrementally with state bounded at days x 4 x 64 cells REGARDLESS
+    of key cardinality.  This is how per-key frequency estimates are
+    served on a 100 TB/day feed: the stream keeps only cells; any
+    window's estimate is a min over summed cells, never a rescan.
+
+    The finalize step (merge days -> exact top-N probe -> min-cell
+    estimate) is C25's cms_finalize VERBATIM on the merged cells, and
+    the oracle is C25's oracle string itself (per-day cells merged
+    across days are count-identical to the batch sketch) — one oracle +
+    one finalize certify both paths.
+
+    Scale shape: watermark on ts so append-mode production evicts
+    closed days; the shuffle carries at most days x D x W cell rows per
+    microbatch (map-side partial count), never per-event rows.  The
+    exact side is the audit harness, run on samples at full scale."""
+    from mapreduceimplementation_spark.operators.textmetrics import (
+        cms_finalize,
+    )
+    from mapreduceimplementation_spark.sources.tables import load_table
+
+    day_cells = run_cms_cell_stream(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+    cells = day_cells.groupBy("d", "bucket").agg(
+        F.sum("cnt").alias("cell")
+    )
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    return cms_finalize(cells, ev)
+
+
+def run_cms_cell_stream(
+    spark: SparkSession, path: str, sink: str = _CMS_SINK, **options
+) -> DataFrame:
+    """The streaming half of D15: maintain per-(day, d, bucket) CMS
+    cells over the feed; returns the cell table after the availableNow
+    replay terminates."""
+    from mapreduceimplementation_spark.operators.textmetrics import (
+        _CMS_D,
+        cms_bucket,
+    )
+
+    tune(spark)
+    _size_stream_state(spark)
+    _stop_query(spark, sink)
+    ev = _events_stream(spark, path, **options)
+    cells = (
+        ev.select(
+            "ts",
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("d"),
+        )
+        .select(
+            "ts", "d", cms_bucket(F.col("d"), F.col("user_id")).alias("bucket")
+        )
+        .withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("win"), "d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("win.start").alias("day"), "d", "bucket", "cnt")
+    )
+    q = (
+        cells.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

@@ -796,3 +796,43 @@ def test_streaming_quantile_multibatch_cells_merge(spark, sf_dir, tmp_path):
     assert tuples(got) == tuples(
         eng.QUERIES["events_quantile_sketch"](spark, sf_dir)
     )
+
+
+def test_streaming_cms_multibatch_cells_merge(spark, sf_dir, tmp_path):
+    """D15's monoid claim under microbatching: per-(day, d, bucket) COUNT
+    cells must sum across batch boundaries into EXACTLY the single-shot
+    cell table, and the finalized audit must equal the registered query
+    (oracle-certified against DuckDB at full value) and the batch sketch
+    C25 exactly."""
+    from pyspark.sql import functions as F
+
+    from mapreduceimplementation_spark.operators.textmetrics import (
+        cms_finalize,
+    )
+    from mapreduceimplementation_spark.streaming.windowed import (
+        run_cms_cell_stream,
+    )
+
+    path = _split_events(spark, sf_dir, tmp_path)
+    multi = run_cms_cell_stream(
+        spark, path, sink="d15_multibatch_sink", maxFilesPerTrigger=1
+    )
+    tuples = lambda df: sorted(tuple(r) for r in df.collect())
+    single = run_cms_cell_stream(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        sink="d15_single_sink",
+    )
+    assert tuples(multi) == tuples(single)
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    got = cms_finalize(
+        multi.groupBy("d", "bucket").agg(F.sum("cnt").alias("cell")), ev
+    )
+    assert tuples(got) == tuples(
+        eng.QUERIES["streaming_cms_topk"](spark, sf_dir)
+    )
+    assert tuples(got) == tuples(
+        eng.QUERIES["heavy_hitters_cms"](spark, sf_dir)
+    )
+    # CMS never undercounts
+    assert all(r["cms_n"] >= r["exact_n"] for r in got.collect())
