@@ -2692,3 +2692,154 @@ def raft_leader_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audit_leader_completeness(
         derive_raft_leader_logs(spark, sf_dir), derive_raft_commits(spark)
     )
+
+
+# ---------------------------------------------------------------------------
+# B68. raft_snapshot_audit — InstallSnapshot state-consistency trace audit
+
+_SNAP_FOLLOWERS = 3  # followers reporting an installed snapshot per key
+_SNAP_FAULT_EVERY = 31  # 1/31 (key, follower) cells report a corrupt state
+_SNAP_H = (
+    "'snap-' || CAST(key AS VARCHAR) || '-' || CAST(follower AS VARCHAR)"
+)
+
+
+@register(
+    "raft_snapshot_audit",
+    oracle=f"""
+    WITH ops AS ({_OPS_SQL}),
+    f AS (SELECT unnest(range({_SNAP_FOLLOWERS})) AS follower),
+    cut0 AS (
+        SELECT key, op, sval, seq, follower,
+               max(seq) OVER (PARTITION BY key, follower)
+                   * (follower + 1) // {_SNAP_FOLLOWERS + 1} AS cutoff
+        FROM ops CROSS JOIN f
+    ),
+    cut AS (
+        SELECT *,
+               max(CASE WHEN op = 'put' AND seq <= cutoff THEN seq ELSE 0 END)
+                   OVER (PARTITION BY key, follower) AS lp
+        FROM cut0
+    ),
+    expd AS (
+        SELECT key, follower, any_value(cutoff) AS cutoff,
+               coalesce(string_agg(CASE WHEN seq <= cutoff AND seq >= lp
+                                        THEN sval END, ';' ORDER BY seq), '')
+                   AS expected_value
+        FROM cut GROUP BY key, follower
+    ),
+    rep AS (
+        SELECT key, follower, cutoff, expected_value,
+               CASE WHEN {sql_hash64(_SNAP_H)} % {_SNAP_FAULT_EVERY} = 0
+                    THEN expected_value || ';666'
+                    ELSE expected_value END AS reported_value
+        FROM expd
+    )
+    SELECT key, CAST(follower AS BIGINT) AS follower,
+           CAST(cutoff AS BIGINT) AS cutoff, reported_value,
+           CASE WHEN reported_value <> expected_value
+                THEN 'state_mismatch' ELSE 'ok' END AS verdict
+    FROM rep
+    """,
+)
+def raft_snapshot_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InstallSnapshot state-consistency audit (the lab 2D/3B snapshot
+    contract): every follower that installed a snapshot at lastIncluded
+    index must hold EXACTLY the state the committed log prefix replays
+    to — the check the reference applier performs on every snapshot
+    delivery (raft/config.go:223 CondInstallSnapshot guard; service
+    snapshots exercised by TestSnapshotInstall2D, raft/test_test.go:1178,
+    and kvraft lab 3B maxraftstate).  B16 proves snapshot+suffix == full
+    replay for the compaction path; this audits the INSTALL path across
+    followers, where a stale or corrupted snapshot silently forks a
+    replica.
+
+    Trace derivation (the audit-family trick): each key's op log is the
+    raft group, {_SNAP_FOLLOWERS} followers snapshot at 1/4, 2/4, 3/4 of
+    the log; 1 in {_SNAP_FAULT_EVERY} (key, follower) HASH CELLS — never
+    per-event rates, the B63 scale-stability lesson — report a state
+    with a trailing junk append.  The audit RECOMPUTES the prefix replay
+    and compares (verdict = reported <> recomputed), so the green hash
+    certifies the comparison logic, not the injection.
+
+    Scale shape: ONE exchange — the log is aggregated per key into a
+    sorted (seq, op, sval) array (kv logs are per-key bounded, the same
+    state-machine-sized-state argument as B10/B16), and ALL follower
+    logic (cutoff, last-put scan, prefix replay, corruption, verdict) is
+    row-local array work inside codegen; no per-follower log replication
+    through the shuffle, no second exchange."""
+    tune(spark)
+    ops = _kv_ops(spark, sf_dir)
+    g = ops.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("seq", "op", "sval"))).alias(
+            "log"
+        )
+    )
+
+    def follower_struct(f: int):
+        # integer floor division (positive operands): n*(f+1) div 4
+        cutoff = F.expr(
+            f"CAST(size(log) * {f + 1} AS BIGINT) div {_SNAP_FOLLOWERS + 1}"
+        )
+        lp = F.coalesce(
+            F.array_max(
+                F.transform(
+                    F.filter(
+                        F.col("log"),
+                        lambda s: (s["op"] == "put") & (s["seq"] <= cutoff),
+                    ),
+                    lambda s: s["seq"],
+                )
+            ),
+            F.lit(0).cast("long"),
+        )
+        expected = F.array_join(
+            F.transform(
+                F.filter(
+                    F.col("log"),
+                    lambda s: (s["seq"] <= cutoff) & (s["seq"] >= lp),
+                ),
+                lambda s: s["sval"],
+            ),
+            ";",
+        )
+        corrupt = (
+            hash64(
+                F.concat(
+                    F.lit("snap-"),
+                    F.col("user_id").cast("string"),
+                    F.lit("-"),
+                    F.lit(str(f)),
+                )
+            )
+            % _SNAP_FAULT_EVERY
+            == 0
+        )
+        reported = F.when(corrupt, F.concat(expected, F.lit(";666"))).otherwise(
+            expected
+        )
+        return F.struct(
+            F.lit(f).cast("long").alias("follower"),
+            cutoff.alias("cutoff"),
+            expected.alias("expected_value"),
+            reported.alias("reported_value"),
+        )
+
+    rows = g.select(
+        "user_id",
+        F.explode(
+            F.array(*[follower_struct(f) for f in range(_SNAP_FOLLOWERS)])
+        ).alias("r"),
+    )
+    return rows.select(
+        F.col("user_id").alias("key"),
+        F.col("r.follower").alias("follower"),
+        F.col("r.cutoff").alias("cutoff"),
+        F.col("r.reported_value").alias("reported_value"),
+        F.when(
+            F.col("r.reported_value") != F.col("r.expected_value"),
+            "state_mismatch",
+        )
+        .otherwise("ok")
+        .alias("verdict"),
+    )

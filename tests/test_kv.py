@@ -988,3 +988,33 @@ def test_leader_completeness_registered_query_mix(spark, sf_dir):
     cmt = derive_raft_commits(spark).toPandas()
     assert cmt["idx"].is_unique
     assert len(out) <= len(cmt)
+
+
+# ---------------------------------------------------------------------------
+# B68 raft_snapshot_audit
+
+
+def test_snapshot_audit_injection_mix_and_compact_invariant(spark, sf_dir):
+    """Verdicts match the per-(key, follower) hash cells exactly; corrupt
+    reports carry the junk suffix; and follower 1's snapshot (cutoff
+    n*2 div 4 == n div 2) must equal B16's compaction snapshot_value for
+    every clean report — two independent operators, one state."""
+    from mapreduceimplementation_spark.functions.hashing import py_hash64
+    from mapreduceimplementation_spark.plans.kv import _SNAP_FAULT_EVERY
+
+    out = eng.QUERIES["raft_snapshot_audit"](spark, sf_dir).collect()
+    assert {r["verdict"] for r in out} == {"ok", "state_mismatch"}
+    for r in out:
+        inj = py_hash64(f"snap-{r['key']}-{r['follower']}") % _SNAP_FAULT_EVERY == 0
+        assert (r["verdict"] == "state_mismatch") == inj
+        assert r["reported_value"].endswith(";666") == inj or (
+            inj and r["reported_value"] == ";666"
+        )
+    compact = {
+        r["key"]: r["snapshot_value"]
+        for r in eng.QUERIES["kv_log_compact"](spark, sf_dir).collect()
+    }
+    f1 = [r for r in out if r["follower"] == 1 and r["verdict"] == "ok"]
+    assert f1
+    for r in f1:
+        assert r["reported_value"] == compact[r["key"]]

@@ -145,6 +145,7 @@ INVENTORY = [
     "bm25_topk",             # C56: BM25 query-by-example retrieval
     "dedup_incremental",     # C57: batch-vs-index LSH dedup, no re-pairing
     "streaming_cms_topk",    # D15: count-min cells on a stream
+    "raft_snapshot_audit",   # B68: InstallSnapshot state-consistency audit
     "events_hll_users",      # C49: deterministic HLL-256 cardinality audit
     "events_quantile_sketch",  # B65: fixed-bin histogram quantiles vs exact
     "events_incident_join",  # B66: interval-overlap join as bucketed equi-join
