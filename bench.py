@@ -92,6 +92,18 @@ HEADLINE = [
     "events_incident_join",
     "corpus_sample_weighted",
     "dedup_prefix_filter",
+    # late-round-6 additions: duplicated-span accounting (two-window
+    # shape), incremental LSH dedup (band-broadcast join), BM25 retrieval
+    # (postings + broadcast probe join), the IVF recall audit, the
+    # snapshot-install audit (one-exchange array replay), and the two new
+    # streaming sketch twins
+    "dedup_substring_spans",
+    "dedup_incremental",
+    "bm25_topk",
+    "ivf_recall_audit",
+    "raft_snapshot_audit",
+    "streaming_quantile_sketch",
+    "streaming_cms_topk",
 ]
 
 CANARY = "mr_wordcount"

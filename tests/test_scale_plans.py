@@ -58,6 +58,15 @@ _SCALE_PLAN_QUERIES = [
     "events_incident_join",
     "dedup_prefix_filter",
     "corpus_sample_weighted",
+    # r6 late families: duplicated-span windows, incremental band
+    # broadcast (the batch-side broadcast must survive growth), BM25
+    # postings + probe broadcast, one-exchange snapshot array replay,
+    # row-local readability scan
+    "dedup_substring_spans",
+    "dedup_incremental",
+    "bm25_topk",
+    "raft_snapshot_audit",
+    "corpus_readability",
 ]
 
 
