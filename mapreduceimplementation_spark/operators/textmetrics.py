@@ -1569,3 +1569,213 @@ def corpus_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(flesch * 10000).cast("long").alias("flesch_q"),
         F.floor(grade * 10000).cast("long").alias("grade_q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C58. winnowing_fingerprint — MOSS winnowing (rightmost-min-in-window)
+
+_WIN_K = 8  # k-gram width (chars)
+_WIN_W = 6  # winnowing window: every _WIN_W consecutive k-grams share a pick
+
+_SQL_WIN_POS = f"""
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS pos,
+               {sql_hash64(f"substr(text, i::INT, {_WIN_K})")} AS h,
+               length(text) - {_WIN_K} + 1 AS n_kgrams
+        FROM documents, UNNEST(range(1, length(text) - {_WIN_K} + 2)) t(i)
+        WHERE text IS NOT NULL AND length(text) >= {_WIN_K + _WIN_W - 1}
+"""
+
+
+@register(
+    "winnowing_fingerprint",
+    oracle=f"""
+    WITH pos AS ({_SQL_WIN_POS}),
+    wmin AS (
+        SELECT doc_id, t, mh FROM (
+            SELECT doc_id, pos AS t, n_kgrams,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW
+                                AND {_WIN_W - 1} FOLLOWING) AS mh
+            FROM pos
+        ) WHERE t <= n_kgrams - {_WIN_W} + 1
+    ),
+    sel AS (
+        SELECT w.doc_id, w.t, max(p.pos) AS spos
+        FROM wmin w JOIN pos p
+          ON p.doc_id = w.doc_id AND p.h = w.mh
+         AND p.pos BETWEEN w.t AND w.t + {_WIN_W} - 1
+        GROUP BY w.doc_id, w.t
+    ),
+    spots AS (SELECT DISTINCT doc_id, spos FROM sel)
+    SELECT s.doc_id,
+           CAST(min(p.n_kgrams) AS BIGINT) AS n_kgrams,
+           CAST(count(*) AS BIGINT) AS n_selected,
+           string_agg(CAST(s.spos AS VARCHAR) || ':' || CAST(p.h AS VARCHAR),
+                      ',' ORDER BY s.spos) AS winnow_fp
+    FROM spots s JOIN pos p ON p.doc_id = s.doc_id AND p.pos = s.spos
+    GROUP BY s.doc_id
+    """,
+)
+def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing (Schleimer-Wilkerson-Aiken, SIGMOD'03): hash every
+    char {k}-gram, slide a window of {w} hashes, record the window minimum
+    with the RIGHTMOST occurrence on ties.  Guarantees every substring of
+    length k+w-1 contributes >=1 selected hash, so any shared run that long
+    between two documents collides in fingerprint space — the positional
+    complement of doc_fingerprint's k-min sketch (which keeps the globally
+    smallest hashes and loses locality).
+
+    Engine exactness: the rightmost-tie rule is the pinned semantics — the
+    Spark fold updates on ``<=`` (later position wins at equal hash) and the
+    oracle takes ``max(pos)`` among window rows equal to the window min; the
+    60-bit hash makes ties rare but the rule keeps them deterministic.
+
+    Scale shape: the whole selection is **row-local** — hash array, per-
+    window fold, distinct, join-back all as array expressions inside one
+    WholeStageCodegen span, ZERO exchanges (asserted by
+    tests/test_textmetrics_plan.py).  The oracle states the same semantics
+    relationally (frame window min + rightmost argmin join) — the shape a
+    naive engine would shuffle; here it costs O(len * w) per row at scan
+    speed.  Docs shorter than k+w-1 chars (no full window) are excluded on
+    both sides."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.where(
+        F.col("text").isNotNull() & (F.length("text") >= _WIN_K + _WIN_W - 1)
+    )
+    hs = F.transform(char_ngrams("text", _WIN_K), lambda s: hash64(s))
+    base = docs.select("doc_id", hs.alias("hs")).select(
+        "doc_id", "hs", F.size("hs").alias("n")
+    )
+    # Rightmost min of hs[t .. t+w-1] for every full window start t.
+    picks = F.transform(
+        F.sequence(F.lit(1), F.col("n") - (_WIN_W - 1)),
+        lambda t: F.aggregate(
+            F.sequence(F.lit(0), F.lit(_WIN_W - 1)),
+            F.struct(
+                F.lit(None).cast("long").alias("h"), F.lit(-1).cast("long").alias("p")
+            ),
+            lambda acc, j: F.when(
+                acc["h"].isNull() | (F.element_at("hs", (t + j).cast("int")) <= acc["h"]),
+                F.struct(
+                    F.element_at("hs", (t + j).cast("int")).alias("h"),
+                    (t + j).cast("long").alias("p"),
+                ),
+            ).otherwise(acc),
+        )["p"],
+    )
+    sel = F.array_sort(F.array_distinct(picks))
+    return base.select(
+        "doc_id",
+        "hs",
+        F.col("n").cast("long").alias("n_kgrams"),
+        sel.alias("sel"),
+    ).select(
+        "doc_id",
+        "n_kgrams",
+        F.size("sel").cast("long").alias("n_selected"),
+        F.array_join(
+            F.transform(
+                "sel",
+                lambda p: F.concat_ws(
+                    ":",
+                    p.cast("string"),
+                    F.element_at("hs", p.cast("int")).cast("string"),
+                ),
+            ),
+            ",",
+        ).alias("winnow_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C59. corpus_entropy — character-class entropy quality screen
+
+_ENT_CLASSES = (
+    ("lower", "[a-z]"),
+    ("upper", "[A-Z]"),
+    ("digit", "[0-9]"),
+    ("space", " "),
+)
+_ENT_LOW = 0.6  # nats; max is ln(5) ~ 1.609 over 5 classes
+
+_SQL_ENT_TERM = "CASE WHEN {c} > 0 THEN ({c} * 1.0 / n) * ln({c} * 1.0 / n) ELSE 0.0 END"
+
+
+@register(
+    "corpus_entropy",
+    oracle=f"""
+    WITH counts AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n,
+               {", ".join(
+                   f"CAST(length(regexp_extract_all(text, '{re_}')) AS BIGINT) AS c_{name}"
+                   for name, re_ in _ENT_CLASSES
+               )}
+        FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ),
+    full_counts AS (
+        SELECT *, n - (c_lower + c_upper + c_digit + c_space) AS c_other
+        FROM counts
+    )
+    SELECT doc_id, n, c_lower, c_upper, c_digit, c_space, c_other,
+           ROUND(-({" + ".join(
+               _SQL_ENT_TERM.format(c=f"c_{name}")
+               for name in ("lower", "upper", "digit", "space", "other")
+           )}), 6) AS class_entropy,
+           ROUND(-({" + ".join(
+               _SQL_ENT_TERM.format(c=f"c_{name}")
+               for name in ("lower", "upper", "digit", "space", "other")
+           )}), 6) < {_ENT_LOW} AS low_entropy
+    FROM full_counts
+    """,
+)
+def corpus_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class Shannon entropy per document — the cheap information-
+    density screen a pretraining pipeline runs before tokenization: pure
+    single-class runs (base64 blobs, digit dumps, whitespace padding) score
+    near 0 nats and are flagged ``low_entropy``; normal prose mixes lower/
+    upper/digit/space/punct and lands near 1 nat.
+
+    Engine exactness: counts are integer regexp counts over disjoint ASCII
+    classes ('other' is the exact remainder, so the five probabilities sum
+    to 1 by construction); each p*ln(p) term uses the identical
+    double-divide-then-ln expression chained in a fixed class order, and
+    the entropy is ROUND()ed to 6 digits before comparison and before the
+    threshold test (the tfidf ln-parity discipline — libm ulp differences
+    vanish at 1e-6).  The flag compares the *rounded* value so both engines
+    branch on the same number.
+
+    Scale shape: fully row-local — four regexp counts + arithmetic in one
+    WholeStageCodegen span, no shuffle, scan reads (doc_id, text) only;
+    at 100 TB this runs at scan speed ahead of the expensive dedup stages
+    (same contract as quality_score / corpus_readability)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.where(F.col("text").isNotNull() & (F.length("text") > 0)).select(
+        "doc_id",
+        F.length("text").cast("long").alias("n"),
+        *[
+            F.regexp_count("text", F.lit(re_)).cast("long").alias(f"c_{name}")
+            for name, re_ in _ENT_CLASSES
+        ],
+    )
+    base = base.withColumn(
+        "c_other",
+        F.col("n") - (F.col("c_lower") + F.col("c_upper") + F.col("c_digit") + F.col("c_space")),
+    )
+
+    def term(c: str) -> Column:
+        p = F.col(c) * 1.0 / F.col("n")
+        return F.when(F.col(c) > 0, p * F.log(p)).otherwise(F.lit(0.0))
+
+    ent = -(
+        term("c_lower") + term("c_upper") + term("c_digit") + term("c_space") + term("c_other")
+    )
+    ent6 = F.round(ent, 6)
+    return base.select(
+        "doc_id", "n", "c_lower", "c_upper", "c_digit", "c_space", "c_other",
+        ent6.alias("class_entropy"),
+        (ent6 < _ENT_LOW).alias("low_entropy"),
+    )

@@ -33,6 +33,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from mapreduceimplementation_spark.functions.hashing import hash64, sql_hash64
 from mapreduceimplementation_spark.functions.hashing import py_hash64 as _h64_py
 from mapreduceimplementation_spark.functions.vectors import dot, l2_norm
 from mapreduceimplementation_spark.registry import register
@@ -1743,5 +1744,166 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.transform("e", lambda x, i: code(x, i).cast("string")), ","
             ).alias("codes_fp"),
             F.size("e").alias("dim"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C60. embedding_pq — product quantization (FAISS IVFPQ's code stage)
+
+_PQ_M = 8        # subspaces
+_PQ_DSUB = 8     # dims per subspace
+_PQ_DIM = _PQ_M * _PQ_DSUB
+_PQ_K = 16       # codewords per subspace (4-bit codes)
+
+
+def _sql_pq_dist() -> str:
+    """Left-assoc chain of the 8 squared-diff terms for subspace m (column
+    ``m`` from UNNEST) — identical shape to the Spark fold so doubles are
+    bit-equal."""
+    terms = [
+        f"(CAST(e.embedding[m * {_PQ_DSUB} + {j + 1}] AS DOUBLE)"
+        f" - CAST(cb.ce[m * {_PQ_DSUB} + {j + 1}] AS DOUBLE))"
+        f" * (CAST(e.embedding[m * {_PQ_DSUB} + {j + 1}] AS DOUBLE)"
+        f" - CAST(cb.ce[m * {_PQ_DSUB} + {j + 1}] AS DOUBLE))"
+        for j in range(_PQ_DSUB)
+    ]
+    return " + ".join(terms)
+
+
+@register(
+    "embedding_pq",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding FROM embeddings WHERE len(embedding) > 0
+    ),
+    seeds AS (
+        SELECT embedding AS ce, vec_id,
+               {sql_hash64("'pq' || CAST(vec_id AS VARCHAR)")} AS h
+        FROM e
+    ),
+    cb AS (
+        SELECT CAST(rn - 1 AS INT) AS k, ce FROM (
+            SELECT ce, row_number() OVER (ORDER BY h, vec_id) AS rn FROM seeds
+        ) WHERE rn <= {_PQ_K}
+    ),
+    dists AS (
+        SELECT e.vec_id, t.m, cb.k,
+               ({_sql_pq_dist()}) AS dist
+        FROM e
+        CROSS JOIN cb
+        CROSS JOIN UNNEST(range(0, {_PQ_M})) t(m)
+    ),
+    codes AS (
+        SELECT vec_id, m, k, dist FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, m ORDER BY dist, k) AS rn
+            FROM dists
+        ) WHERE rn = 1
+    )
+    SELECT vec_id,
+           string_agg(CAST(k AS VARCHAR), ',' ORDER BY m) AS pq_fp,
+           CAST(FLOOR((0.0 + {" + ".join(
+               f"max(CASE WHEN m = {mm} THEN dist END)" for mm in range(_PQ_M)
+           )}) * 1000000.0) AS BIGINT) AS recon_err_micro
+    FROM codes
+    GROUP BY vec_id
+    """,
+)
+def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al., TPAMI'11 — the code stage of
+    FAISS IVFPQ): split each {dim}-dim vector into {M} subspaces of {dsub}
+    dims, assign each subvector to its nearest of {K} codewords by squared
+    L2, emit the {M}-byte code string plus the reconstruction error.  PQ is
+    the billion-vector memory play: 64 floats -> 8 nibbles (64x) while
+    preserving approximate distances via per-subspace lookup tables.
+
+    Codebook derivation is deterministic and engine-portable: the {K}
+    codewords of subspace m are the m-th subvectors of the {K} corpus
+    vectors with the smallest hash64('pq' || vec_id) — a k-min seed sample
+    (the real pipeline would run per-subspace k-means; the seed sample
+    keeps the oracle SQL-expressible while exercising the identical
+    assignment plan).  Ties on distance break toward the smallest codeword
+    id on both engines (fold keeps the first strict improvement; oracle
+    orders by (dist, k)).
+
+    Engine exactness: squared-L2 per subspace is the identical left-assoc
+    chain of 8 double squared-diff terms on float32 inputs (bit-equal — no
+    pow(), no reordering); the total error folds subspace distances in m
+    order from 0.0 and is floored to integer micro-units (no ROUND
+    half-mode hazard).
+
+    Scale shape: the codebook is a distributed top-{K} (TakeOrderedAndProject
+    — no global sort, no single-partition window) collapsed to ONE row and
+    broadcast; assignment is then row-local fold over the 16-struct array
+    inside codegen — the corpus is scanned once, never shuffled, and the
+    only exchange is the {K}-row seed selection.  At 100 TB the plan is
+    scan + broadcast-nested-loop of one row, exactly how a PQ encoder
+    shards."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("e")
+    )
+    emb = emb.where(F.size("e") > 0).where(
+        F.assert_true(
+            F.size("e") == _PQ_DIM,
+            F.lit(f"embedding_pq: expected dim {_PQ_DIM} (got a different length)"),
+        ).isNull()
+    )
+    seeds = (
+        emb.select(
+            "e",
+            hash64(F.concat(F.lit("pq"), F.col("vec_id").cast("string"))).alias("h"),
+            "vec_id",
+        )
+        .orderBy("h", "vec_id")
+        .limit(_PQ_K)
+    )
+    cb_row = (
+        seeds.groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("h", "vec_id", "e"))).alias("_s"))
+        .select(
+            F.transform(
+                "_s", lambda s, i: F.struct(i.cast("int").alias("k"), s["e"].alias("ce"))
+            ).alias("cb")
+        )
+    )
+
+    def sub_dist(ce: Column, m: Column) -> Column:
+        d = None
+        for j in range(_PQ_DSUB):
+            idx = m * _PQ_DSUB + F.lit(j)  # 0-based for F.get
+            diff = F.get(F.col("e"), idx).cast("double") - F.get(ce, idx).cast("double")
+            t = diff * diff
+            d = t if d is None else d + t
+        return d
+
+    best = lambda m: F.aggregate(  # noqa: E731
+        "cb",
+        F.struct(
+            F.lit(None).cast("double").alias("d"), F.lit(-1).cast("int").alias("k")
+        ),
+        lambda acc, c: F.when(
+            acc["d"].isNull() | (sub_dist(c["ce"], m) < acc["d"]),
+            F.struct(sub_dist(c["ce"], m).alias("d"), c["k"].alias("k")),
+        ).otherwise(acc),
+    )
+    codes = F.transform(F.sequence(F.lit(0), F.lit(_PQ_M - 1)), lambda m: best(m))
+    return (
+        emb.crossJoin(F.broadcast(cb_row))
+        .select("vec_id", codes.alias("codes"))
+        .select(
+            "vec_id",
+            F.array_join(
+                F.transform("codes", lambda c: c["k"].cast("string")), ","
+            ).alias("pq_fp"),
+            F.floor(
+                F.aggregate(
+                    "codes", F.lit(0.0), lambda acc, c: acc + c["d"]
+                )
+                * 1000000.0
+            )
+            .cast("long")
+            .alias("recon_err_micro"),
         )
     )

@@ -266,3 +266,90 @@ def test_hll_merge_audit_invariant_holds(spark, sf_dir, duck):
     assert row["est_users"] == row["est_merged_users"]
     assert row["within_3sigma"]
     assert row["n_days"] > 1  # multi-day feed: the merge is non-trivial
+
+
+def test_winnowing_fingerprint_no_exchange(spark, sf_dir):
+    """C58: the whole winnowing selection is row-local — zero shuffles."""
+    df = eng.QUERIES["winnowing_fingerprint"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_winnowing_fingerprint_hand_case(spark):
+    """C58 against a pure-Python winnow of the same corpus: identical
+    selected (pos, hash) sets, and the coverage guarantee — every window
+    of w consecutive k-grams contains at least one selected position."""
+    import os
+    import tempfile
+
+    from mapreduceimplementation_spark.functions.hashing import py_hash64
+    from mapreduceimplementation_spark.operators.textmetrics import (
+        _WIN_K,
+        _WIN_W,
+        winnowing_fingerprint,
+    )
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog and runs away fast",
+        2: "abababababababababababab",  # heavy k-gram repetition -> hash ties
+        3: "short",  # below k+w-1: must be excluded
+        4: "x" * (_WIN_K + _WIN_W - 1),  # exactly one window, all-equal hashes
+    }
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        out = winnowing_fingerprint(spark, d).toPandas().set_index("doc_id")
+
+    def brute(text):
+        n = len(text) - _WIN_K + 1
+        hs = [py_hash64(text[i : i + _WIN_K]) for i in range(n)]
+        picks = set()
+        for t in range(n - _WIN_W + 1):
+            w = hs[t : t + _WIN_W]
+            m = min(w)
+            # rightmost occurrence of the min
+            p = t + max(j for j, h in enumerate(w) if h == m)
+            picks.add(p)
+        return hs, sorted(picks)
+
+    assert 3 not in out.index
+    for doc_id in (1, 2, 4):
+        hs, picks = brute(texts[doc_id])
+        row = out.loc[doc_id]
+        assert row["n_kgrams"] == len(hs)
+        expect_fp = ",".join(f"{p + 1}:{hs[p]}" for p in picks)
+        assert row["winnow_fp"] == expect_fp
+        assert row["n_selected"] == len(picks)
+        # coverage guarantee
+        sel = set(picks)
+        for t in range(len(hs) - _WIN_W + 1):
+            assert sel & set(range(t, t + _WIN_W)), (doc_id, t)
+
+
+def test_corpus_entropy_no_exchange_and_hand_case(spark, sf_dir):
+    """C59: row-local plan; exact entropy on hand-mixed docs."""
+    import math
+    import os
+    import tempfile
+
+    from mapreduceimplementation_spark.operators.textmetrics import corpus_entropy
+
+    df = eng.QUERIES["corpus_entropy"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "aA1 ."), (3, "0000000000")], ["doc_id", "text"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        out = corpus_entropy(spark, d).toPandas().set_index("doc_id")
+    # single-class docs: entropy 0, flagged
+    assert out.loc[1, "class_entropy"] == 0.0 and bool(out.loc[1, "low_entropy"])
+    assert out.loc[3, "class_entropy"] == 0.0 and bool(out.loc[3, "low_entropy"])
+    # uniform over 5 classes: ln(5)
+    assert out.loc[2, "class_entropy"] == round(math.log(5), 6)
+    assert not bool(out.loc[2, "low_entropy"])
+    assert (
+        out.loc[2, ["c_lower", "c_upper", "c_digit", "c_space", "c_other"]] == 1
+    ).all()

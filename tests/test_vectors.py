@@ -407,3 +407,61 @@ def test_quantize_constant_dim_is_zero(spark):
     assert out[1].split(",")[1] == "255"
     assert out[2].split(",")[1] == "0"
     assert out[3].split(",")[1] == "127"
+
+
+def test_embedding_pq_matches_brute_force(spark, sf_dir):
+    """C60 against a pure-Python PQ encoder: identical codebook (k-min
+    seeds by hash), identical per-subspace argmin codes, identical
+    micro-unit reconstruction error — and the plan broadcasts the one-row
+    codebook instead of shuffling the corpus."""
+    import numpy as np
+    import pandas as pd
+
+    import mapreduceimplementation_spark as eng
+    from mapreduceimplementation_spark.functions.hashing import py_hash64
+    from mapreduceimplementation_spark.operators.vectors import (
+        _PQ_DSUB,
+        _PQ_K,
+        _PQ_M,
+    )
+
+    df = eng.QUERIES["embedding_pq"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    out = df.toPandas().set_index("vec_id").sort_index()
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = emb[emb["embedding"].map(len) > 0]
+    seeds = sorted(
+        emb["vec_id"], key=lambda v: (py_hash64(f"pq{v}"), v)
+    )[:_PQ_K]
+    cb = {
+        int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float32)
+        for _, r in emb.iterrows()
+        if int(r["vec_id"]) in set(seeds)
+    }
+    codebook = [cb[v] for v in seeds]  # k = index
+
+    n_checked = 0
+    for vid, r in emb.set_index("vec_id").iterrows():
+        x = np.asarray(r["embedding"], dtype=np.float32)
+        codes, err = [], 0.0
+        for m in range(_PQ_M):
+            lo, hi = m * _PQ_DSUB, (m + 1) * _PQ_DSUB
+            best_d, best_k = None, -1
+            for k, c in enumerate(codebook):
+                d = 0.0
+                for j in range(lo, hi):
+                    t = float(x[j]) - float(c[j])
+                    d += t * t
+                if best_d is None or d < best_d:
+                    best_d, best_k = d, k
+            codes.append(best_k)
+            err += best_d
+        row = out.loc[vid]
+        assert row["pq_fp"] == ",".join(map(str, codes)), vid
+        assert row["recon_err_micro"] == int(np.floor(err * 1_000_000.0)), vid
+        n_checked += 1
+        if n_checked >= 60:
+            break
+    assert n_checked >= 60
