@@ -1,5 +1,6 @@
-"""Retrieval operators for LLM-data pipelines (SURVEY.md §2 C56):
-BM25 ranked retrieval over the documents table.
+"""Retrieval operators for LLM-data pipelines (SURVEY.md §2 C56, C61):
+BM25 ranked retrieval over the documents table and hybrid lexical+vector
+fusion (reciprocal-rank fusion) against the embeddings table.
 
 Scale design (the 100 TB contract):
 
@@ -25,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from mapreduceimplementation_spark.functions.text import word_tokens
+from mapreduceimplementation_spark.functions.vectors import dot
 from mapreduceimplementation_spark.registry import register
 from mapreduceimplementation_spark.session import tune
 from mapreduceimplementation_spark.sources.tables import load_table
@@ -34,11 +36,15 @@ _BM25_B = "CAST(0.75 AS DOUBLE)"  # length normalization
 _BM25_PROBES = 4  # query-by-example probes: the 4 lowest doc_ids
 _BM25_TOPK = 5
 
+#: default probes: the lowest-doc_id documents that have tokens at all
+_SQL_BM25_PROBES = f"SELECT doc_id AS q_id FROM dl ORDER BY doc_id LIMIT {_BM25_PROBES}"
 
-@register(
-    "bm25_topk",
-    oracle=f"""
-    WITH tok AS (
+
+def _sql_bm25_ctes(probe_sql: str) -> str:
+    """The BM25 CTE chain (tok/dl/stats/df/probes/qterms/contrib/scored)
+    with a pluggable probe relation — ONE scoring definition shared by the
+    C56 oracle and the C61 hybrid-fusion oracle so the two cannot drift."""
+    return f"""tok AS (
         SELECT doc_id, w AS term, count(*) AS tf
         FROM (SELECT doc_id,
                      unnest(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'),
@@ -54,7 +60,7 @@ _BM25_TOPK = 5
     ), df AS (
         SELECT term, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY 1
     ), probes AS (
-        SELECT doc_id AS q_id FROM dl ORDER BY doc_id LIMIT {_BM25_PROBES}
+        {probe_sql}
     ), qterms AS (
         SELECT p.q_id, t.term
         FROM probes p JOIN tok t ON t.doc_id = p.q_id
@@ -78,7 +84,13 @@ _BM25_TOPK = 5
     ), scored AS (
         SELECT q_id, doc_id, CAST(sum(c) AS BIGINT) AS score_micro
         FROM contrib GROUP BY 1, 2
-    )
+    )"""
+
+
+@register(
+    "bm25_topk",
+    oracle=f"""
+    WITH {_sql_bm25_ctes(_SQL_BM25_PROBES)}
     SELECT q_id, CAST(rnk AS BIGINT) AS rnk, doc_id, score_micro
     FROM (SELECT q_id, doc_id, score_micro,
                  row_number() OVER (PARTITION BY q_id
@@ -116,6 +128,23 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape with counts; the scoring join is ii.go's word->docs inversion
     consumed query-side."""
     tune(spark)
+    probes_of = lambda dl: dl.select(  # noqa: E731
+        F.col("doc_id").alias("q_id")
+    ).orderBy("q_id").limit(_BM25_PROBES)
+    scored = _bm25_scored(spark, sf_dir, probes_of)
+    w = Window.partitionBy("q_id").orderBy(F.col("score_micro").desc(), "doc_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= _BM25_TOPK)
+        .select("q_id", "rnk", "doc_id", "score_micro")
+    )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str, probes_of) -> DataFrame:
+    """Full BM25 scoring relation (q_id, doc_id, score_micro) — the Spark
+    twin of ``_sql_bm25_ctes``; ``probes_of(dl)`` supplies the probe set
+    (C56: lowest doc_ids with tokens; C61: lowest ids present in both
+    documents and embeddings)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tok = (
         word_tokens(docs.where(F.col("text").isNotNull()), "text", "term")
@@ -135,13 +164,11 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     df_ = tok.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    probes = dl.select(F.col("doc_id").alias("q_id")).orderBy("q_id").limit(
-        _BM25_PROBES
-    )
+    probes = probes_of(dl)
     qterms = F.broadcast(
         probes.join(tok, probes["q_id"] == tok["doc_id"]).select("q_id", "term")
     )
-    d = lambda c: c.cast("double")
+    d = lambda c: c.cast("double")  # noqa: E731
     k1 = F.expr(_BM25_K1)
     b = F.expr(_BM25_B)
     one = F.expr("CAST(1 AS DOUBLE)")
@@ -168,12 +195,177 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("c"),
     )
-    scored = contrib.groupBy("q_id", "doc_id").agg(
+    return contrib.groupBy("q_id", "doc_id").agg(
         F.sum("c").cast("long").alias("score_micro")
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("score_micro").desc(), "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# C61. hybrid_search_rrf — lexical + vector fusion (reciprocal-rank fusion)
+
+_RRF_K = 60  # Cormack et al. SIGIR'09 constant
+_RRF_TOPK = 10
+_RRF_SCALE = "CAST(1000000000 AS DOUBLE)"  # 1e9: 1/(60+r) keeps ~7 digits
+
+#: hybrid probes: lowest ids present in BOTH modalities (a doc with text
+#: tokens AND an embedding), stated against the BM25 dl CTE + embeddings
+_SQL_RRF_PROBES = f"""
+        SELECT dl.doc_id AS q_id
+        FROM dl JOIN embeddings e ON e.vec_id = dl.doc_id
+        WHERE len(e.embedding) > 0
+        ORDER BY 1 LIMIT {_BM25_PROBES}
+"""
+
+
+def _sql_rrf_term(rank: str) -> str:
     return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= _BM25_TOPK)
-        .select("q_id", "rnk", "doc_id", "score_micro")
+        f"COALESCE(CAST(1 AS DOUBLE) / (CAST({_RRF_K} AS DOUBLE)"
+        f" + CAST({rank} AS DOUBLE)), CAST(0 AS DOUBLE))"
+    )
+
+
+def _rrf_oracle() -> str:
+    from mapreduceimplementation_spark.operators.vectors import (  # noqa: PLC0415
+        _SQL_COS,
+        _SQL_NORMED,
+    )
+
+    return f"""
+    WITH {_sql_bm25_ctes(_SQL_RRF_PROBES)},
+    {_SQL_NORMED},
+    lex AS (
+        SELECT q_id, doc_id,
+               CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY score_micro DESC, doc_id) AS BIGINT) AS lex_rank
+        FROM scored
+    ),
+    sem AS (
+        SELECT q_id, doc_id, CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY cos DESC, doc_id) AS BIGINT) AS sem_rank
+        FROM (
+            SELECT p.q_id, nc.vec_id AS doc_id, ROUND({_SQL_COS}, 6) AS cos
+            FROM probes p, n nq, n nc
+            WHERE nq.vec_id = p.q_id AND nc.vec_id <> p.q_id
+        )
+    ),
+    fused AS (
+        SELECT COALESCE(l.q_id, s.q_id) AS q_id,
+               COALESCE(l.doc_id, s.doc_id) AS doc_id,
+               l.lex_rank, s.sem_rank,
+               CAST(floor(({_sql_rrf_term("l.lex_rank")}
+                           + {_sql_rrf_term("s.sem_rank")})
+                          * {_RRF_SCALE}) AS BIGINT) AS rrf_micro
+        FROM lex l FULL OUTER JOIN sem s
+          ON s.q_id = l.q_id AND s.doc_id = l.doc_id
+    )
+    SELECT q_id, CAST(rnk AS BIGINT) AS rnk, doc_id, rrf_micro,
+           lex_rank, sem_rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                    ORDER BY rrf_micro DESC, doc_id) AS rnk
+          FROM fused)
+    WHERE rnk <= {_RRF_TOPK}
+    """
+
+
+@register("hybrid_search_rrf", oracle=_rrf_oracle())
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical ranks fused with exact-cosine vector
+    ranks by reciprocal-rank fusion (RRF, Cormack et al. SIGIR'09:
+    score = sum 1/(60+rank)) — the stock recipe of every modern two-tower
+    search stack (lexical recalls exact terms, vectors recall paraphrase;
+    RRF needs no score calibration because it consumes only RANKS).
+    Probes are the {_BM25_PROBES} lowest ids present in BOTH modalities;
+    output is the fused top-{_RRF_TOPK} per probe with the per-modality
+    ranks carried (NULL = not retrieved by that modality).
+
+    Correctness shape: the lexical relation is the IDENTICAL scoring
+    definition as C56 (one shared CTE/Builder — the two cannot drift) with
+    only the probe set swapped; ranks are computed over bit-stable keys
+    (integer micro-unit BM25 scores; ROUND(cos,6) as certified by C10),
+    ties on doc_id; the two RRF terms are divided and summed in a fixed
+    order and floor'd to 1e-9-grain integers, so the fused ranking is
+    engine-exact and the full FULL OUTER fusion join is stated literally
+    in the oracle.
+
+    Scale shape: everything the C56/C10 plans do (one corpus scan for
+    postings, vocab-bounded stats, broadcast probe terms; broadcast probe
+    vectors streamed over the corpus once) plus ONE fusion join keyed on
+    (q_id, doc_id) — both sides are per-probe rankings, so its volume is
+    probes x corpus, and in production both sides are first cut to
+    per-modality top-k making the fusion join trivially small.  The
+    corpus-wide ranking here is the audit harness, same contract as C56."""
+    tune(spark)
+    from mapreduceimplementation_spark.operators.vectors import _normed  # noqa: PLC0415
+
+    n = _normed(spark, sf_dir)
+    probes_of = lambda dl: (  # noqa: E731
+        dl.join(n, dl["doc_id"] == n["vec_id"])
+        .select(F.col("doc_id").alias("q_id"))
+        .orderBy("q_id")
+        .limit(_BM25_PROBES)
+    )
+    scored = _bm25_scored(spark, sf_dir, probes_of)
+    wlex = Window.partitionBy("q_id").orderBy(F.col("score_micro").desc(), "doc_id")
+    lex = scored.select(
+        "q_id", "doc_id", F.row_number().over(wlex).cast("long").alias("lex_rank")
+    )
+    # semantic: broadcast the probe vectors, stream the corpus once (the
+    # C10 BroadcastNestedLoopJoin-by-design class)
+    # probe set must equal the oracle's dl-based set: docs with >=1 token
+    # (a doc tokenizes to >=1 word iff its text contains a letter) that
+    # also carry a non-empty embedding
+    probes = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("text").isNotNull() & F.col("text").rlike("[A-Za-z]"))
+        .join(n, F.col("doc_id") == n["vec_id"])
+        .select(
+            F.col("doc_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+        )
+        .orderBy("q_id")
+        .limit(_BM25_PROBES)
+    )
+    cos = F.round(dot("v", "qv") / (F.col("nrm") * F.col("qnrm")), 6)
+    wsem = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "doc_id")
+    sem = (
+        n.crossJoin(F.broadcast(probes))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("doc_id"), cos.alias("cos"))
+        .select(
+            "q_id",
+            "doc_id",
+            F.row_number().over(wsem).cast("long").alias("sem_rank"),
+        )
+    )
+    term = lambda c: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(float(_RRF_K)) + c.cast("double")), F.lit(0.0)
+    )
+    fused = (
+        lex.alias("l")
+        .join(
+            sem.alias("s"),
+            (F.col("s.q_id") == F.col("l.q_id"))
+            & (F.col("s.doc_id") == F.col("l.doc_id")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("l.q_id"), F.col("s.q_id")).alias("q_id"),
+            F.coalesce(F.col("l.doc_id"), F.col("s.doc_id")).alias("doc_id"),
+            F.col("l.lex_rank").alias("lex_rank"),
+            F.col("s.sem_rank").alias("sem_rank"),
+            F.floor(
+                (term(F.col("l.lex_rank")) + term(F.col("s.sem_rank")))
+                * F.expr(_RRF_SCALE)
+            )
+            .cast("long")
+            .alias("rrf_micro"),
+        )
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.col("rrf_micro").desc(), "doc_id")
+    return (
+        fused.withColumn("rnk", F.row_number().over(wf).cast("long"))
+        .where(F.col("rnk") <= _RRF_TOPK)
+        .select("q_id", "rnk", "doc_id", "rrf_micro", "lex_rank", "sem_rank")
     )

@@ -144,6 +144,10 @@ INVENTORY = [
     "streaming_quantile_sketch",  # D14: mergeable histogram cells on a stream
     "bm25_topk",             # C56: BM25 query-by-example retrieval
     "dedup_incremental",     # C57: batch-vs-index LSH dedup, no re-pairing
+    "winnowing_fingerprint", # C58: MOSS winnowing positional fingerprint
+    "corpus_entropy",        # C59: char-class entropy quality screen
+    "embedding_pq",          # C60: product quantization codes + recon error
+    "hybrid_search_rrf",     # C61: BM25 + cosine reciprocal-rank fusion
     "streaming_cms_topk",    # D15: count-min cells on a stream
     "raft_snapshot_audit",   # B68: InstallSnapshot state-consistency audit
     "events_hll_users",      # C49: deterministic HLL-256 cardinality audit
