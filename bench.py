@@ -104,6 +104,12 @@ HEADLINE = [
     "raft_snapshot_audit",
     "streaming_quantile_sketch",
     "streaming_cms_topk",
+    # end-of-round-6 additions: the row-local winnowing + entropy scans,
+    # the broadcast-codebook PQ encoder, and the two-pipeline RRF fusion
+    "winnowing_fingerprint",
+    "corpus_entropy",
+    "embedding_pq",
+    "hybrid_search_rrf",
 ]
 
 CANARY = "mr_wordcount"

@@ -72,6 +72,11 @@ _FUZZ_QUERIES = [
     "corpus_readability",
     "lang_id",
     "corpus_sample_stratified",
+    # r6 end additions: winnowing's rightmost-tie rule under heavy k-gram
+    # repetition, and the entropy screen's disjoint-class accounting on
+    # digit/punct/space-only degenerate docs
+    "winnowing_fingerprint",
+    "corpus_entropy",
 ]
 
 

@@ -67,6 +67,14 @@ _SCALE_PLAN_QUERIES = [
     "bm25_topk",
     "raft_snapshot_audit",
     "corpus_readability",
+    # end-of-round-6 families: row-local winnowing/entropy scans must stay
+    # exchange-free at 10x; PQ's one-row codebook and RRF's probe-side
+    # broadcasts must survive growth (the data side must never flip to the
+    # build side)
+    "winnowing_fingerprint",
+    "corpus_entropy",
+    "embedding_pq",
+    "hybrid_search_rrf",
 ]
 
 
