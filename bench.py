@@ -110,6 +110,7 @@ HEADLINE = [
     "corpus_entropy",
     "embedding_pq",
     "hybrid_search_rrf",
+    "ann_ivfpq",
 ]
 
 CANARY = "mr_wordcount"

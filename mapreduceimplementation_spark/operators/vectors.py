@@ -1760,7 +1760,9 @@ _PQ_K = 16       # codewords per subspace (4-bit codes)
 def _sql_pq_dist() -> str:
     """Left-assoc chain of the 8 squared-diff terms for subspace m (column
     ``m`` from UNNEST) — identical shape to the Spark fold so doubles are
-    bit-equal."""
+    bit-equal.  Expects the vector relation aliased ``e`` and the codebook
+    aliased ``cb`` (shared by the C60 oracle's dists CTE, C62's pqdist
+    twin, and C62's query-LUT — one distance definition)."""
     terms = [
         f"(CAST(e.embedding[m * {_PQ_DSUB} + {j + 1}] AS DOUBLE)"
         f" - CAST(cb.ce[m * {_PQ_DSUB} + {j + 1}] AS DOUBLE))"
@@ -1769,6 +1771,74 @@ def _sql_pq_dist() -> str:
         for j in range(_PQ_DSUB)
     ]
     return " + ".join(terms)
+
+
+def _pq_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings (vec_id, e) with the C60 dim guard: non-empty vectors,
+    loud failure on any length != {_PQ_DIM}."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("e")
+    )
+    return emb.where(F.size("e") > 0).where(
+        F.assert_true(
+            F.size("e") == _PQ_DIM,
+            F.lit(f"embedding_pq: expected dim {_PQ_DIM} (got a different length)"),
+        ).isNull()
+    )
+
+
+def _pq_codebook_row(emb: DataFrame) -> DataFrame:
+    """ONE-row codebook relation (cb: array<struct<k,ce>>, k ascending):
+    the {_PQ_K} corpus vectors with the smallest hash64('pq'||vec_id),
+    selected by distributed top-K (TakeOrderedAndProject) and collapsed for
+    broadcast.  Shared by C60 and C62 so the codebook cannot drift."""
+    seeds = (
+        emb.select(
+            "e",
+            hash64(F.concat(F.lit("pq"), F.col("vec_id").cast("string"))).alias("h"),
+            "vec_id",
+        )
+        .orderBy("h", "vec_id")
+        .limit(_PQ_K)
+    )
+    return (
+        seeds.groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("h", "vec_id", "e"))).alias("_s"))
+        .select(
+            F.transform(
+                "_s", lambda s, i: F.struct(i.cast("int").alias("k"), s["e"].alias("ce"))
+            ).alias("cb")
+        )
+    )
+
+
+def _pq_sub_dist(x: Column | str, ce: Column, m: Column) -> Column:
+    """Squared L2 between subspace m of vector column ``x`` and of codeword
+    ``ce`` — the Spark twin of ``_sql_pq_dist`` (same left-assoc chain)."""
+    xc = F.col(x) if isinstance(x, str) else x
+    d = None
+    for j in range(_PQ_DSUB):
+        idx = m * _PQ_DSUB + F.lit(j)  # 0-based for F.get
+        diff = F.get(xc, idx).cast("double") - F.get(ce, idx).cast("double")
+        t = diff * diff
+        d = t if d is None else d + t
+    return d
+
+
+def _pq_best(x: Column | str, m: Column) -> Column:
+    """Argmin fold over the broadcast ``cb`` array for subspace m of vector
+    column ``x``: struct(d = best distance, k = codeword id); ties keep the
+    smallest k (first strict improvement wins)."""
+    return F.aggregate(
+        "cb",
+        F.struct(
+            F.lit(None).cast("double").alias("d"), F.lit(-1).cast("int").alias("k")
+        ),
+        lambda acc, c: F.when(
+            acc["d"].isNull() | (_pq_sub_dist(x, c["ce"], m) < acc["d"]),
+            F.struct(_pq_sub_dist(x, c["ce"], m).alias("d"), c["k"].alias("k")),
+        ).otherwise(acc),
+    )
 
 
 @register(
@@ -1841,54 +1911,11 @@ def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan + broadcast-nested-loop of one row, exactly how a PQ encoder
     shards."""
     tune(spark)
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").alias("e")
+    emb = _pq_emb(spark, sf_dir)
+    cb_row = _pq_codebook_row(emb)
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1)), lambda m: _pq_best("e", m)
     )
-    emb = emb.where(F.size("e") > 0).where(
-        F.assert_true(
-            F.size("e") == _PQ_DIM,
-            F.lit(f"embedding_pq: expected dim {_PQ_DIM} (got a different length)"),
-        ).isNull()
-    )
-    seeds = (
-        emb.select(
-            "e",
-            hash64(F.concat(F.lit("pq"), F.col("vec_id").cast("string"))).alias("h"),
-            "vec_id",
-        )
-        .orderBy("h", "vec_id")
-        .limit(_PQ_K)
-    )
-    cb_row = (
-        seeds.groupBy()
-        .agg(F.array_sort(F.collect_list(F.struct("h", "vec_id", "e"))).alias("_s"))
-        .select(
-            F.transform(
-                "_s", lambda s, i: F.struct(i.cast("int").alias("k"), s["e"].alias("ce"))
-            ).alias("cb")
-        )
-    )
-
-    def sub_dist(ce: Column, m: Column) -> Column:
-        d = None
-        for j in range(_PQ_DSUB):
-            idx = m * _PQ_DSUB + F.lit(j)  # 0-based for F.get
-            diff = F.get(F.col("e"), idx).cast("double") - F.get(ce, idx).cast("double")
-            t = diff * diff
-            d = t if d is None else d + t
-        return d
-
-    best = lambda m: F.aggregate(  # noqa: E731
-        "cb",
-        F.struct(
-            F.lit(None).cast("double").alias("d"), F.lit(-1).cast("int").alias("k")
-        ),
-        lambda acc, c: F.when(
-            acc["d"].isNull() | (sub_dist(c["ce"], m) < acc["d"]),
-            F.struct(sub_dist(c["ce"], m).alias("d"), c["k"].alias("k")),
-        ).otherwise(acc),
-    )
-    codes = F.transform(F.sequence(F.lit(0), F.lit(_PQ_M - 1)), lambda m: best(m))
     return (
         emb.crossJoin(F.broadcast(cb_row))
         .select("vec_id", codes.alias("codes"))
@@ -1906,4 +1933,150 @@ def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("recon_err_micro"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C62. ann_ivfpq — IVF cell pruning + PQ asymmetric-distance ranking
+
+_SQL_PQ_CTES = f"""
+    pqe AS (
+        SELECT vec_id, embedding FROM embeddings WHERE len(embedding) > 0
+    ),
+    pqcb AS (
+        SELECT CAST(rn - 1 AS INT) AS k, ce FROM (
+            SELECT embedding AS ce, row_number() OVER (
+                ORDER BY {sql_hash64("'pq' || CAST(vec_id AS VARCHAR)")}, vec_id
+            ) AS rn
+            FROM pqe
+        ) WHERE rn <= {_PQ_K}
+    ),
+    pqcode AS (
+        SELECT vec_id, m, k FROM (
+            SELECT e.vec_id, t.m, cb.k, ({_sql_pq_dist()}) AS dist,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id, t.m
+                       ORDER BY ({_sql_pq_dist()}), cb.k) AS rn
+            FROM pqe e
+            CROSS JOIN pqcb cb
+            CROSS JOIN UNNEST(range(0, {_PQ_M})) t(m)
+        ) WHERE rn = 1
+    ),
+    pqlut AS (
+        SELECT e.vec_id AS q_id, t.m, cb.k, ({_sql_pq_dist()}) AS qd
+        FROM pqe e
+        CROSS JOIN pqcb cb
+        CROSS JOIN UNNEST(range(0, {_PQ_M})) t(m)
+        WHERE e.vec_id < {_Q_MAX}
+    )
+"""
+
+
+@register(
+    "ann_ivfpq",
+    oracle=f"""
+    WITH {_SQL_NORMED},
+    {_SQL_IVF_CAND_CTES},
+    {_SQL_PQ_CTES},
+    adc AS (
+        SELECT c.q_id, c.neighbor_id,
+               CAST(floor((0.0 + {" + ".join(
+                   f"max(CASE WHEN pc.m = {mm} THEN l.qd END)"
+                   for mm in range(_PQ_M)
+               )}) * 1000000.0) AS BIGINT) AS adc_micro
+        FROM cand c
+        JOIN pqcode pc ON pc.vec_id = c.neighbor_id
+        JOIN pqlut l ON l.q_id = c.q_id AND l.m = pc.m AND l.k = pc.k
+        GROUP BY c.q_id, c.neighbor_id
+    )
+    SELECT q_id, neighbor_id, adc_micro, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY adc_micro, neighbor_id) AS INT) AS rank
+        FROM adc
+    ) WHERE rank <= {_TOPK}
+    """,
+)
+def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (the FAISS IVFPQ search path, Jégou TPAMI'11): prune the
+    corpus to the query's {nprobe} best IVF cells (C11b's shared candidate
+    machinery), then rank candidates by PQ ASYMMETRIC distance — the query
+    precomputes a {M}x{K} lookup table of exact subspace distances to every
+    codeword, and each candidate costs {M} table lookups on its 4-bit codes
+    instead of a {dim}-dim float scan.  This is THE billion-vector search
+    recipe: cells prune I/O, codes shrink memory 64x, the LUT makes
+    per-candidate cost independent of dimensionality.
+
+    Correctness shape: candidates come from the SAME _SQL_IVF_CAND_CTES /
+    _ivf_candidates fragment as C11b/C53 (cannot drift); codes and the LUT
+    both state distances through the SAME _sql_pq_dist / _pq_sub_dist
+    left-assoc chain as C60 (one distance definition); the ADC total folds
+    the {M} lookups in m-order from 0.0 and floors to integer micro-units,
+    so ranking keys are bit-stable; ties break on neighbor_id.  The
+    oracle states the whole pipeline literally (cells -> nprobe -> codes
+    -> LUT join -> pivoted m-order sum).
+
+    Scale shape: the corpus is read twice (cell assignment off the normed
+    scan; ONE checkpointed scan shared by codebook seeds, codes and LUT —
+    all row-local against broadcast constants); the codebook is a {K}-row
+    top-K collapsed to one broadcast row; the per-query LUT is {Q} rows of
+    {M}x{K} doubles broadcast into the candidate join; candidates flow
+    through a broadcast equi-join on cell then two broadcast joins — the
+    only corpus-sized exchange is the final per-query top-k window over
+    candidates, which production caps per-cell.  At 100 TB the corpus is
+    written bucketed by cell with codes as a column: a query reads
+    nprobe/{K_ivf} of the data and never touches raw vectors."""
+    tune(spark)
+    n = _normed(spark, sf_dir)
+    cand = _ivf_candidates(n)
+    # three consumers (codebook seeds, corpus codes, query LUT) — checkpoint
+    # so the corpus parquet is read once, not re-scanned per consumer
+    emb = _pq_emb(spark, sf_dir).localCheckpoint()
+    cb_row = _pq_codebook_row(emb)
+    codes_df = (
+        emb.crossJoin(F.broadcast(cb_row))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+                lambda m: _pq_best("e", m)["k"],
+            ).alias("pq"),
+        )
+    )
+    qlut = (
+        emb.where(F.col("vec_id") < _Q_MAX)
+        .crossJoin(F.broadcast(cb_row))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+                lambda m: F.transform(
+                    "cb", lambda c: _pq_sub_dist("e", c["ce"], m)
+                ),
+            ).alias("lut"),
+        )
+    )
+    adc = (
+        cand.join(codes_df, "neighbor_id")
+        .join(F.broadcast(qlut), "q_id")
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.floor(
+                F.aggregate(
+                    F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+                    F.lit(0.0),
+                    lambda acc, m: acc
+                    + F.get(F.get("lut", m), F.get("pq", m)),
+                )
+                * 1000000.0
+            )
+            .cast("long")
+            .alias("adc_micro"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_micro", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= _TOPK)
+        .select("q_id", "neighbor_id", "adc_micro", "rank")
     )

@@ -75,6 +75,7 @@ _SCALE_PLAN_QUERIES = [
     "corpus_entropy",
     "embedding_pq",
     "hybrid_search_rrf",
+    "ann_ivfpq",
 ]
 
 

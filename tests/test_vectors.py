@@ -465,3 +465,83 @@ def test_embedding_pq_matches_brute_force(spark, sf_dir):
         if n_checked >= 60:
             break
     assert n_checked >= 60
+
+
+def test_ann_ivfpq_adc_and_candidates(spark, sf_dir, duck):
+    """C62: oracle parity; every reported ADC equals the Python-recomputed
+    LUT sum over the neighbor's PQ codes (codebook + codes re-derived from
+    scratch); every reported neighbor lies in one of the query's nprobe
+    IVF cells; ranks are dense and ADC-monotone."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    import mapreduceimplementation_spark as eng
+    from tests.conftest import assert_same_result
+
+    from mapreduceimplementation_spark.functions.hashing import py_hash64
+    from mapreduceimplementation_spark.operators.vectors import (
+        _IVF_NPROBE,
+        _PQ_DSUB,
+        _PQ_K,
+        _PQ_M,
+        _centroid,
+        _centroid_norm,
+        _IVF_K,
+    )
+
+    df = eng.QUERIES["ann_ivfpq"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["ann_ivfpq"])
+    out = df.toPandas()
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = emb[emb["embedding"].map(len) > 0]
+    vec = {
+        int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float32)
+        for _, r in emb.iterrows()
+    }
+    seeds = sorted(vec, key=lambda v: (py_hash64(f"pq{v}"), v))[:_PQ_K]
+    codebook = [vec[v] for v in seeds]
+
+    def sub_dist(x, c, m):
+        d = 0.0
+        for j in range(m * _PQ_DSUB, (m + 1) * _PQ_DSUB):
+            t = float(x[j]) - float(c[j])
+            d += t * t
+        return d
+
+    def codes_of(x):
+        return [
+            min(range(_PQ_K), key=lambda k: (sub_dist(x, codebook[k], m), k))
+            for m in range(_PQ_M)
+        ]
+
+    def cell_scores(x):
+        scores = []
+        for k in range(_IVF_K):
+            c = _centroid(k)
+            acc = 0.0
+            for a, b in zip(x, c):
+                acc = acc + float(a) * b
+            scores.append(acc / _centroid_norm(k))
+        return scores
+
+    cell = {v: max(range(_IVF_K), key=lambda k: (cell_scores(x)[k], -k)) for v, x in vec.items()}
+
+    for _, r in out.iterrows():
+        q, nb = int(r["q_id"]), int(r["neighbor_id"])
+        # ADC recompute: fold LUT entries in m order
+        cds = codes_of(vec[nb])
+        acc = 0.0
+        for m in range(_PQ_M):
+            acc = acc + sub_dist(vec[q], codebook[cds[m]], m)
+        assert r["adc_micro"] == math.floor(acc * 1_000_000.0), (q, nb)
+        # neighbor's cell must be among the query's nprobe best cells
+        qs = cell_scores(vec[q])
+        probed = sorted(range(_IVF_K), key=lambda k: (-qs[k], k))[:_IVF_NPROBE]
+        assert cell[nb] in probed, (q, nb)
+    for _, g in out.groupby("q_id"):
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert (g["adc_micro"].diff().dropna() >= 0).all()
