@@ -243,3 +243,48 @@ def compact_files(
     n = max(1, math.ceil(total / target_bytes))
     spark.read.parquet(path).coalesce(n).write.mode(mode).parquet(out)
     return n
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    num_buckets: int,
+    *bucket_cols: str,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a BUCKETED parquet table: rows hash-partitioned into
+    ``num_buckets`` files by ``bucket_cols``, the layout recorded in the
+    catalog.  Bucketing is the write-time answer to the read-time shuffle:
+    two facts bucketed on their join keys with the same bucket count
+    join WITHOUT exchanging either side — at 100 TB that deletes the
+    single most expensive stage of every recurring fact-to-fact join
+    (orders x lineitem every night), paying the shuffle ONCE at write.
+
+    The pre-write ``repartition(num_buckets, cols)`` aligns task
+    boundaries with bucket boundaries so each task writes one file per
+    bucket it owns instead of every task writing ``num_buckets`` small
+    files (the classic bucketed-write file explosion).
+
+    In-file rows are additionally sorted by the bucket columns
+    (``sortBy``) so bucketed sort-merge joins can skip the per-partition
+    sort when Spark trusts the recorded sort order."""
+    if not bucket_cols:
+        raise ValueError("write_bucketed requires at least one bucket column")
+    w = (
+        df.repartition(num_buckets, *[F.col(c) for c in bucket_cols])
+        .write.mode(mode)
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read back a bucketed table through the catalog (the bucket layout
+    only survives via the metastore — a raw parquet read of the same
+    files would discard it and reintroduce the join shuffle)."""
+    return spark.table(table)

@@ -275,3 +275,53 @@ def test_compact_files_merges_without_shuffle(spark, sf_dir, tmp_path):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_bucketed_write_joins_without_shuffle(spark, sf_dir, tmp_path):
+    """write_bucketed: orders and lineitem bucketed on their join keys with
+    the same bucket count sort-merge-join with ZERO Exchange (the shuffle
+    was paid once at write time), the plan reads both sides 'Bucketed: true',
+    and the join result is row-identical to the plain-parquet join."""
+    from mapreduceimplementation_spark.sources.sinks import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    write_bucketed(
+        orders, "t_orders_b", 8, "o_orderkey", path=str(tmp_path / "orders_b")
+    )
+    write_bucketed(
+        lineitem, "t_lineitem_b", 8, "l_orderkey", path=str(tmp_path / "lineitem_b")
+    )
+    try:
+        ob, lb = read_bucketed(spark, "t_orders_b"), read_bucketed(spark, "t_lineitem_b")
+        old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = ob.join(
+                lb, ob["o_orderkey"] == lb["l_orderkey"]
+            ).select("o_orderkey", "l_quantity", "o_totalprice", "l_extendedprice")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert "SortMergeJoin" in plan, plan
+            assert plan.count("Bucketed: true") == 2, plan
+            # the unbucketed twin shuffles both sides
+            plain = orders.join(
+                lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+            ).select("o_orderkey", "l_quantity", "o_totalprice", "l_extendedprice")
+            plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" in plain_plan, plain_plan
+            # identical rows
+            assert joined.exceptAll(plain).count() == 0
+            assert plain.exceptAll(joined).count() == 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
