@@ -64,6 +64,15 @@ _EMPTY_TOTAL = [
     "q20_potential_promotion",
     "q12_shipping_modes",
     "q21_waiting_suppliers",
+    # r6-end additions: row-local scans, the PQ/IVF-PQ broadcast-codebook
+    # family (empty corpus -> empty codebook -> empty codes, never a
+    # fabricated row), and the two-pipeline fusion
+    "winnowing_fingerprint",
+    "corpus_entropy",
+    "embedding_pq",
+    "ann_ivfpq",
+    "hybrid_search_rrf",
+    "bm25_topk",
 ]
 
 _ONE_ROW_ON_EMPTY = {
