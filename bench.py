@@ -111,6 +111,7 @@ HEADLINE = [
     "embedding_pq",
     "hybrid_search_rrf",
     "ann_ivfpq",
+    "streaming_asof_join",
 ]
 
 CANARY = "mr_wordcount"

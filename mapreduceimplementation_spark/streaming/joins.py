@@ -344,3 +344,152 @@ def streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate), trailing NULLs flushed by the no-data microbatch."""
     tune(spark)
     return run_full_outer_join(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# D16. streaming_asof_join — as-of (latest-click) attribution on streams
+
+_ASOF_SINK = "d16_asof_join_sink"
+
+#: purchases entering the as-of agg are bounded by this DECLARED cutoff so
+#: every kept purchase's 24 h tumbling window END (epoch-aligned, so
+#: exactly the cutoff) provably precedes the final watermark (events end
+#: 2024-01-30 ~23:xx minus the 1 h delay and the join's propagation
+#: adjustment) — the D10/D12 discipline applied to the chained agg: an
+#: unbounded trailing window can NEVER finalize before an availableNow run
+#: terminates, which silently drops the last days' purchases (verified:
+#: 53 rows missing at sf0.01 without the cutoff).
+_ASOF_PURCHASE_CUTOFF = "2024-01-28 00:00:00"
+
+
+def run_asof_join(
+    spark: SparkSession, path: str, sink: str = _ASOF_SINK, **source_options
+) -> DataFrame:
+    """AS-OF attribution on two live streams: each purchase joined to the
+    single LATEST click by the same user in the preceding 24 h.  Spark has
+    no native streaming as-of join; this composes it from two chained
+    stateful operators — the D4 watermarked interval join producing all
+    candidate (click, purchase) pairs, then a windowed aggregation taking
+    per-purchase max(struct(click_ts, click_event_id)) — the Spark-4
+    multi-stateful-operator pipeline (join state + agg state in one query,
+    watermark propagated through the join into the agg finalization).
+
+    Determinism: the argmax is a struct max — latest click_ts, then
+    largest click_event_id on exact ties — the same total order the
+    oracle's row_number states.  Emission: a purchase's group finalizes
+    only when the watermark passes its 24 h tumbling window end, so the
+    availableNow run (whose trailing no-data microbatch advances the
+    watermark to +inf) emits every attributed purchase exactly once and
+    equals the batch as-of join row-for-row (full hash gate).
+
+    Scale shape: join state is bounded by the declared interval exactly as
+    D4; agg state holds one struct per in-flight purchase (not per pair —
+    partial aggregation collapses candidates as they arrive), keyed and
+    evicted by window.  This is the streaming twin of the batch
+    events_asof_join (B13), which uses a window-function last-value plan."""
+    _size_stream_state(spark)
+    _stop_query(spark, sink)
+    clicks = (
+        _events_stream(spark, path, **source_options)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_event_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, path, **source_options)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        # watermark BEFORE the cutoff filter (see run_left_outer_join: the
+        # watermark node must see ALL purchases or the cutoff caps the
+        # watermark below the last kept window's end)
+        .withWatermark("purchase_ts", "1 hour")
+        .where(F.col("purchase_ts") < F.lit(_ASOF_PURCHASE_CUTOFF).cast("timestamp"))
+    )
+    pairs = clicks.join(
+        purchases,
+        F.expr(
+            """
+            user_id = p_user_id AND
+            purchase_ts >= click_ts AND
+            purchase_ts <= click_ts + INTERVAL 24 HOURS
+            """
+        ),
+    )
+    asof = (
+        pairs.groupBy(
+            # grouping may contain at most ONE event-time column: the
+            # window() marker.  purchase_ts (also event-time after the
+            # watermark) rides through max() instead — it is functionally
+            # determined by purchase_event_id, so the max is exact.
+            F.window("purchase_ts", "24 hours").alias("w"),
+            "purchase_event_id",
+            "p_user_id",
+        )
+        .agg(
+            F.max(F.struct("click_ts", "click_event_id")).alias("best"),
+            F.max("purchase_ts").alias("purchase_ts"),
+        )
+        .select(
+            "purchase_event_id",
+            F.col("p_user_id").alias("user_id"),
+            "purchase_ts",
+            F.col("best.click_event_id").alias("click_event_id"),
+            F.col("best.click_ts").alias("click_ts"),
+            (
+                F.unix_micros("purchase_ts") - F.unix_micros(F.col("best.click_ts"))
+            ).alias("micros_since_click"),
+        )
+    )
+    q = (
+        asof.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+@register(
+    "streaming_asof_join",
+    oracle=f"""
+    SELECT purchase_event_id, user_id, purchase_ts,
+           click_event_id, click_ts,
+           CAST(epoch_us(purchase_ts) - epoch_us(click_ts) AS BIGINT)
+               AS micros_since_click
+    FROM (
+        SELECT p.event_id AS purchase_event_id,
+               p.user_id AS user_id,
+               p.ts AS purchase_ts,
+               c.event_id AS click_event_id,
+               c.ts AS click_ts,
+               row_number() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        FROM events p
+        JOIN events c
+          ON c.user_id = p.user_id
+         AND p.event_type = 'purchase'
+         AND c.event_type = 'click'
+         AND p.ts < TIMESTAMP '{_ASOF_PURCHASE_CUTOFF}'
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL 24 HOURS
+    ) WHERE rn = 1
+    """,
+)
+def streaming_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming AS-OF join (latest click before each purchase) — the
+    operator Spark lacks natively, composed as interval-join -> windowed
+    argmax (two chained stateful operators); availableNow result equals
+    the batch as-of join exactly.  See run_asof_join."""
+    tune(spark)
+    return run_asof_join(spark, os.path.join(sf_dir, "events.parquet"))

@@ -149,6 +149,7 @@ INVENTORY = [
     "embedding_pq",          # C60: product quantization codes + recon error
     "hybrid_search_rrf",     # C61: BM25 + cosine reciprocal-rank fusion
     "ann_ivfpq",             # C62: IVF cell pruning + PQ asymmetric distance
+    "streaming_asof_join",   # D16: chained interval-join -> windowed argmax
     "streaming_cms_topk",    # D15: count-min cells on a stream
     "raft_snapshot_audit",   # B68: InstallSnapshot state-consistency audit
     "events_hll_users",      # C49: deterministic HLL-256 cardinality audit

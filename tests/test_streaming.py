@@ -836,3 +836,64 @@ def test_streaming_cms_multibatch_cells_merge(spark, sf_dir, tmp_path):
     )
     # CMS never undercounts
     assert all(r["cms_n"] >= r["exact_n"] for r in got.collect())
+
+
+def test_streaming_asof_join_multibatch_equals_batch(spark, sf_dir, tmp_path):
+    """D16: the chained stateful pipeline (interval join -> windowed
+    argmax) under maxFilesPerTrigger=1 — a click buffered in batch 1 must
+    win the argmax for a purchase arriving batches later, and windows must
+    finalize across microbatch boundaries; output equals the batch as-of
+    join (latest click per purchase, event_id tie-break) exactly."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from mapreduceimplementation_spark.streaming.joins import (
+        _ASOF_PURCHASE_CUTOFF,
+        run_asof_join,
+    )
+
+    path = _split_events(spark, sf_dir, tmp_path)
+    out = run_asof_join(spark, path, sink="d16_multibatch_sink", maxFilesPerTrigger=1)
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .where(F.col("ts") < F.lit(_ASOF_PURCHASE_CUTOFF).cast("timestamp"))
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    w = Window.partitionBy("purchase_event_id").orderBy(
+        F.col("click_ts").desc(), F.col("click_event_id").desc()
+    )
+    batch = (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 24 HOURS")),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "purchase_event_id",
+            "user_id",
+            "purchase_ts",
+            "click_event_id",
+            "click_ts",
+            (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias(
+                "micros_since_click"
+            ),
+        )
+    )
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert a == b
+    assert len(a) > 0
