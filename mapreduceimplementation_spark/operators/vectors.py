@@ -131,9 +131,12 @@ def _normed(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_SQL_NORMED}
     SELECT vec_id,
            CAST(len(v) AS INT) AS dim,
-           ROUND(nrm, 6) AS norm,
+           floor(nrm * 1000000.0 + 0.5) / 1000000.0 AS norm,
            array_to_string(
-               list_transform(v, x -> CAST(round(x / nrm * 1000000) AS BIGINT)),
+               list_transform(v, x -> CAST(CASE
+                   WHEN x / nrm * 1000000.0 < 0
+                   THEN -floor(-(x / nrm * 1000000.0) + 0.5)
+                   ELSE floor(x / nrm * 1000000.0 + 0.5) END AS BIGINT)),
                ',') AS unit_fp
     FROM n
     """,
@@ -143,16 +146,29 @@ def embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The unit vector is emitted as comma-joined fixed-point (1e-6) integers:
     engine-portable (no float-to-string formatting divergence) and exactly
-    what you'd feed a downstream fixed-point-quantizing index builder."""
+    what you'd feed a downstream fixed-point-quantizing index builder.
+
+    Rounding is explicit half-AWAY via floor(|q| + 0.5) stated identically
+    on both engines — never engine round(): Spark HALF_UP vs DuckDB
+    half-even diverge on exact half boundaries (the documented
+    embedding_outliers incident; floor of bit-equal doubles cannot).  The
+    same formula fixes the norm's 6-digit grain."""
     tune(spark)
     n = _normed(spark, sf_dir)
+
+    def half_away(q: Column) -> Column:
+        return F.when(q < 0, -F.floor(-q + F.lit(0.5))).otherwise(
+            F.floor(q + F.lit(0.5))
+        )
+
     return n.select(
         "vec_id",
         F.size("v").cast("int").alias("dim"),
-        F.round("nrm", 6).alias("norm"),
+        (F.floor(F.col("nrm") * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("norm"),
         F.array_join(
             F.transform(
-                "v", lambda x: F.round(x / F.col("nrm") * 1000000.0, 0).cast("long")
+                "v",
+                lambda x: half_away(x / F.col("nrm") * 1000000.0).cast("long"),
             ),
             ",",
         ).alias("unit_fp"),

@@ -344,3 +344,86 @@ def test_tpch_oracle_parity_on_random_facts(
         )
     finally:
         con.close()
+
+
+# ---------------------------------------------------------------------------
+# embeddings-table fuzz: the float-parity family (normalize / quantize /
+# PQ / exact and IVF-PQ ANN).  Duplicate vectors are injected on purpose:
+# exact-equal cosines and equal PQ codeword distances force both engines
+# through the pinned tie-breaks (neighbor_id, smallest codeword k), and
+# duplicated SEEDS make the codebook itself contain identical codewords.
+
+_DIM = 64
+
+_vec_values = st.lists(
+    st.floats(
+        min_value=-2.0,
+        max_value=2.0,
+        allow_nan=False,
+        allow_infinity=False,
+        width=32,
+    ),
+    min_size=_DIM,
+    max_size=_DIM,
+)
+
+_vec_corpus = st.lists(_vec_values, min_size=9, max_size=20).map(
+    lambda vs: [
+        # every 3rd vector is an exact copy of vector 0 (tie pressure);
+        # element 0 is forced away from 0 so no vector has zero norm
+        (
+            i,
+            [
+                (0.5 if abs(x) < 0.125 else x) if j == 0 else x
+                for j, x in enumerate(vs[0] if i % 3 == 2 else v)
+            ],
+            i % 4,
+        )
+        for i, v in enumerate(vs)
+    ]
+)
+
+_VEC_FUZZ_QUERIES = [
+    "embed_normalize",
+    "embedding_quantize",
+    "embedding_pq",
+    "ann_topk",
+    "ann_ivfpq",
+]
+
+
+def _write_vectors(spark, d, rows):
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    path = os.path.join(d, "embeddings.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+@pytest.mark.parametrize("name", _VEC_FUZZ_QUERIES)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        # a 9-vector x 64-dim float corpus is the smallest meaningful
+        # example by construction (dim is the engine contract)
+        HealthCheck.large_base_example,
+    ],
+)
+@given(rows=_vec_corpus)
+def test_vector_oracle_parity_on_random_embeddings(spark, fuzz_dir, name, rows):
+    from tests.conftest import assert_same_result
+
+    path = _write_vectors(spark, fuzz_dir, rows)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    try:
+        assert_same_result(
+            eng.QUERIES[name](spark, fuzz_dir), con, eng.ORACLES[name]
+        )
+    finally:
+        con.close()
