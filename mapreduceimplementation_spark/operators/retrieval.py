@@ -26,7 +26,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from mapreduceimplementation_spark.functions.text import word_tokens
-from mapreduceimplementation_spark.functions.vectors import dot
+from mapreduceimplementation_spark.functions.vectors import dot, round6
+from mapreduceimplementation_spark.functions.vectors import sql_round6 as _sql_round6
 from mapreduceimplementation_spark.registry import register
 from mapreduceimplementation_spark.session import tune
 from mapreduceimplementation_spark.sources.tables import load_table
@@ -243,7 +244,7 @@ def _rrf_oracle() -> str:
         SELECT q_id, doc_id, CAST(row_number() OVER (PARTITION BY q_id
                     ORDER BY cos DESC, doc_id) AS BIGINT) AS sem_rank
         FROM (
-            SELECT p.q_id, nc.vec_id AS doc_id, ROUND({_SQL_COS}, 6) AS cos
+            SELECT p.q_id, nc.vec_id AS doc_id, {_sql_round6(_SQL_COS)} AS cos
             FROM probes p, n nq, n nc
             WHERE nq.vec_id = p.q_id AND nc.vec_id <> p.q_id
         )
@@ -281,7 +282,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Correctness shape: the lexical relation is the IDENTICAL scoring
     definition as C56 (one shared CTE/Builder — the two cannot drift) with
     only the probe set swapped; ranks are computed over bit-stable keys
-    (integer micro-unit BM25 scores; ROUND(cos,6) as certified by C10),
+    (integer micro-unit BM25 scores; half-away-floor cos grain as C10),
     ties on doc_id; the two RRF terms are divided and summed in a fixed
     order and floor'd to 1e-9-grain integers, so the fused ranking is
     engine-exact and the full FULL OUTER fusion join is stated literally
@@ -327,7 +328,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("q_id")
         .limit(_BM25_PROBES)
     )
-    cos = F.round(dot("v", "qv") / (F.col("nrm") * F.col("qnrm")), 6)
+    cos = round6(dot("v", "qv") / (F.col("nrm") * F.col("qnrm")))
     wsem = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "doc_id")
     sem = (
         n.crossJoin(F.broadcast(probes))

@@ -35,7 +35,7 @@ from pyspark.sql.window import Window
 
 from mapreduceimplementation_spark.functions.hashing import hash64, sql_hash64
 from mapreduceimplementation_spark.functions.hashing import py_hash64 as _h64_py
-from mapreduceimplementation_spark.functions.vectors import dot, l2_norm
+from mapreduceimplementation_spark.functions.vectors import dot, l2_norm, round6, sql_round6
 from mapreduceimplementation_spark.registry import register
 from mapreduceimplementation_spark.session import spread, tune
 from mapreduceimplementation_spark.sources.tables import load_table
@@ -188,7 +188,7 @@ _SQL_COS = (
 _SQL_TOPK_CTES = f"""
     s AS (
         SELECT nq.vec_id AS q_id, nc.vec_id AS neighbor_id,
-               ROUND({_SQL_COS}, 6) AS cos
+               {sql_round6(_SQL_COS)} AS cos
         FROM n nq JOIN n nc ON nq.vec_id < {_Q_MAX} AND nc.vec_id <> nq.vec_id
     ),
     ex AS (
@@ -210,7 +210,7 @@ def _exact_topk(n: DataFrame) -> DataFrame:
         F.col("v").alias("qv"),
         F.col("nrm").alias("qnrm"),
     ).where(F.col("q_id") < _Q_MAX)
-    cos = F.round(dot("v", "qv") / (F.col("nrm") * F.col("qnrm")), 6)
+    cos = round6(dot("v", "qv") / (F.col("nrm") * F.col("qnrm")))
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         n.crossJoin(F.broadcast(q))
@@ -284,7 +284,7 @@ def _sql_buckets(seed: str, tables: int, bits: int) -> str:
         WHERE q.vec_id < {_Q_MAX} AND c.vec_id <> q.vec_id
     ),
     s AS (
-        SELECT q_id, neighbor_id, ROUND({_SQL_COS}, 6) AS cos
+        SELECT q_id, neighbor_id, {sql_round6(_SQL_COS)} AS cos
         FROM cand JOIN n nq ON nq.vec_id = q_id JOIN n nc ON nc.vec_id = neighbor_id
     )
     SELECT q_id, neighbor_id, cos, rank FROM (
@@ -320,7 +320,7 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     nq = n.select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
     )
-    cos = F.round(dot("v", "qv") / (F.col("nrm") * F.col("qnrm")), 6)
+    cos = round6(dot("v", "qv") / (F.col("nrm") * F.col("qnrm")))
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         cand.join(F.broadcast(nq), "q_id")
@@ -348,7 +348,7 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT a_id, b_id, {_SQL_COS.replace('nq.', 'na.').replace('nc.', 'nb.')} AS cos
         FROM cand JOIN n na ON na.vec_id = a_id JOIN n nb ON nb.vec_id = b_id
     )
-    SELECT a_id, b_id, ROUND(cos, 6) AS cos
+    SELECT a_id, b_id, {sql_round6('cos')} AS cos
     FROM s WHERE cos >= {_DE_TAU}
     """,
 )
@@ -385,7 +385,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(na, "a_id")
         .join(nb, "b_id")
         .where(cos >= _DE_TAU)
-        .select("a_id", "b_id", F.round(cos, 6).alias("cos"))
+        .select("a_id", "b_id", round6(cos).alias("cos"))
     )
 
 
@@ -511,7 +511,7 @@ def _ivf_candidates(n: DataFrame) -> DataFrame:
     WITH {_SQL_NORMED},
     {_SQL_IVF_CAND_CTES},
     s AS (
-        SELECT q_id, neighbor_id, ROUND({_SQL_COS}, 6) AS cos
+        SELECT q_id, neighbor_id, {sql_round6(_SQL_COS)} AS cos
         FROM cand JOIN n nq ON nq.vec_id = q_id JOIN n nc ON nc.vec_id = neighbor_id
     )
     SELECT q_id, neighbor_id, cos, rank FROM (
@@ -542,7 +542,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     nq = n.select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
     )
-    cos = F.round(dot("v", "qv") / (F.col("nrm") * F.col("qnrm")), 6)
+    cos = round6(dot("v", "qv") / (F.col("nrm") * F.col("qnrm")))
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         cand.join(F.broadcast(nq), "q_id")
@@ -895,7 +895,7 @@ _KNN_ORACLE = f"""
         WHERE a.vec_id <> c.vec_id
     ),
     s AS (
-        SELECT src, dst, ROUND({_SQL_KNN_COS}, 6) AS cos
+        SELECT src, dst, {sql_round6(_SQL_KNN_COS)} AS cos
         FROM cand JOIN n ns ON ns.vec_id = src JOIN n nd ON nd.vec_id = dst
     )
     SELECT src, dst, cos, rank FROM (
@@ -952,7 +952,7 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ns = n.select(F.col("vec_id").alias("src"), F.col("v").alias("vs"), F.col("nrm").alias("ns"))
     nd = n.select(F.col("vec_id").alias("dst"), F.col("v").alias("vd"), F.col("nrm").alias("nd"))
-    cos = F.round(dot("vs", "vd") / (F.col("ns") * F.col("nd")), 6)
+    cos = round6(dot("vs", "vd") / (F.col("ns") * F.col("nd")))
     w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
     return (
         pairs.join(ns, "src")
@@ -1186,7 +1186,7 @@ _IVFK_NPROBE = 2  # cells probed per query (of _KM_K = 8 trained cells)
         WHERE c.vec_id <> q_id
     ),
     s AS (
-        SELECT q_id, neighbor_id, ROUND({_SQL_COS}, 6) AS cos
+        SELECT q_id, neighbor_id, {sql_round6(_SQL_COS)} AS cos
         FROM cand JOIN n nq ON nq.vec_id = q_id JOIN n nc ON nc.vec_id = neighbor_id
     )
     SELECT q_id, neighbor_id, cos, rank FROM (
@@ -1246,7 +1246,7 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _normed(spark, sf_dir)
     nq = n.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"))
     nc = n.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn"))
-    cos = F.round(dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6)
+    cos = round6(dot("qv", "cv") / (F.col("qn") * F.col("cn")))
     wr = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "neighbor_id")
     return (
         cand.join(nq, "q_id")
@@ -1282,7 +1282,7 @@ _SEM_TAU = 0.4  # within-cluster cosine threshold for semantic duplicates
     ),
     s AS (
         SELECT cluster, a_id, b_id, a_dist, b_dist,
-               ROUND({_SQL_COS.replace('nq.', 'na.').replace('nc.', 'nb.')}, 6) AS cos
+               {sql_round6(_SQL_COS.replace('nq.', 'na.').replace('nc.', 'nb.'))} AS cos
         FROM cand JOIN n na ON na.vec_id = a_id JOIN n nb ON nb.vec_id = b_id
     )
     SELECT cluster, a_id, b_id, cos,
@@ -1364,7 +1364,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(cos >= _SEM_TAU)
         .select(
             "cluster", "a_id", "b_id",
-            F.round(cos, 6).alias("cos"),
+            round6(cos).alias("cos"),
             drop.alias("drop_id"),
         )
     )
@@ -1396,9 +1396,9 @@ _OUT_Z = 2.0  # |z| threshold on distance-to-label-centroid
     cent AS (SELECT label, list(c ORDER BY pos) AS cv FROM cmean GROUP BY label),
     d AS (
         SELECT vec_id, e.label,
-               ROUND(sqrt(list_reduce(list_transform(range(1, {_DIM + 1}),
+               {sql_round6(f'''sqrt(list_reduce(list_transform(range(1, {_DIM + 1}),
                    i -> (e.v[i] - cent.cv[i]) * (e.v[i] - cent.cv[i])),
-                   (a, b) -> a + b)), 6) AS dist
+                   (a, b) -> a + b))''')} AS dist
         FROM e JOIN cent ON e.label = cent.label
     ),
     stats AS (
@@ -1410,9 +1410,9 @@ _OUT_Z = 2.0  # |z| threshold on distance-to-label-centroid
         FROM d GROUP BY label
     )
     SELECT vec_id, d.label, dist,
-           ROUND(CASE WHEN mean_d2 - mean_d * mean_d > 0
+           {sql_round6('''CASE WHEN mean_d2 - mean_d * mean_d > 0
                       THEN (dist - mean_d) / sqrt(mean_d2 - mean_d * mean_d)
-                      ELSE 0.0 END, 6) AS z,
+                      ELSE 0.0 END''')} AS z,
            CASE WHEN mean_d2 - mean_d * mean_d > 0
                 THEN abs((dist - mean_d) / sqrt(mean_d2 - mean_d * mean_d))
                      > {_OUT_Z}
@@ -1472,15 +1472,14 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
         ).alias("cv")
     )
-    dist = F.round(
+    dist = round6(
         F.sqrt(
             F.aggregate(
                 F.zip_with("v", "cv", lambda x, c: (x - c) * (x - c)),
                 F.lit(0.0),
                 lambda a, b: a + b,
             )
-        ),
-        6,
+        )
     )
     d = (
         e.join(F.broadcast(cent), "label")
@@ -1505,7 +1504,7 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         "dist",
-        F.round(F.when(var > 0, zraw).otherwise(F.lit(0.0)), 6).alias("z"),
+        round6(F.when(var > 0, zraw).otherwise(F.lit(0.0))).alias("z"),
         F.when(var > 0, F.abs(zraw) > _OUT_Z).otherwise(F.lit(False)).alias(
             "is_outlier"
         ),
@@ -1542,8 +1541,8 @@ _TRI_KEYBASE = 1 << 32  # orientation key = degree * 2^32 + node id
              FROM deg),
     ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und)
     SELECT n_nodes, n_edges, n_wedges, n_triangles,
-           ROUND(CASE WHEN n_wedges > 0
-                      THEN 3.0 * n_triangles / n_wedges ELSE 0.0 END, 6)
+           {sql_round6('''CASE WHEN n_wedges > 0
+                      THEN 3.0 * n_triangles / n_wedges ELSE 0.0 END''')}
                AS clustering
     FROM dagg, ne, tri
     """,
@@ -1632,12 +1631,11 @@ def knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_edges",
             "n_wedges",
             "n_triangles",
-            F.round(
+            round6(
                 F.when(
                     F.col("n_wedges") > 0,
                     3.0 * F.col("n_triangles") / F.col("n_wedges"),
                 ).otherwise(F.lit(0.0)),
-                6,
             ).alias("clustering"),
         )
     )
