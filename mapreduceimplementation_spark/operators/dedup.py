@@ -42,6 +42,7 @@ from mapreduceimplementation_spark.functions.text import (
     word_array,
     word_chunks,
 )
+from mapreduceimplementation_spark.functions.stable import round6, sql_round6
 from mapreduceimplementation_spark.registry import register
 from mapreduceimplementation_spark.session import spread, tune
 from mapreduceimplementation_spark.sources.tables import load_table
@@ -199,7 +200,7 @@ def _verified_pairs(
         common.join(sz.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na")), "a_id")
         .join(sz.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb")), "b_id")
         .where(j >= tau)
-        .select("a_id", "b_id", F.round(j, 6).alias("jaccard"))
+        .select("a_id", "b_id", round6(j).alias("jaccard"))
     )
 
 
@@ -215,7 +216,7 @@ _SQL_VERIFY = f"""
     ),
     sz AS (SELECT doc_id, count(*) AS n FROM ws GROUP BY doc_id)
     SELECT a_id, b_id,
-           ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+           {sql_round6('n_common * 1.0 / (sa.n + sb.n - n_common)')} AS jaccard
     FROM common
     JOIN sz sa ON sa.doc_id = a_id
     JOIN sz sb ON sb.doc_id = b_id
@@ -280,7 +281,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _with_pair_sizes(common, sz)
         .where(j >= _TAU)
-        .select("a_id", "b_id", F.round(j, 6).alias("jaccard"))
+        .select("a_id", "b_id", round6(j).alias("jaccard"))
     )
 
 
@@ -678,8 +679,8 @@ _CONTAIN_TAU = 0.9  # containment threshold: |A∩B| / min(|A|,|B|)
     ),
     sz AS (SELECT doc_id, count(*) AS n FROM ws GROUP BY doc_id)
     SELECT a_id, b_id,
-           ROUND(n_common * 1.0 / LEAST(sa.n, sb.n), 6) AS containment,
-           ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+           {sql_round6('n_common * 1.0 / LEAST(sa.n, sb.n)')} AS containment,
+           {sql_round6('n_common * 1.0 / (sa.n + sb.n - n_common)')} AS jaccard
     FROM common
     JOIN sz sa ON sa.doc_id = a_id
     JOIN sz sb ON sb.doc_id = b_id
@@ -726,8 +727,8 @@ def containment_pairs(
         .select(
             "a_id",
             "b_id",
-            F.round(cont, 6).alias("containment"),
-            F.round(j, 6).alias("jaccard"),
+            round6(cont).alias("containment"),
+            round6(j).alias("jaccard"),
         )
     )
 
@@ -957,8 +958,8 @@ _RA_MIN_BAND = 5  # audit pairs with exact jaccard >= 0.5
            CAST(count(*) AS BIGINT) AS n_pairs,
            CAST(SUM(CASE WHEN c.a_id IS NOT NULL THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_caught,
-           ROUND(SUM(CASE WHEN c.a_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
-                 / count(*), 6) AS recall
+           {sql_round6('''SUM(CASE WHEN c.a_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*)''')} AS recall
     FROM ex LEFT JOIN cand c ON c.a_id = ex.a_id AND c.b_id = ex.b_id
     GROUP BY band
     """,
@@ -1003,10 +1004,9 @@ def minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
             F.sum(F.when(F.col("caught"), 1).otherwise(0)).alias("n_caught"),
-            F.round(
+            round6(
                 F.sum(F.when(F.col("caught"), 1).otherwise(0))
-                / F.count(F.lit(1)),
-                6,
+                / F.count(F.lit(1))
             ).alias("recall"),
         )
     )

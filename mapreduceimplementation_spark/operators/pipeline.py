@@ -35,6 +35,7 @@ from mapreduceimplementation_spark.operators.textmetrics import (
     _LANGS,
     _SQL_STOP_RE,
 )
+from mapreduceimplementation_spark.functions.stable import round6, sql_round6
 from mapreduceimplementation_spark.registry import register
 from mapreduceimplementation_spark.session import tune
 from mapreduceimplementation_spark.sources.tables import load_table
@@ -61,11 +62,9 @@ _KEEP_LANG = "en"
         FROM documents WHERE text IS NOT NULL
     ), scored AS (
         SELECT doc_id, text_hash, n_bpe_tokens,
-               ROUND(
-                 (CASE WHEN n_words > 0 THEN n_stop * 1.0 / n_words ELSE 0.0 END) * 0.5
+               {sql_round6('''(CASE WHEN n_words > 0 THEN n_stop * 1.0 / n_words ELSE 0.0 END) * 0.5
                  + (1.0 - (CASE WHEN n_chars_a > 0 THEN n_punct * 1.0 / n_chars_a ELSE 0.0 END)) * 0.3
-                 + (CASE WHEN n_words < 100 THEN n_words ELSE 100 END) * 1.0 / 100 * 0.2,
-                 6) AS score,
+                 + (CASE WHEN n_words < 100 THEN n_words ELSE 100 END) * 1.0 / 100 * 0.2''')} AS score,
                {_argmax_sql()} AS pred_lang
         FROM m
     ), kept AS (
@@ -141,8 +140,8 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(nondet_guard, F.lit(None).cast("long"))
         .otherwise(F.col("n_bpe_tokens"))
         .alias("n_bpe_tokens"),
-        F.round(
-            stop_ratio * 0.5 + (1.0 - punct_ratio) * 0.3 + length_sat * 0.2, 6
+        round6(
+            stop_ratio * 0.5 + (1.0 - punct_ratio) * 0.3 + length_sat * 0.2
         ).alias("score"),
         pred.alias("pred_lang"),
     )
@@ -275,7 +274,7 @@ def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT sum(sqrt(n_tokens)) AS z FROM per
     )
     SELECT source, n_docs, n_tokens,
-           ROUND(sqrt(n_tokens) / z, 6) AS weight
+           {sql_round6('sqrt(n_tokens) / z')} AS weight
     FROM per, tot
     """,
 )
@@ -313,7 +312,7 @@ def source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_docs",
         "n_tokens",
-        F.round(F.sqrt("n_tokens") / F.col("z"), 6).alias("weight"),
+        round6(F.sqrt("n_tokens") / F.col("z")).alias("weight"),
     )
 
 
@@ -343,7 +342,7 @@ _DECON_EVAL_MOD = 50
         FROM tr LEFT JOIN ev ON tr.sh = ev.sh GROUP BY tr.doc_id
     )
     SELECT doc_id, n_shared, n_shingles,
-           ROUND(n_shared * 1.0 / n_shingles, 6) AS overlap_frac
+           {sql_round6('n_shared * 1.0 / n_shingles')} AS overlap_frac
     FROM agg WHERE n_shared > 0
     """,
 )
@@ -406,7 +405,7 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_shared",
             "n_shingles",
-            F.round(F.col("n_shared") * 1.0 / F.col("n_shingles"), 6).alias(
+            round6(F.col("n_shared") * 1.0 / F.col("n_shingles")).alias(
                 "overlap_frac"
             ),
         )

@@ -12,6 +12,12 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduceimplementation_spark.functions.hashing import hash64, sql_hash64
+from mapreduceimplementation_spark.functions.stable import (
+    half_away,
+    round6,
+    sql_half_away,
+    sql_round6,
+)
 from mapreduceimplementation_spark.functions.text import (
     char_ngrams,
     ngrams_of_words,
@@ -63,12 +69,11 @@ _SQL_STOP_RE = "\\b(" + "|".join(_STOPWORDS) + ")\\b"
     FROM (
         SELECT doc_id,
                n_words,
-               ROUND(CASE WHEN n_words > 0 THEN n_stop * 1.0 / n_words ELSE 0.0 END, 6) AS stop_ratio,
-               ROUND(CASE WHEN n_chars_a > 0 THEN n_punct * 1.0 / n_chars_a ELSE 0.0 END, 6) AS punct_ratio,
-               ROUND(
-                 (CASE WHEN n_words > 0 THEN n_stop * 1.0 / n_words ELSE 0.0 END) * 0.5
+               {sql_round6('CASE WHEN n_words > 0 THEN n_stop * 1.0 / n_words ELSE 0.0 END')} AS stop_ratio,
+               {sql_round6('CASE WHEN n_chars_a > 0 THEN n_punct * 1.0 / n_chars_a ELSE 0.0 END')} AS punct_ratio,
+               {sql_round6('''(CASE WHEN n_words > 0 THEN n_stop * 1.0 / n_words ELSE 0.0 END) * 0.5
                  + (1.0 - (CASE WHEN n_chars_a > 0 THEN n_punct * 1.0 / n_chars_a ELSE 0.0 END)) * 0.3
-                 + (CASE WHEN n_words < 100 THEN n_words ELSE 100 END) * 1.0 / 100 * 0.2, 6) AS score
+                 + (CASE WHEN n_words < 100 THEN n_words ELSE 100 END) * 1.0 / 100 * 0.2''')} AS score
         FROM (
             SELECT doc_id,
                    CAST(length(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
@@ -105,9 +110,9 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "doc_id",
         "n_words",
-        F.round(stop_ratio, 6).alias("stop_ratio"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(stop_ratio * 0.5 + (1.0 - punct_ratio) * 0.3 + length_sat * 0.2, 6).alias(
+        round6(stop_ratio).alias("stop_ratio"),
+        round6(punct_ratio).alias("punct_ratio"),
+        round6(stop_ratio * 0.5 + (1.0 - punct_ratio) * 0.3 + length_sat * 0.2).alias(
             "score"
         ),
     )
@@ -260,7 +265,7 @@ _SQL_TFIDF_WORDS = """
     n AS (SELECT count(*) AS n_docs FROM documents),
     scored AS (
         SELECT doc_id, word, tf, df,
-               ROUND(tf * ln(CAST(n.n_docs AS DOUBLE) / df), 6) AS tfidf
+               {sql_round6('tf * ln(CAST(n.n_docs AS DOUBLE) / df)')} AS tfidf
         FROM wdf CROSS JOIN n
     )
     SELECT doc_id, word, tf, df, tfidf, rank FROM (
@@ -308,8 +313,8 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "word",
         "tf",
         "df",
-        F.round(
-            F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+        round6(
+            F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
         ).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "word")
@@ -674,13 +679,13 @@ _SQL_LM_TRIS = """
     freq AS (SELECT tg, count(*) AS c FROM tris
              WHERE doc_id % {_LM_SAMPLE_MOD} = 0 GROUP BY tg),
     stats AS (SELECT CAST(sum(c) AS BIGINT) AS n,
-                     CAST(ROUND(ln(0.5 / sum(c)), 9) AS DECIMAL(18,9)) AS pen
+                     CAST({sql_half_away('ln(0.5 / sum(c))', 9)} AS DECIMAL(18,9)) AS pen
               FROM freq),
-    logp AS (SELECT tg, CAST(ROUND(ln(c * 1.0 / n), 9) AS DECIMAL(18,9)) AS lp
+    logp AS (SELECT tg, CAST({sql_half_away('ln(c * 1.0 / n)', 9)} AS DECIMAL(18,9)) AS lp
              FROM freq CROSS JOIN stats)
     SELECT doc_id,
            count(*) AS n_trigrams,
-           ROUND(CAST(sum(coalesce(lp, pen)) AS DOUBLE) / count(*), 6)
+           {sql_round6('CAST(sum(coalesce(lp, pen)) AS DOUBLE) / count(*)')}
                AS lm_score
     FROM tris LEFT JOIN logp USING (tg) CROSS JOIN stats
     GROUP BY doc_id
@@ -735,11 +740,11 @@ def quality_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats = freq.agg(
         F.sum("c").alias("n"),
-        F.round(F.log(0.5 / F.sum("c")), 9).cast("decimal(18,9)").alias("pen"),
+        half_away(F.log(0.5 / F.sum("c")), 9).cast("decimal(18,9)").alias("pen"),
     )
     logp = freq.crossJoin(F.broadcast(stats.select("n"))).select(
         "tg",
-        F.round(F.log(F.col("c") / F.col("n")), 9).cast("decimal(18,9)").alias("lp"),
+        half_away(F.log(F.col("c") / F.col("n")), 9).cast("decimal(18,9)").alias("lp"),
     )
     return (
         tris(spread(base, spark))
@@ -749,7 +754,7 @@ def quality_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_trigrams"),
-            F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 6).alias(
+            round6(F.sum("lp").cast("double") / F.count(F.lit(1))).alias(
                 "lm_score"
             ),
         )
@@ -787,12 +792,12 @@ _REP_MAX_DUP_TRIGRAM = 0.02
     ), m AS (
         SELECT doc_id,
             CAST(sum(c) FILTER (n = 1) AS BIGINT) AS n_words,
-            ROUND(max(c) FILTER (n = 1) * 1.0
-                  / sum(c) FILTER (n = 1), 6) AS top_word_frac,
-            ROUND(COALESCE(max(c) FILTER (n = 2) * 1.0
-                  / sum(c) FILTER (n = 2), 0), 6) AS top_bigram_frac,
-            ROUND(COALESCE(sum(CASE WHEN c > 1 THEN c ELSE 0 END) FILTER (n = 3)
-                  * 1.0 / sum(c) FILTER (n = 3), 0), 6) AS dup_trigram_frac
+            {sql_round6('''max(c) FILTER (n = 1) * 1.0
+                  / sum(c) FILTER (n = 1)''')} AS top_word_frac,
+            {sql_round6('''COALESCE(max(c) FILTER (n = 2) * 1.0
+                  / sum(c) FILTER (n = 2), 0)''')} AS top_bigram_frac,
+            {sql_round6('''COALESCE(sum(CASE WHEN c > 1 THEN c ELSE 0 END) FILTER (n = 3)
+                  * 1.0 / sum(c) FILTER (n = 3), 0)''')} AS dup_trigram_frac
         FROM per_gram GROUP BY doc_id
     )
     SELECT doc_id, n_words, top_word_frac, top_bigram_frac, dup_trigram_frac,
@@ -861,9 +866,9 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup3 = F.sum(F.when((n == 3) & (c > 1), c).otherwise(F.lit(0)))
     m = per_gram.groupBy("doc_id").agg(
         t1.cast("long").alias("n_words"),
-        F.round(top1 * 1.0 / t1, 6).alias("top_word_frac"),
-        F.coalesce(F.round(top2 * 1.0 / t2, 6), F.lit(0.0)).alias("top_bigram_frac"),
-        F.coalesce(F.round(dup3 * 1.0 / t3, 6), F.lit(0.0)).alias("dup_trigram_frac"),
+        round6(top1 * 1.0 / t1).alias("top_word_frac"),
+        F.coalesce(round6(top2 * 1.0 / t2), F.lit(0.0)).alias("top_bigram_frac"),
+        F.coalesce(round6(dup3 * 1.0 / t3), F.lit(0.0)).alias("dup_trigram_frac"),
     )
     return m.select(
         "doc_id", "n_words", "top_word_frac", "top_bigram_frac", "dup_trigram_frac",
@@ -959,8 +964,8 @@ _SQL_ZIPF_WORDS = """
         FROM (SELECT word, c FROM wc ORDER BY c DESC, word LIMIT {_ZIPF_TOPN})
     ),
     t AS (
-        SELECT CAST(ROUND(ln(r), 9) AS DECIMAL(18,9)) AS x,
-               CAST(ROUND(ln(c), 9) AS DECIMAL(18,9)) AS y
+        SELECT CAST({sql_half_away('ln(r)', 9)} AS DECIMAL(18,9)) AS x,
+               CAST({sql_half_away('ln(c)', 9)} AS DECIMAL(18,9)) AS y
         FROM ranked
     ),
     s AS (
@@ -971,8 +976,8 @@ _SQL_ZIPF_WORDS = """
         FROM t
     )
     SELECT CAST(n AS BIGINT) AS n_words,
-           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+           {sql_round6('(n * sxy - sx * sy) / (n * sxx - sx * sx)')} AS slope,
+           {sql_round6('(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n')}
                AS intercept
     FROM s
     """,
@@ -1008,8 +1013,8 @@ def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("r"),
     )
     t = ranked.select(
-        F.round(F.log("r"), 9).cast("decimal(18,9)").alias("x"),
-        F.round(F.log("c"), 9).cast("decimal(18,9)").alias("y"),
+        half_away(F.log("r"), 9).cast("decimal(18,9)").alias("x"),
+        half_away(F.log("c"), 9).cast("decimal(18,9)").alias("y"),
     )
     s = t.agg(
         F.count(F.lit(1)).alias("n"),
@@ -1023,8 +1028,8 @@ def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return s.select(
         F.col("n").alias("n_words"),
-        F.round(slope, 6).alias("slope"),
-        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+        round6(slope).alias("slope"),
+        round6((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias(
             "intercept"
         ),
     )
@@ -1055,7 +1060,7 @@ _LM_MIN_COUNT = 5  # count-pruning threshold (the Brants et al. knob)
     ), totals AS (
         SELECT n, CAST(sum(c) AS BIGINT) AS total FROM counts GROUP BY n
     )
-    SELECT counts.n, gram, c, ROUND(c * 1.0 / total, 9) AS frac
+    SELECT counts.n, gram, c, {sql_half_away('c * 1.0 / total', 9)} AS frac
     FROM counts JOIN totals ON counts.n = totals.n
     WHERE c >= {_LM_MIN_COUNT}
     """,
@@ -1121,7 +1126,7 @@ def corpus_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         counts.join(F.broadcast(totals), "n")
         .where(F.col("c") >= _LM_MIN_COUNT)
-        .select("n", "gram", "c", F.round(F.col("c") / F.col("total"), 9).alias("frac"))
+        .select("n", "gram", "c", half_away(F.col("c") / F.col("total"), 9).alias("frac"))
     )
 
 
@@ -1246,7 +1251,7 @@ _DUP_N = 5  # shingle width (RefinedWeb audits 5..10-gram duplication)
            CAST(count(*) AS BIGINT) AS n_shingles,
            CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_dup_shingles,
-           ROUND(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+           {sql_round6('SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) * 1.0 / count(*)')}
                AS dup_frac
     FROM sh JOIN df USING (sh)
     GROUP BY doc_id
@@ -1293,7 +1298,7 @@ def ngram_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
             dup.alias("n_dup_shingles"),
-            F.round(dup / F.count(F.lit(1)), 6).alias("dup_frac"),
+            round6(dup / F.count(F.lit(1))).alias("dup_frac"),
         )
     )
 
@@ -1720,14 +1725,14 @@ _SQL_ENT_TERM = "CASE WHEN {c} > 0 THEN ({c} * 1.0 / n) * ln({c} * 1.0 / n) ELSE
         FROM counts
     )
     SELECT doc_id, n, c_lower, c_upper, c_digit, c_space, c_other,
-           ROUND(-({" + ".join(
+           {sql_round6("-(" + " + ".join(
                _SQL_ENT_TERM.format(c=f"c_{name}")
                for name in ("lower", "upper", "digit", "space", "other")
-           )}), 6) AS class_entropy,
-           ROUND(-({" + ".join(
+           ) + ")")} AS class_entropy,
+           {sql_round6("-(" + " + ".join(
                _SQL_ENT_TERM.format(c=f"c_{name}")
                for name in ("lower", "upper", "digit", "space", "other")
-           )}), 6) < {_ENT_LOW} AS low_entropy
+           ) + ")")} < {_ENT_LOW} AS low_entropy
     FROM full_counts
     """,
 )
@@ -1742,10 +1747,11 @@ def corpus_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     classes ('other' is the exact remainder, so the five probabilities sum
     to 1 by construction); each p*ln(p) term uses the identical
     double-divide-then-ln expression chained in a fixed class order, and
-    the entropy is ROUND()ed to 6 digits before comparison and before the
-    threshold test (the tfidf ln-parity discipline — libm ulp differences
-    vanish at 1e-6).  The flag compares the *rounded* value so both engines
-    branch on the same number.
+    the entropy is half-away-floored to 6 digits (functions.stable.round6
+    — engine round() double-rounding diverges cross-engine) before
+    comparison and before the threshold test; libm ulp differences vanish
+    at 1e-6.  The flag compares the *rounded* value so both engines branch
+    on the same number.
 
     Scale shape: fully row-local — four regexp counts + arithmetic in one
     WholeStageCodegen span, no shuffle, scan reads (doc_id, text) only;
@@ -1773,7 +1779,7 @@ def corpus_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ent = -(
         term("c_lower") + term("c_upper") + term("c_digit") + term("c_space") + term("c_other")
     )
-    ent6 = F.round(ent, 6)
+    ent6 = round6(ent)
     return base.select(
         "doc_id", "n", "c_lower", "c_upper", "c_digit", "c_space", "c_other",
         ent6.alias("class_entropy"),

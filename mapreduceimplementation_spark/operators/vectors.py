@@ -567,8 +567,8 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_exact,
            CAST(SUM(CASE WHEN cand.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_caught,
-           ROUND(SUM(CASE WHEN cand.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
-                 * 1.0 / count(*), 6) AS recall
+           {sql_round6('''SUM(CASE WHEN cand.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1.0 / count(*)''')} AS recall
     FROM ex LEFT JOIN cand
       ON cand.q_id = ex.q_id AND cand.neighbor_id = ex.neighbor_id
     GROUP BY ex.q_id
@@ -606,10 +606,9 @@ def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_exact"),
             F.sum(F.when(F.col("caught"), 1).otherwise(0)).alias("n_caught"),
-            F.round(
+            round6(
                 F.sum(F.when(F.col("caught"), 1).otherwise(0))
-                / F.count(F.lit(1)),
-                6,
+                / F.count(F.lit(1))
             ).alias("recall"),
         )
     )

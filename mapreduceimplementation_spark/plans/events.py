@@ -9,6 +9,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from mapreduceimplementation_spark.functions.stable import dsum, sql_dsum
+from mapreduceimplementation_spark.functions.stable import (
+    half_away,
+    round6,
+    sql_half_away,
+    sql_round6,
+)
 from mapreduceimplementation_spark.registry import register
 from mapreduceimplementation_spark.session import tune
 from mapreduceimplementation_spark.sources.tables import load_table
@@ -231,11 +237,11 @@ def events_minutely_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_value_percentiles",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
-           round(quantile_cont(value, 0.5), 6) AS p50,
-           round(quantile_cont(value, 0.9), 6) AS p90,
-           round(quantile_cont(value, 0.99), 6) AS p99,
+           {sql_round6('quantile_cont(value, 0.5)')} AS p50,
+           {sql_round6('quantile_cont(value, 0.9)')} AS p90,
+           {sql_round6('quantile_cont(value, 0.99)')} AS p99,
            count(*) AS n
     FROM events
     GROUP BY event_type
@@ -255,9 +261,9 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
     return ev.groupBy("event_type").agg(
-        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
-        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
-        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+        round6(F.percentile("value", F.lit(0.5))).alias("p50"),
+        round6(F.percentile("value", F.lit(0.9))).alias("p90"),
+        round6(F.percentile("value", F.lit(0.99))).alias("p99"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -409,10 +415,10 @@ def events_minutely_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_moving_avg",
-    oracle="""
+    oracle=f"""
     SELECT event_id, user_id, ts,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE)
-                 / COUNT(value) OVER w, 6) AS avg_last10,
+           {sql_round6('''CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE)
+                 / COUNT(value) OVER w''')} AS avg_last10,
            CAST(COUNT(value) OVER w AS BIGINT) AS n_window
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -444,10 +450,9 @@ def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts",
-        F.round(
+        round6(
             F.sum(F.col("value").cast("decimal(27,6)")).over(w).cast("double")
-            / F.count("value").over(w),
-            6,
+            / F.count("value").over(w)
         ).alias("avg_last10"),
         F.count("value").over(w).cast("long").alias("n_window"),
     )
@@ -590,7 +595,7 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_anomaly",
-    oracle="""
+    oracle=f"""
     WITH daily AS (
         SELECT date_trunc('day', ts) AS day, event_type, count(*) AS c
         FROM events GROUP BY 1, 2
@@ -602,8 +607,8 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM daily GROUP BY event_type
     )
     SELECT day, d.event_type, c,
-           ROUND((c - s1 * 1.0 / n)
-                 / sqrt((n * s2 - s1 * s1) * 1.0 / (n * n)), 4) AS z
+           {sql_half_away('''(c - s1 * 1.0 / n)
+                 / sqrt((n * s2 - s1 * s1) * 1.0 / (n * n))''', 4)} AS z
     FROM daily d JOIN stats s ON s.event_type = d.event_type
     WHERE n * s2 > s1 * s1
     """,
@@ -659,7 +664,7 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "event_type",
         "c",
-        F.round((F.col("c") - F.col("s1") * 1.0 / F.col("n")) / F.sqrt(var), 4).alias(
+        half_away((F.col("c") - F.col("s1") * 1.0 / F.col("n")) / F.sqrt(var), 4).alias(
             "z"
         ),
     )
@@ -915,7 +920,7 @@ def events_minutely_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT date_trunc('day', ts) AS day,
            count(DISTINCT user_id) AS n_users,
            count(*) AS n_events,
-           ROUND(count(*) * 1.0 / count(DISTINCT user_id), 6)
+           {sql_round6('count(*) * 1.0 / count(DISTINCT user_id)')}
                AS events_per_user
     FROM events
     GROUP BY 1
@@ -947,7 +952,7 @@ def events_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day",
             "n_users",
             "n_events",
-            F.round(F.col("n_events") / F.col("n_users"), 6).alias(
+            round6(F.col("n_events") / F.col("n_users")).alias(
                 "events_per_user"
             ),
         )
@@ -1015,9 +1020,9 @@ def events_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_exact_median",
-    oracle="""
+    oracle=f"""
     SELECT CAST(count(*) AS BIGINT) AS n,
-           ROUND(median(value), 6) AS median_value
+           {sql_round6('median(value)')} AS median_value
     FROM events
     """,
 )
@@ -1069,10 +1074,9 @@ def events_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one row, and max(_t) over zero mid rows is NULL where the
         # oracle's count(*) is 0 — pin n=0 (median stays NULL both sides)
         F.coalesce(F.max("_t"), F.lit(0).cast("long")).alias("n"),
-        F.round(
+        round6(
             F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
+            / F.count(F.lit(1))
         ).alias("median_value"),
     )
 
@@ -1083,10 +1087,10 @@ def events_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_median_by_type",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
-           ROUND(median(value), 6) AS median_value
+           {sql_round6('median(value)')} AS median_value
     FROM events
     GROUP BY event_type
     """,
@@ -1135,10 +1139,9 @@ def events_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return mids.groupBy("event_type").agg(
         F.max("_n").alias("n"),
-        F.round(
+        round6(
             F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
+            / F.count(F.lit(1))
         ).alias("median_value"),
     )
 

@@ -17,8 +17,12 @@ from pyspark.sql.window import Window
 from mapreduceimplementation_spark.functions.hashing import hash64, sql_hash64
 from mapreduceimplementation_spark.functions.stable import (
     davg,
+    half_away,
+    round6,
     dsum,
     sql_davg,
+    sql_half_away,
+    sql_round6,
     sql_dsum,
 )
 from mapreduceimplementation_spark.registry import register
@@ -221,11 +225,9 @@ def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_brand,
            count(*) AS n_parts,
            {sql_dsum('p_retailprice')} AS total_price,
-           ROUND(
-             CAST(SUM(CAST(CASE WHEN p_type IN ('PROMO','ECONOMY')
+           {sql_round6('''CAST(SUM(CAST(CASE WHEN p_type IN ('PROMO','ECONOMY')
                        THEN p_retailprice ELSE 0 END AS DECIMAL(27,6))) AS DOUBLE)
-             / CAST(SUM(CAST(p_retailprice AS DECIMAL(27,6))) AS DOUBLE), 6
-           ) AS promo_share
+             / CAST(SUM(CAST(p_retailprice AS DECIMAL(27,6))) AS DOUBLE)''')} AS promo_share
     FROM part
     GROUP BY p_brand
     """,
@@ -241,7 +243,7 @@ def part_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n_parts"),
         dsum("p_retailprice").alias("total_price"),
-        F.round(dsum(promo) / dsum("p_retailprice"), 6).alias("promo_share"),
+        round6(dsum(promo) / dsum("p_retailprice")).alias("promo_share"),
     )
 
 
@@ -574,8 +576,7 @@ _Q22_RECENT = "2000-06-01 00:00:00"
     "q22_missed_opportunities",
     oracle=f"""
     WITH thr AS (
-        SELECT ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE)
-                     / COUNT(*), 6) AS avg_bal
+        SELECT {sql_davg('c_acctbal')} AS avg_bal
         FROM customer WHERE c_acctbal > 0.0
     )
     SELECT n_name,
@@ -641,15 +642,14 @@ def q22_missed_opportunities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q14_promo_revenue",
-    oracle="""
+    oracle=f"""
     SELECT
-        ROUND(
-          100.0
+        {sql_round6('''100.0
           * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END
                      AS DECIMAL(27,6))) AS DOUBLE)
           / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                     AS DECIMAL(27,6))) AS DOUBLE), 6) AS promo_revenue_pct,
+                     AS DECIMAL(27,6))) AS DOUBLE)''')} AS promo_revenue_pct,
         count(*) AS n_lines,
         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6)))
              AS DOUBLE) AS total_revenue
@@ -683,7 +683,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.round(100.0 * dsum(promo) / dsum(rev), 6).alias("promo_revenue_pct"),
+            round6(100.0 * dsum(promo) / dsum(rev)).alias("promo_revenue_pct"),
             F.count(F.lit(1)).alias("n_lines"),
             dsum(rev).alias("total_revenue"),
         )
@@ -786,7 +786,7 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               ROUND({sql_dsum('l_extendedprice * (1 - l_discount)')}, 2)
+               {sql_half_away(sql_dsum('l_extendedprice * (1 - l_discount)'), 2)}
                    AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -820,7 +820,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         li.groupBy("l_suppkey")
         .agg(
-            F.round(
+            half_away(
                 dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("total_revenue")
         )
@@ -846,8 +846,7 @@ _Q17_BRAND = "Brand#23"
 @register(
     "q17_small_quantity",
     oracle=f"""
-    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
-                 / 7.0, 2) AS avg_yearly,
+    SELECT {sql_half_away('CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) / 7.0', 2)} AS avg_yearly,
            count(*) AS n_lines
     FROM (
         SELECT l_extendedprice, l_quantity,
@@ -894,7 +893,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("l_quantity") < 0.2 * F.col("part_avg_qty"))
     )
     return flagged.agg(
-        F.round(
+        half_away(
             F.sum(F.col("l_extendedprice").cast("decimal(27,6)")).cast("double")
             / 7.0,
             2,
@@ -985,7 +984,7 @@ _Q8_TYPE = "ECONOMY"
     "q8_market_share",
     oracle=f"""
     SELECT o_year,
-           ROUND({sql_dsum('nation_volume')} / {sql_dsum('volume')}, 6)
+           {sql_round6(sql_dsum('nation_volume') + ' / ' + sql_dsum('volume'))}
                AS mkt_share,
            {sql_dsum('volume')} AS region_volume
     FROM (
@@ -1072,7 +1071,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return joined.groupBy("o_year").agg(
-        F.round(dsum("nation_volume") / dsum("volume"), 6).alias("mkt_share"),
+        round6(dsum("nation_volume") / dsum("volume")).alias("mkt_share"),
         dsum("volume").alias("region_volume"),
     )
 
@@ -1160,8 +1159,7 @@ _NTILE_N = 10
            CAST(count(*) AS BIGINT) AS n_customers,
            ROUND(min(c_acctbal), 2) AS lo,
            ROUND(max(c_acctbal), 2) AS hi,
-           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE)
-                 / COUNT(*), 6) AS avg_bal
+           {sql_davg('c_acctbal')} AS avg_bal
     FROM ranked
     GROUP BY decile
     """,
@@ -1196,11 +1194,7 @@ def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.min("c_acctbal"), 2).alias("lo"),
         F.round(F.max("c_acctbal"), 2).alias("hi"),
-        F.round(
-            F.sum(F.col("c_acctbal").cast("decimal(27,6)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("avg_bal"),
+        davg("c_acctbal").alias("avg_bal"),
     )
 
 
@@ -1235,9 +1229,9 @@ def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT part_a, part_b, n_ab,
            sa.n_item AS n_a, sb.n_item AS n_b,
-           ROUND(n_ab * 1.0 / n_baskets, 6) AS support,
-           ROUND(n_ab * 1.0 / sa.n_item, 6) AS confidence_a_b,
-           ROUND(n_ab * 1.0 * n_baskets / (sa.n_item * sb.n_item), 6) AS lift
+           {sql_round6('n_ab * 1.0 / n_baskets')} AS support,
+           {sql_round6('n_ab * 1.0 / sa.n_item')} AS confidence_a_b,
+           {sql_round6('n_ab * 1.0 * n_baskets / (sa.n_item * sb.n_item)')} AS lift
     FROM top
     JOIN isup sa ON sa.l_partkey = part_a
     JOIN isup sb ON sb.l_partkey = part_b
@@ -1309,17 +1303,16 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_ab",
             "n_a",
             "n_b",
-            F.round(F.col("n_ab") / F.col("n_baskets"), 6).alias("support"),
-            F.round(F.col("n_ab") / F.col("n_a"), 6).alias("confidence_a_b"),
+            round6(F.col("n_ab") / F.col("n_baskets")).alias("support"),
+            round6(F.col("n_ab") / F.col("n_a")).alias("confidence_a_b"),
             # promote to double BEFORE multiplying: long*long products
             # (n_ab*n_baskets, n_a*n_b) overflow BIGINT silently at the
             # ~1e10-basket counts this operator targets; the oracle's
             # `n_ab * 1.0 * n_baskets` form avoids it the same way
-            F.round(
+            round6(
                 F.col("n_ab").cast("double")
                 * F.col("n_baskets")
-                / (F.col("n_a").cast("double") * F.col("n_b")),
-                6,
+                / (F.col("n_a").cast("double") * F.col("n_b"))
             ).alias("lift"),
         )
     )
