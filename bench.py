@@ -112,6 +112,7 @@ HEADLINE = [
     "hybrid_search_rrf",
     "ann_ivfpq",
     "streaming_asof_join",
+    "events_scd2_dimension",
 ]
 
 CANARY = "mr_wordcount"

@@ -1539,3 +1539,95 @@ def events_incident_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         "n_errors",
     )
+
+
+# ---------------------------------------------------------------------------
+# B69. events_scd2_dimension — type-2 slowly-changing-dimension build
+
+
+@register(
+    "events_scd2_dimension",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN event_type IS DISTINCT FROM
+                         lag(event_type) OVER w
+                    THEN 1 ELSE 0 END AS changed
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+        SELECT *, SUM(changed) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS version
+        FROM ordered
+    ),
+    dim AS (
+        SELECT user_id,
+               CAST(version AS BIGINT) AS version,
+               min(event_type) AS state,
+               min(ts) AS valid_from,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM runs GROUP BY user_id, version
+    )
+    SELECT user_id, version, state, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+               AS valid_to,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+               IS NULL AS is_current,
+           n_events
+    FROM dim
+    """,
+)
+def events_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension built from a change log — the
+    nightly warehouse job every star schema runs: treat each user's event
+    stream as state transitions, collapse consecutive repeats into runs
+    (gaps-and-islands), and emit versioned validity intervals
+    [valid_from, valid_to) with an is_current flag and a per-version
+    change count.  Downstream fact joins become as-of range lookups
+    against these intervals (the batch dual of B13/D16's as-of joins).
+
+    Determinism: the change order is pinned by (ts, event_id) — the same
+    total order every other events operator uses — so run boundaries,
+    version numbers and interval edges are identical under any
+    partitioning and on both engines; within a run the state is constant
+    by construction (min() is exact, not a tie-break).
+
+    Scale shape: ONE scan, ONE exchange on user_id — the change flag,
+    run numbering (running SUM), per-run collapse, and the LEAD closing
+    each interval all share the same user_id partitioning (Spark reuses
+    the exchange across the window chain and the partial-aggregated
+    groupBy).  At 100 TB this is the canonical 'shuffle once, window
+    many' plan; the dimension output is run-count-sized, much smaller
+    than the log."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "*",
+        F.when(
+            ~F.col("event_type").eqNullSafe(F.lag("event_type").over(w)), 1
+        )
+        .otherwise(0)
+        .alias("changed"),
+    )
+    runs = ordered.select(
+        "*", F.sum("changed").over(w).alias("version")
+    )
+    dim = runs.groupBy("user_id", "version").agg(
+        F.min("event_type").alias("state"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    return dim.select(
+        "user_id",
+        F.col("version").cast("long").alias("version"),
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        F.lead("valid_from").over(wv).isNull().alias("is_current"),
+        "n_events",
+    )

@@ -73,6 +73,7 @@ _EMPTY_TOTAL = [
     "ann_ivfpq",
     "hybrid_search_rrf",
     "bm25_topk",
+    "events_scd2_dimension",
 ]
 
 _ONE_ROW_ON_EMPTY = {

@@ -146,6 +146,8 @@ _EVENTS_FUZZ = [
     "events_exact_median",
     "events_median_by_type",
     "events_type_pivot",
+    # B69: run collapse + interval close under random repeat patterns
+    "events_scd2_dimension",
 ]
 
 

@@ -150,6 +150,7 @@ INVENTORY = [
     "hybrid_search_rrf",     # C61: BM25 + cosine reciprocal-rank fusion
     "ann_ivfpq",             # C62: IVF cell pruning + PQ asymmetric distance
     "streaming_asof_join",   # D16: chained interval-join -> windowed argmax
+    "events_scd2_dimension", # B69: SCD2 validity intervals from a change log
     "streaming_cms_topk",    # D15: count-min cells on a stream
     "raft_snapshot_audit",   # B68: InstallSnapshot state-consistency audit
     "events_hll_users",      # C49: deterministic HLL-256 cardinality audit

@@ -76,6 +76,7 @@ _SCALE_PLAN_QUERIES = [
     "embedding_pq",
     "hybrid_search_rrf",
     "ann_ivfpq",
+    "events_scd2_dimension",
 ]
 
 
