@@ -1,3 +1,3 @@
 """Relational / event analytics plans (SURVEY.md §2 B*)."""
 
-from mapreduceimplementation_spark.plans import events, kv, tpch  # noqa: F401
+from mapreduceimplementation_spark.plans import events, kv, lake, tpch  # noqa: F401

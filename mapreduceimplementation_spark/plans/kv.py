@@ -2843,3 +2843,175 @@ def raft_snapshot_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("ok")
         .alias("verdict"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B70. kv_client_dedup — at-most-once duplicate-request audit
+
+#: 1 in _DUP_EVERY attempts (hash cell on event_id, never a per-event
+#: rate) is a client RETRY of its immediately-preceding request.
+_DUP_EVERY = 4
+_DUP_H = "'retry-' || CAST(event_id AS VARCHAR)"
+
+
+@register(
+    "kv_client_dedup",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id, event_id,
+               CASE WHEN event_type = 'signup' THEN 'put'
+                    ELSE 'append' END AS op,
+               CAST(CAST(ROUND(value * 100, 0) AS BIGINT) AS VARCHAR) AS sval,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS attempt
+        FROM events
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN attempt > 1
+                         AND {sql_hash64(_DUP_H)} % {_DUP_EVERY} = 0
+                    THEN 1 ELSE 0 END AS retry
+        FROM base
+    ),
+    marked AS (
+        SELECT *,
+               CASE WHEN retry = 1 AND lag(retry) OVER w = 0
+                    THEN 1 ELSE 0 END AS is_dup,
+               CASE WHEN retry = 1 AND lag(retry) OVER w = 0
+                         AND op <> lag(op) OVER w
+                    THEN 1 ELSE 0 END AS conflict
+        FROM flagged
+        WINDOW w AS (PARTITION BY user_id ORDER BY attempt)
+    ),
+    cut AS (
+        SELECT *,
+               max(CASE WHEN is_dup = 0 AND op = 'put'
+                        THEN attempt ELSE 0 END)
+                   OVER (PARTITION BY user_id) AS last_put
+        FROM marked
+    )
+    SELECT user_id AS key,
+           string_agg(CASE WHEN is_dup = 0 AND attempt >= last_put
+                           THEN sval END, ';' ORDER BY attempt) AS value,
+           count(*) AS n_attempts,
+           CAST(sum(1 - is_dup) AS BIGINT) AS n_applied,
+           CAST(sum(is_dup) AS BIGINT) AS n_dups,
+           CAST(sum(conflict) AS BIGINT) AS n_conflicts
+    FROM cut
+    GROUP BY user_id
+    """,
+)
+def kv_client_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-most-once duplicate-request audit — the kvraft Clerk retries an
+    RPC until a leader acknowledges it, so the SAME (client, request)
+    can reach the state machine twice and the server must deduplicate
+    (reference: src/kvraft/client.go:39-62 — the Clerk retry loop Put/
+    Append/Get are built on; src/kvraft/test_test.go:139-155
+    checkClntAppends — every append (clnt, j) must appear EXACTLY once
+    and in order, the lab's at-most-once acceptance gate).  Batch twin:
+    each user's event stream is a client's attempt log; 1 in
+    {_DUP_EVERY} attempts (hash cell on event_id) is a network retry
+    carrying its predecessor's request id.  The audit replays the log
+    with server-side dedup — only the FIRST attempt of each request id
+    applies — and reports, per client: the final applied KV value
+    (kvraft Put-resets/Append-concatenates semantics, B10's replay),
+    attempt/applied/duplicate counts, and how many duplicates carried a
+    DIVERGENT op from the attempt they retried (a client bug in a real
+    trace; here injected by construction so the detector provably
+    fires).
+
+    Determinism: retries duplicate only their immediately-preceding
+    attempt (req_id = attempt - retry_flag), so duplicate detection is a
+    lag() on the SAME per-user (ts, event_id) total order every kv
+    operator uses — no (client, req_id) re-partition needed, and the
+    verdict is identical under any partitioning.
+
+    Scale shape: ONE exchange on user_id — row_number, the two lag()s,
+    the last-put max-window and the final groupBy all share one
+    hashpartitioning (windows chained, exchange reused).  Dedup state in
+    a real server is per-client-bounded (one lastSeq per client); here
+    it is a window function, so 100 TB of attempts stream through
+    without any driver-side table."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = ev.select(
+        "user_id",
+        F.when(F.col("event_type") == "signup", "put")
+        .otherwise("append")
+        .alias("op"),
+        F.round(F.col("value") * 100, 0).cast("long").cast("string").alias("sval"),
+        F.row_number().over(w).alias("attempt"),
+        F.when(
+            (F.row_number().over(w) > 1)
+            & (
+                hash64(
+                    F.concat(F.lit("retry-"), F.col("event_id").cast("string"))
+                )
+                % _DUP_EVERY
+                == 0
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("retry"),
+    )
+    wa = Window.partitionBy("user_id").orderBy("attempt")
+    marked = base.select(
+        "*",
+        F.when(
+            (F.col("retry") == 1) & (F.lag("retry").over(wa) == 0), 1
+        )
+        .otherwise(0)
+        .alias("is_dup"),
+        F.when(
+            (F.col("retry") == 1)
+            & (F.lag("retry").over(wa) == 0)
+            & (F.col("op") != F.lag("op").over(wa)),
+            1,
+        )
+        .otherwise(0)
+        .alias("conflict"),
+    )
+    cut = marked.select(
+        "*",
+        F.max(
+            F.when(
+                (F.col("is_dup") == 0) & (F.col("op") == "put"),
+                F.col("attempt"),
+            ).otherwise(0)
+        )
+        .over(Window.partitionBy("user_id"))
+        .alias("last_put"),
+    )
+    agg = cut.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            (F.col("is_dup") == 0)
+                            & (F.col("attempt") >= F.col("last_put")),
+                            F.struct("attempt", "sval"),
+                        )
+                    )
+                ),
+                lambda s: s["sval"],
+            ),
+            ";",
+        ).alias("value"),
+        F.count(F.lit(1)).alias("n_attempts"),
+        F.sum(F.lit(1) - F.col("is_dup")).cast("long").alias("n_applied"),
+        F.sum("is_dup").cast("long").alias("n_dups"),
+        F.sum("conflict").cast("long").alias("n_conflicts"),
+    )
+    return agg.select(
+        F.col("user_id").alias("key"),
+        "value",
+        "n_attempts",
+        "n_applied",
+        "n_dups",
+        "n_conflicts",
+    )

@@ -74,6 +74,11 @@ _EMPTY_TOTAL = [
     "hybrid_search_rrf",
     "bm25_topk",
     "events_scd2_dimension",
+    # lake/KV maintenance family (r6 continuation): single-exchange
+    # conditional aggs and a lag-window replay — all total on empty
+    "kv_client_dedup",
+    "table_merge_upsert",
+    "table_snapshot_diff",
 ]
 
 _ONE_ROW_ON_EMPTY = {

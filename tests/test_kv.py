@@ -1018,3 +1018,108 @@ def test_snapshot_audit_injection_mix_and_compact_invariant(spark, sf_dir):
     assert f1
     for r in f1:
         assert r["reported_value"] == compact[r["key"]]
+
+
+# ---------------------------------------------------------------------------
+# B70: kv_client_dedup — at-most-once duplicate-request audit
+
+
+def _dedup_replay(rows):
+    """Pure-Python twin of kv_client_dedup's semantics: rows are
+    (user_id, event_id, event_type, value) in (ts, event_id) order per
+    user.  Returns {user_id: (value, n_attempts, n_applied, n_dups,
+    n_conflicts)}."""
+    from collections import defaultdict
+
+    from mapreduceimplementation_spark.functions.hashing import py_hash64
+
+    by_user = defaultdict(list)
+    for uid, eid, etype, val in rows:
+        by_user[uid].append((eid, etype, val))
+    out = {}
+    for uid, evs in by_user.items():
+        applied, n_dups, n_conf = [], 0, 0
+        prev_retry, prev_op = None, None
+        for i, (eid, etype, val) in enumerate(evs, start=1):
+            op = "put" if etype == "signup" else "append"
+            sval = str(int(round(val * 100)))
+            retry = i > 1 and py_hash64(f"retry-{eid}") % 4 == 0
+            is_dup = retry and prev_retry is False
+            if is_dup:
+                n_dups += 1
+                if op != prev_op:
+                    n_conf += 1
+            else:
+                applied.append((i, op, sval))
+            prev_retry, prev_op = retry, op
+        last_put = max((a for a, op, _ in applied if op == "put"), default=0)
+        value = ";".join(s for a, _, s in applied if a >= last_put)
+        out[uid] = (value, len(evs), len(applied), n_dups, n_conf)
+    return out
+
+
+def test_client_dedup_matches_hand_replay(spark, tmp_path):
+    """Differential: the one-exchange window-chain audit must equal a
+    sequential per-client replay (the shape a real kvraft server runs:
+    one lastSeq per client, first attempt wins)."""
+    import datetime as dt
+
+    import mapreduceimplementation_spark as eng
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # 6 clients x 40 attempts: plenty of hash-flagged retries of both
+    # matching and divergent ops
+    for uid in range(6):
+        for i in range(40):
+            eid = uid * 1000 + i
+            etype = ["signup", "click", "view", "purchase", "error"][
+                (uid + i) % 5
+            ]
+            rows.append(
+                (
+                    eid,
+                    base + dt.timedelta(minutes=i, seconds=uid),
+                    uid,
+                    etype,
+                    (eid % 37) / 4.0,  # exact in binary: *100 is exact
+                    "{}",
+                )
+            )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path / "dedup_events")
+    df.write.parquet(d + "/events.parquet")
+    got = {
+        r["key"]: (
+            r["value"],
+            r["n_attempts"],
+            r["n_applied"],
+            r["n_dups"],
+            r["n_conflicts"],
+        )
+        for r in eng.QUERIES["kv_client_dedup"](spark, d).collect()
+    }
+    want = _dedup_replay(
+        [(uid, eid, etype, val) for eid, ts, uid, etype, val, _ in rows]
+    )
+    assert got == want
+    # the injection must actually fire, both ways
+    assert sum(v[3] for v in want.values()) > 0
+    assert sum(v[4] for v in want.values()) > 0
+
+
+def test_client_dedup_counts_consistent(spark, sf_dir):
+    """On the registered corpus: attempts = applied + dups per client,
+    conflicts <= dups, and duplicates exist (hash-cell injection is
+    scale-stable, so this holds at every SF)."""
+    import mapreduceimplementation_spark as eng
+
+    rows = eng.QUERIES["kv_client_dedup"](spark, sf_dir).collect()
+    assert rows
+    assert all(r["n_attempts"] == r["n_applied"] + r["n_dups"] for r in rows)
+    assert all(r["n_conflicts"] <= r["n_dups"] for r in rows)
+    assert sum(r["n_dups"] for r in rows) > 0

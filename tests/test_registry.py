@@ -176,6 +176,9 @@ INVENTORY = [
     "minhash_recall_audit",  # C48: LSH banding recall vs exact ground truth
     "streaming_left_outer_join",  # D10: watermark-forced NULL emission
     "streaming_topk",        # D11: per-window top-k leaderboard
+    "kv_client_dedup",       # B70: at-most-once duplicate-request audit
+    "table_merge_upsert",    # B71: MERGE INTO (SCD1 upsert+delete) semantics
+    "table_snapshot_diff",   # B72: rolling-snapshot reconciliation diff
 ]
 
 #: SURVEY rows not yet implemented — MUST shrink to empty; a key may not
