@@ -1631,3 +1631,189 @@ def events_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(wv).isNull().alias("is_current"),
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# B73. events_audience_overlap — trailing-week audience-overlap matrix
+
+#: overlap horizon in days: pair fanout per (user, day) is bounded by
+#: this constant, not by the calendar span — the scale contract.
+_OVL_LAG_DAYS = 7
+
+
+@register(
+    "events_audience_overlap",
+    oracle=f"""
+    WITH daily AS (
+        SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ),
+    totals AS (
+        SELECT day, count(*) AS n FROM daily GROUP BY day
+    ),
+    pairs AS (
+        SELECT a.day AS day_a, b.day AS day_b, count(*) AS n_overlap
+        FROM daily a
+        JOIN daily b
+          ON a.user_id = b.user_id
+         AND b.day > a.day
+         AND b.day <= a.day + INTERVAL {_OVL_LAG_DAYS} DAYS
+        GROUP BY a.day, b.day
+    )
+    SELECT p.day_a, p.day_b,
+           ta.n AS n_a, tb.n AS n_b, p.n_overlap,
+           (p.n_overlap * 1000000)
+               // (ta.n + tb.n - p.n_overlap) AS jaccard_ppm
+    FROM pairs p
+    JOIN totals ta ON ta.day = p.day_a
+    JOIN totals tb ON tb.day = p.day_b
+    """,
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: for every pair of days at most
+    {_OVL_LAG_DAYS} apart, how many distinct users were active on BOTH,
+    with per-day actives and the Jaccard similarity in integer ppm —
+    the retention/cannibalization read every growth team pulls (B24's
+    cohort retention fixes day_a = a cohort's first day; this is the
+    full day×day band).
+
+    Scale shape: the oracle states the self-join literally; the Spark
+    side never joins the fact table to itself.  ONE scan and ONE
+    exchange on user_id build each user's day set (collect_set dedups
+    same-day activity in the same aggregate); the set — bounded by the
+    calendar, tiny vs event volume — expands ROW-LOCALLY into in-horizon
+    pairs INCLUDING the self-pair, fanout ≤ {_OVL_LAG_DAYS}+1 per
+    user-day, a constant.  One more exchange aggregates onto the
+    calendar×horizon-bounded (day_a, day_b) matrix, where the diagonal
+    (d, d) IS day d's active count — so per-day totals need no second
+    pass over the data; that tiny matrix is localCheckpoint'ed (the
+    multi-use-relation discipline) and its diagonal broadcasts back onto
+    the off-diagonal rows.  Integer ppm avoids float division entirely
+    (BIGINT `div` is identical in both engines on non-negative
+    operands)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    )
+    # ONE exchange on user_id: collect_set dedups (user, day) AND builds
+    # the per-user day array in the same aggregate; totals and pairs both
+    # hang off this relation, so the scan+shuffle prefix is shared
+    # (ReusedExchange) instead of re-derived per consumer.
+    days = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("day")).alias("days")
+    )
+    # SELF-pairs (b >= a) ride along so per-day totals fall out of the
+    # SAME aggregated matrix as the overlaps: (d, d)'s count IS day d's
+    # active count — one scan, and no second pass over `days`.
+    pairs = days.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("days"),
+                    lambda a: F.transform(
+                        F.filter(
+                            F.col("days"),
+                            lambda b: (b >= a)
+                            & (
+                                b
+                                <= a
+                                + F.expr(
+                                    f"INTERVAL {_OVL_LAG_DAYS} DAYS"
+                                )
+                            ),
+                        ),
+                        lambda b: F.struct(
+                            a.alias("day_a"), b.alias("day_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.day_a", "p.day_b")
+    # calendar × horizon rows — the tiny multi-use relation the house
+    # checkpoints so its three consumers don't re-derive the lineage
+    counts = (
+        pairs.groupBy("day_a", "day_b")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .localCheckpoint(eager=False)
+    )
+    diag = counts.where(F.col("day_a") == F.col("day_b"))
+    ta = diag.select(F.col("day_a"), F.col("n_overlap").alias("n_a"))
+    tb = diag.select(
+        F.col("day_b"), F.col("n_overlap").alias("n_b")
+    )
+    out = (
+        counts.where(F.col("day_a") != F.col("day_b"))
+        .join(F.broadcast(ta), "day_a")
+        .join(F.broadcast(tb), "day_b")
+        .select(
+            "day_a",
+            "day_b",
+            "n_a",
+            "n_b",
+            "n_overlap",
+            F.expr(
+                "(n_overlap * 1000000L) div (n_a + n_b - n_overlap)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# B74. events_transition_matrix — first-order Markov transition estimate
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    trans AS (
+        SELECT prev_type, event_type AS next_type, count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, n,
+           CAST((n * 1000000) // sum(n) OVER (PARTITION BY prev_type)
+                AS BIGINT) AS prob_ppm
+    FROM trans
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    P(next event type | previous event type), estimated from every
+    adjacent pair in (ts, event_id) order — the product-analytics model
+    behind next-action prediction and funnel anomaly detection (B23's
+    funnel fixes one path; this estimates all of them).
+
+    Scale shape: one exchange on user_id for the lag(), then a partial
+    aggregation onto the (prev, next) key space — bounded by
+    #event_types², a few dozen rows, so the map-side combine collapses
+    100 TB of pairs to per-partition cards.  The row-probability is
+    integer ppm via BIGINT floor division over the per-prev window on
+    the TINY aggregated matrix (identical semantics both engines; no
+    float division in the plan)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    trans = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return trans.selectExpr(
+        "prev_type",
+        "next_type",
+        "n",
+        "(n * 1000000L) div sum(n) over (partition by prev_type)"
+        " as prob_ppm",
+    )

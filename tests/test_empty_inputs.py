@@ -79,6 +79,8 @@ _EMPTY_TOTAL = [
     "kv_client_dedup",
     "table_merge_upsert",
     "table_snapshot_diff",
+    "events_audience_overlap",
+    "events_transition_matrix",
 ]
 
 _ONE_ROW_ON_EMPTY = {

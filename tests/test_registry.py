@@ -179,6 +179,8 @@ INVENTORY = [
     "kv_client_dedup",       # B70: at-most-once duplicate-request audit
     "table_merge_upsert",    # B71: MERGE INTO (SCD1 upsert+delete) semantics
     "table_snapshot_diff",   # B72: rolling-snapshot reconciliation diff
+    "events_audience_overlap",  # B73: trailing-week overlap/Jaccard matrix
+    "events_transition_matrix",  # B74: Markov transition estimate
 ]
 
 #: SURVEY rows not yet implemented — MUST shrink to empty; a key may not

@@ -745,3 +745,101 @@ def test_incident_join_hand_case(spark, tmp_path):
     assert two["n_errors"] == 1
     # the minute-2 view event belongs to no incident
     assert sum(r["n_events"] for r in out) == 4
+
+
+# ---------------------------------------------------------------------------
+# B73: events_audience_overlap — trailing-week overlap matrix
+
+
+def test_audience_overlap_hand_case(spark, tmp_path):
+    """Crafted days: overlap counts, horizon exclusion (pairs > 7 days
+    apart never appear), and exact integer Jaccard ppm."""
+    import datetime as dt
+
+    import mapreduceimplementation_spark as eng
+
+    def ev(eid, day, uid):
+        return (eid, dt.datetime(2024, 1, day, 12), uid, "view", 1.0, "{}")
+
+    rows = [
+        # day 1: users {1,2,3}; day 3: users {2,3,4}; day 20: users {1}
+        ev(1, 1, 1), ev(2, 1, 2), ev(3, 1, 3),
+        ev(4, 3, 2), ev(5, 3, 3), ev(6, 3, 4),
+        ev(7, 20, 1),
+        # duplicate activity same day must not double-count
+        ev(8, 1, 2),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path / "ovl")
+    df.write.parquet(d + "/events.parquet")
+    out = eng.QUERIES["events_audience_overlap"](spark, d).collect()
+    got = {(r["day_a"].day, r["day_b"].day): r for r in out}
+    # only the (1, 3) pair is inside the 7-day horizon
+    assert set(got) == {(1, 3)}
+    r = got[(1, 3)]
+    assert (r["n_a"], r["n_b"], r["n_overlap"]) == (3, 3, 2)
+    # jaccard = 2/4 exactly
+    assert r["jaccard_ppm"] == 500000
+
+
+def test_audience_overlap_no_fact_self_join(spark, sf_dir):
+    """The scale contract: the plan must not self-join the event-level
+    relation — only the two broadcast joins of calendar-sized totals."""
+    import mapreduceimplementation_spark as eng
+
+    df = eng.QUERIES["events_audience_overlap"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
+
+
+# ---------------------------------------------------------------------------
+# B74: events_transition_matrix — Markov transition estimate
+
+
+def test_transition_matrix_hand_case_and_rowsum(spark, tmp_path, sf_dir):
+    import datetime as dt
+
+    import mapreduceimplementation_spark as eng
+
+    # one user: A -> B -> B -> C gives transitions AB, BB, BC
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0), 1, "A", 0.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 1), 1, "B", 0.0, "{}"),
+        (3, dt.datetime(2024, 1, 1, 2), 1, "B", 0.0, "{}"),
+        (4, dt.datetime(2024, 1, 1, 3), 1, "C", 0.0, "{}"),
+        # second user contributes one more AB
+        (5, dt.datetime(2024, 1, 1, 0), 2, "A", 0.0, "{}"),
+        (6, dt.datetime(2024, 1, 1, 1), 2, "B", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path / "trans")
+    df.write.parquet(d + "/events.parquet")
+    got = {
+        (r["prev_type"], r["next_type"]): r
+        for r in eng.QUERIES["events_transition_matrix"](spark, d).collect()
+    }
+    assert got[("A", "B")]["n"] == 2 and got[("A", "B")]["prob_ppm"] == 1000000
+    assert got[("B", "B")]["n"] == 1 and got[("B", "B")]["prob_ppm"] == 500000
+    assert got[("B", "C")]["n"] == 1 and got[("B", "C")]["prob_ppm"] == 500000
+    assert ("C", "A") not in got  # no wraparound across users
+
+    # on the real corpus: each row's ppm is a floor share, so per-prev
+    # sums land in (1e6 - n_rows, 1e6]
+    rows2 = eng.QUERIES["events_transition_matrix"](spark, sf_dir).collect()
+    from collections import defaultdict
+
+    sums = defaultdict(lambda: [0, 0])
+    for r in rows2:
+        sums[r["prev_type"]][0] += r["prob_ppm"]
+        sums[r["prev_type"]][1] += 1
+    for prev, (s, k) in sums.items():
+        assert 1000000 - k < s <= 1000000, (prev, s, k)
