@@ -113,6 +113,12 @@ HEADLINE = [
     "ann_ivfpq",
     "streaming_asof_join",
     "events_scd2_dimension",
+    # round-6 continuation: the published-rule quality matrix (row-local
+    # scan floor) and the two-pass DSIR importance scorer
+    "quality_gopher_rules",
+    "dsir_importance",
+    "quality_c4_rules",
+    "embedding_hard_negatives",
 ]
 
 CANARY = "mr_wordcount"

@@ -35,7 +35,12 @@ from mapreduceimplementation_spark.operators.textmetrics import (
     _LANGS,
     _SQL_STOP_RE,
 )
-from mapreduceimplementation_spark.functions.stable import round6, sql_round6
+from mapreduceimplementation_spark.functions.stable import (
+    half_away,
+    round6,
+    sql_half_away,
+    sql_round6,
+)
 from mapreduceimplementation_spark.registry import register
 from mapreduceimplementation_spark.session import tune
 from mapreduceimplementation_spark.sources.tables import load_table
@@ -800,4 +805,175 @@ def corpus_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_chars",
         F.row_number().over(w).cast("long").alias("sample_pos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C64. dsir_importance — hashed-n-gram importance weights (DSIR)
+
+#: hashed-unigram feature space: bucket = hash64('dsir-' || word) % _DSIR_B.
+#: 512 buckets is the classic DSIR configuration scaled to this corpus;
+#: the bucket-count bound (not the vocab) is what the shuffle carries.
+_DSIR_B = 512
+#: the target distribution: documents labeled with this language play the
+#: role of DSIR's "formal text" target sample (wiki/books in the paper)
+_DSIR_TARGET_LANG = "en"
+
+
+@register(
+    "dsir_importance",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, lang, unnest(list_filter(
+                   regexp_split_to_array(lower(text), '[^a-z]+'),
+                   x -> x <> '')) AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    feats AS (
+        SELECT doc_id, lang,
+               {sql_hash64("'dsir-' || w")} % {_DSIR_B} AS b
+        FROM words
+    ),
+    buckets AS (
+        SELECT b,
+               CAST(count(*) AS BIGINT) AS cr,
+               CAST(sum(CASE WHEN lang = '{_DSIR_TARGET_LANG}'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS ct
+        FROM feats GROUP BY b
+    ),
+    totals AS (
+        SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt
+        FROM buckets
+    ),
+    lp0 AS (
+        SELECT b,
+               CAST({sql_half_away(
+                   "ln(((ct + 1.0) * (nr + " + str(_DSIR_B) + ")) / "
+                   "((cr + 1.0) * (nt + " + str(_DSIR_B) + ")))", 9)}
+                   AS DECIMAL(18,9)) AS llr
+        FROM buckets CROSS JOIN totals
+    ),
+    lp AS (SELECT * FROM lp0),
+    scored AS (
+        SELECT f.doc_id,
+               any_value(f.lang) AS lang,
+               count(*) AS n_words,
+               CAST(sum(lp.llr) AS DOUBLE) AS dsir_score,
+               sum(lp.llr) AS raw
+        FROM feats f JOIN lp ON f.b = lp.b
+        GROUP BY f.doc_id
+    ),
+    m AS (SELECT CAST(sum(raw) AS DOUBLE) / count(*) AS mean_score
+          FROM scored)
+    SELECT doc_id, lang, n_words, dsir_score,
+           dsir_score > mean_score AS selected
+    FROM scored CROSS JOIN m
+    """,
+)
+def dsir_importance(
+    spark: SparkSession, sf_dir: str, *, checkpoint: bool = True
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, Data Selection via
+    Importance Resampling): score every document by the log-likelihood
+    ratio of its hashed-unigram features under a TARGET distribution
+    (here: the '{_DSIR_TARGET_LANG}'-labeled slice, standing in for the
+    paper's wiki/books sample) vs the RAW corpus distribution —
+    positive total = more target-like than average, the signal DSIR
+    resamples on to pick pretraining data at scale.  Bag-of-hashed-
+    n-grams with add-1 smoothing over {_DSIR_B} buckets, exactly the
+    paper's estimator with unigram features.
+
+    Determinism discipline: each bucket's log-ratio is quantized to 9dp
+    DECIMAL before any per-doc summation (the C28 lesson — raw-double
+    sums vary with merge order and ln() by an ulp across libm); the
+    per-doc score is then an EXACT decimal sum cast to double, identical
+    on both engines under any partitioning.
+
+    Scale shape: two passes, both cheap — pass 1 folds all word
+    occurrences into a {_DSIR_B}-row bucket table (ONE partial-agg
+    exchange bounded by bucket count, never vocab or corpus size; totals
+    are a single broadcast row); pass 2 re-scans, maps each word to its
+    bucket row-locally, broadcast-joins the {_DSIR_B}-row log-ratio
+    table and aggregates per doc_id (one exchange carrying (doc_id,
+    llr) pairs, text never shuffled).  This is the production DSIR
+    shape: the model is bucket-table-sized, the data is streamed.
+
+    ``checkpoint=False`` (tests only) skips the lineage-truncating
+    localCheckpoints so plan gates can see the full scoring stage."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+
+    def feats():
+        ws = F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z]+"),
+            lambda x: x != F.lit(""),
+        )
+        return (
+            docs.where(F.col("text").isNotNull())
+            .select("doc_id", "lang", F.explode(ws).alias("w"))
+            .select(
+                "doc_id",
+                "lang",
+                (
+                    hash64(F.concat(F.lit("dsir-"), F.col("w"))) % _DSIR_B
+                ).alias("b"),
+            )
+        )
+
+    buckets = feats().groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(
+            F.when(F.col("lang") == _DSIR_TARGET_LANG, 1).otherwise(0)
+        ).cast("long").alias("ct"),
+    )
+    totals = buckets.agg(
+        F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
+    )
+    lp = (
+        buckets.crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            half_away(
+                F.log(
+                    ((F.col("ct") + 1.0) * (F.col("nr") + _DSIR_B))
+                    / ((F.col("cr") + 1.0) * (F.col("nt") + _DSIR_B))
+                ),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("llr"),
+        )
+    )
+    if checkpoint:
+        lp = lp.localCheckpoint(eager=False)
+    # scored is output-sized and consumed twice (rows + corpus mean) —
+    # checkpoint so the two-pass DSIR lineage doesn't re-run per consumer
+    scored = (
+        feats()
+        .join(F.broadcast(lp), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.first("lang").alias("lang"),
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("llr").cast("double").alias("dsir_score"),
+            F.sum("llr").alias("raw"),
+        )
+    )
+    if checkpoint:
+        scored = scored.localCheckpoint(eager=False)
+    # selection rule: above the corpus-mean score (DSIR resamples on the
+    # weights; the mean threshold is the deterministic top-half cut).
+    # The mean divides an EXACT decimal sum by an exact count — both
+    # engines produce the identical double.
+    m = scored.agg(
+        (F.sum("raw").cast("double") / F.count(F.lit(1))).alias("mean_score")
+    )
+    return scored.crossJoin(F.broadcast(m)).select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "dsir_score",
+        (F.col("dsir_score") > F.col("mean_score")).alias("selected"),
     )

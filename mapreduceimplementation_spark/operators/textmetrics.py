@@ -1785,3 +1785,297 @@ def corpus_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ent6.alias("class_entropy"),
         (ent6 < _ENT_LOW).alias("low_entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C63. quality_gopher_rules — Gopher §A1.1 per-rule filter matrix
+
+#: the 8 Gopher "stop words": a doc must contain >= _GOPHER_MIN_STOPS of
+#: them (the rule that kills word-soup and navigation pages)
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_MIN_STOPS = 2
+_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS = 50, 100_000
+
+
+def _sql_lines() -> str:
+    return "string_split(text, chr(10))"
+
+
+_SQL_GOPHER_STOPS = " + ".join(
+    "CASE WHEN regexp_matches(lower(text), '\\b" + w + "\\b')"
+    " THEN 1 ELSE 0 END"
+    for w in _GOPHER_STOPS
+)
+
+
+@register(
+    "quality_gopher_rules",
+    oracle=f"""
+    WITH stats AS (
+        SELECT doc_id,
+               CAST(length(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+                   AS n_words,
+               CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                   AS BIGINT) AS n_letters,
+               CAST(length(regexp_extract_all(text, '#|\\.\\.\\.'))
+                   AS BIGINT) AS n_sym,
+               CAST(len(list_filter({_sql_lines()},
+                        x -> x <> '')) AS BIGINT) AS n_lines,
+               CAST(len(list_filter({_sql_lines()},
+                        x -> ends_with(x, '...'))) AS BIGINT) AS n_ell,
+               CAST(len(list_filter({_sql_lines()},
+                        x -> starts_with(x, '-') OR starts_with(x, '*')))
+                   AS BIGINT) AS n_bullet,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(string_split(text, ' '),
+                        x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+                   AS n_alpha_tokens,
+               {_SQL_GOPHER_STOPS} AS n_stops
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, n_words, n_stops,
+           n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+               AS rule_word_count,
+           n_words > 0 AND 3 * n_words <= n_letters
+               AND n_letters <= 10 * n_words AS rule_mean_word_len,
+           10 * n_sym <= n_words AS rule_symbol_ratio,
+           10 * n_ell <= 3 * n_lines AS rule_ellipsis_lines,
+           10 * n_bullet <= 9 * n_lines AS rule_bullet_lines,
+           5 * n_alpha_tokens >= 4 * n_tokens AS rule_alpha_words,
+           n_stops >= {_GOPHER_MIN_STOPS} AS rule_stop_words,
+           (n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
+               AND (n_words > 0 AND 3 * n_words <= n_letters
+                    AND n_letters <= 10 * n_words)
+               AND 10 * n_sym <= n_words
+               AND 10 * n_ell <= 3 * n_lines
+               AND 10 * n_bullet <= 9 * n_lines
+               AND 5 * n_alpha_tokens >= 4 * n_tokens
+               AND n_stops >= {_GOPHER_MIN_STOPS} AS passes_gopher
+    FROM stats
+    """,
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter rule matrix (Rae et al. 2021, §A1.1): the
+    seven document-level heuristics the MassiveText pipeline applies
+    before any model-based scoring — word-count bounds, mean-word-length
+    band [3, 10], symbol-to-word ratio (# / ellipsis), ellipsis-ended
+    and bullet-started line fractions, alphabetic-word fraction ≥ 0.8,
+    and the ≥2-of-8 stop-word test.  Emits each rule's verdict PLUS the
+    conjunction, so downstream can both filter and report per-rule
+    rejection rates (C3 scores fluency; this is the published
+    reject-rule set).
+
+    Determinism discipline: every ratio threshold is stated as an
+    INTEGER cross-multiplication (10·n_sym ≤ n_words, 5·n_alpha ≥
+    4·n_tokens…) — no float division anywhere, so the verdicts cannot
+    sit on a rounding boundary on either engine.  Line/token counts use
+    array filters over chr(10)/space splits (identical list semantics
+    both engines); the synthetic corpus has no newlines, so the line
+    rules are exercised by the crafted-fixture pytest instead.
+
+    Scale shape: row-local regexp/array arithmetic at scan speed, ZERO
+    shuffles — exactly the filter you run before paying for dedup."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lines = F.filter(F.split("text", "\n"), lambda x: x != F.lit(""))
+    lines_all = F.split("text", "\n")
+    tokens = F.split("text", " ")
+    stats = docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.regexp_count("text", F.lit("[A-Za-z]+")).cast("long").alias("n_words"),
+        F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+        .cast("long")
+        .alias("n_letters"),
+        F.regexp_count("text", F.lit("#|\\.\\.\\.")).cast("long").alias("n_sym"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(F.filter(lines_all, lambda x: x.endswith("...")))
+        .cast("long")
+        .alias("n_ell"),
+        F.size(
+            F.filter(
+                lines_all,
+                lambda x: x.startswith("-") | x.startswith("*"),
+            )
+        )
+        .cast("long")
+        .alias("n_bullet"),
+        F.size(F.filter(tokens, lambda x: x != F.lit("")))
+        .cast("long")
+        .alias("n_tokens"),
+        F.size(F.filter(tokens, lambda x: x.rlike("[A-Za-z]")))
+        .cast("long")
+        .alias("n_alpha_tokens"),
+        sum(
+            F.when(
+                F.lower(F.col("text")).rlike(f"\\b{w}\\b"), 1
+            ).otherwise(0)
+            for w in _GOPHER_STOPS
+        ).alias("n_stops"),
+    )
+    r_wc = F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+    r_mwl = (
+        (F.col("n_words") > 0)
+        & (3 * F.col("n_words") <= F.col("n_letters"))
+        & (F.col("n_letters") <= 10 * F.col("n_words"))
+    )
+    r_sym = 10 * F.col("n_sym") <= F.col("n_words")
+    r_ell = 10 * F.col("n_ell") <= 3 * F.col("n_lines")
+    r_bul = 10 * F.col("n_bullet") <= 9 * F.col("n_lines")
+    r_alpha = 5 * F.col("n_alpha_tokens") >= 4 * F.col("n_tokens")
+    r_stop = F.col("n_stops") >= _GOPHER_MIN_STOPS
+    return stats.select(
+        "doc_id",
+        "n_words",
+        F.col("n_stops").cast("long").alias("n_stops"),
+        r_wc.alias("rule_word_count"),
+        r_mwl.alias("rule_mean_word_len"),
+        r_sym.alias("rule_symbol_ratio"),
+        r_ell.alias("rule_ellipsis_lines"),
+        r_bul.alias("rule_bullet_lines"),
+        r_alpha.alias("rule_alpha_words"),
+        r_stop.alias("rule_stop_words"),
+        (r_wc & r_mwl & r_sym & r_ell & r_bul & r_alpha & r_stop).alias(
+            "passes_gopher"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C65. quality_c4_rules — C4 cleaning heuristics (Raffel et al. 2020 §2.2)
+
+#: a line survives C4 iff it ends in terminal punctuation, has >= 3 words,
+#: and does not mention javascript
+_C4_MIN_LINE_WORDS = 3
+#: a page survives iff its KEPT text still has >= 5 sentences
+_C4_MIN_SENTENCES = 5
+#: deterministic stand-in for C4's word blocklist (the published pipeline
+#: uses the LDNOOBW list; the operator is the plumbing, the list is config)
+_C4_BADWORDS = ("casino", "jackpot", "viagra")
+
+_SQL_C4_KEEP = (
+    "x -> (ends_with(rtrim(x), '.') OR ends_with(rtrim(x), '!')"
+    " OR ends_with(rtrim(x), '?') OR ends_with(rtrim(x), '\"'))"
+    f" AND len(list_filter(string_split(x, ' '), w -> w <> ''))"
+    f" >= {_C4_MIN_LINE_WORDS}"
+    " AND NOT contains(lower(x), 'javascript')"
+)
+
+_SQL_C4_BAD = " OR ".join(
+    f"regexp_matches(lower(text), '\\b{w}\\b')" for w in _C4_BADWORDS
+)
+
+
+@register(
+    "quality_c4_rules",
+    oracle=f"""
+    WITH stats AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, chr(10)),
+                        x -> x <> '')) AS BIGINT) AS n_lines,
+               CAST(len(list_filter(string_split(text, chr(10)),
+                        {_SQL_C4_KEEP})) AS BIGINT) AS n_kept_lines,
+               -- coalesce: DuckDB array_to_string([]) is NULL, not ''
+               CAST(length(regexp_extract_all(
+                        coalesce(array_to_string(list_filter(
+                            string_split(text, chr(10)), {_SQL_C4_KEEP}),
+                            chr(10)), ''),
+                        '[.!?]')) AS BIGINT) AS n_sentences,
+               contains(lower(text), 'lorem ipsum') AS has_lorem,
+               contains(text, '{{') AS has_brace,
+               ({_SQL_C4_BAD}) AS has_badword
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, n_lines, n_kept_lines, n_sentences,
+           CASE WHEN n_lines = 0 THEN CAST(0 AS BIGINT)
+                ELSE (1000000 * n_kept_lines) // n_lines END AS kept_ppm,
+           n_sentences >= {_C4_MIN_SENTENCES} AS rule_min_sentences,
+           NOT has_lorem AS rule_no_lorem,
+           NOT has_brace AS rule_no_brace,
+           NOT has_badword AS rule_no_badwords,
+           n_kept_lines >= 1
+               AND n_sentences >= {_C4_MIN_SENTENCES}
+               AND NOT has_lorem AND NOT has_brace AND NOT has_badword
+               AS passes_c4
+    FROM stats
+    """,
+)
+def quality_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning heuristics (Raffel et al. JMLR 2020, §2.2 — the rules
+    that built the C4 corpus): LINE-level retention (keep a line only if
+    it ends in terminal punctuation [. ! ? \"], has ≥ 3 words, and does
+    not mention javascript) plus PAGE-level rejection (kept text must
+    still hold ≥ 5 sentences; drop pages containing 'lorem ipsum', a
+    curly brace, or a blocklist word — the published pipeline's LDNOOBW
+    list, stood in for by a small deterministic config list).  Emits the
+    retention accounting (lines kept, ppm) and each page rule's verdict
+    plus the conjunction — C63 is Gopher's reject matrix, this is C4's;
+    together they are the two published rule sets a pretraining corpus
+    is actually screened with.
+
+    Determinism discipline: the kept-line predicate is ONE lambda stated
+    identically over both engines' chr(10)-split arrays (string ops
+    only, no regex classes that could differ); kept_ppm is an exact
+    BIGINT division; sentence counting runs over the REJOINED kept text
+    so both engines count the same characters.
+
+    Scale shape: row-local string/array arithmetic at scan speed, ZERO
+    shuffles — like C63 this is the filter you run before paying for
+    any shuffle-bearing dedup."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lines_all = F.split("text", "\n")
+
+    def kept(x: Column) -> Column:
+        t = F.rtrim(x)
+        words = F.size(F.filter(F.split(x, " "), lambda w: w != F.lit("")))
+        return (
+            (
+                t.endswith(".")
+                | t.endswith("!")
+                | t.endswith("?")
+                | t.endswith('"')
+            )
+            & (words >= _C4_MIN_LINE_WORDS)
+            & ~F.contains(F.lower(x), F.lit("javascript"))
+        )
+
+    kept_lines = F.filter(lines_all, kept)
+    has_bad = None
+    for w in _C4_BADWORDS:
+        c = F.lower(F.col("text")).rlike(f"\\b{w}\\b")
+        has_bad = c if has_bad is None else (has_bad | c)
+    stats = docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.size(F.filter(lines_all, lambda x: x != F.lit("")))
+        .cast("long")
+        .alias("n_lines"),
+        F.size(kept_lines).cast("long").alias("n_kept_lines"),
+        F.regexp_count(F.array_join(kept_lines, "\n"), F.lit("[.!?]"))
+        .cast("long")
+        .alias("n_sentences"),
+        F.contains(F.lower("text"), F.lit("lorem ipsum")).alias("has_lorem"),
+        F.contains("text", F.lit("{")).alias("has_brace"),
+        has_bad.alias("has_badword"),
+    )
+    r_sent = F.col("n_sentences") >= _C4_MIN_SENTENCES
+    return stats.select(
+        "doc_id",
+        "n_lines",
+        "n_kept_lines",
+        "n_sentences",
+        F.when(F.col("n_lines") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("(n_kept_lines * 1000000L) div n_lines"))
+        .alias("kept_ppm"),
+        r_sent.alias("rule_min_sentences"),
+        (~F.col("has_lorem")).alias("rule_no_lorem"),
+        (~F.col("has_brace")).alias("rule_no_brace"),
+        (~F.col("has_badword")).alias("rule_no_badwords"),
+        (
+            (F.col("n_kept_lines") >= 1)
+            & r_sent
+            & ~F.col("has_lorem")
+            & ~F.col("has_brace")
+            & ~F.col("has_badword")
+        ).alias("passes_c4"),
+    )

@@ -2093,3 +2093,155 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _TOPK)
         .select("q_id", "neighbor_id", "adc_micro", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# C66. embedding_hard_negatives — triplet mining for metric learning
+
+#: hard negatives kept per probe (the triplet-loss batch's negative pool)
+_HN_K = 5
+
+
+def _normed_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_normed plus the label column (same scan, same norm definition)."""
+    emb = spread(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            "label",
+            F.col("embedding").cast("array<double>").alias("v"),
+        ),
+        spark,
+    )
+    return emb.where(F.size("v") > 0).select(
+        "vec_id", "label", "v", l2_norm("v").alias("nrm")
+    )
+
+#: DuckDB: the labeled twin of _SQL_NORMED, DERIVED from it (one norm
+#: definition — a drifted copy would change which vectors tie)
+_SQL_NORMED_L = _SQL_NORMED.replace(
+    "SELECT vec_id, embedding", "SELECT vec_id, label, embedding"
+).replace("SELECT vec_id, v,", "SELECT vec_id, label, v,")
+
+
+@register(
+    "embedding_hard_negatives",
+    oracle=f"""
+    WITH {_SQL_NORMED_L},
+    cand AS (
+        SELECT nq.vec_id AS q_id, nq.label AS q_label,
+               nc.vec_id AS neighbor_id, nc.label AS n_label,
+               (nc.label = nq.label) AS same,
+               {sql_round6(_SQL_COS)} AS cos
+        FROM n nq JOIN n nc
+          ON nq.vec_id < {_Q_MAX} AND nc.vec_id <> nq.vec_id
+    ),
+    ranked AS (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY q_id, same ORDER BY cos DESC, neighbor_id
+        ) AS INT) AS rank FROM cand
+    ),
+    pos AS (
+        SELECT q_id, q_label, neighbor_id AS pos_id, cos AS pos_cos
+        FROM ranked WHERE same AND rank = 1
+    ),
+    neg AS (
+        SELECT q_id, neighbor_id AS neg_id, n_label AS neg_label,
+               cos AS neg_cos, rank AS neg_rank
+        FROM ranked WHERE NOT same AND rank <= {_HN_K}
+    )
+    SELECT p.q_id, p.q_label, p.pos_id, p.pos_cos,
+           g.neg_id, g.neg_label, g.neg_cos, g.neg_rank,
+           CAST(CASE WHEN (p.pos_cos - g.neg_cos) * 1000000.0 < 0
+                THEN -floor(-((p.pos_cos - g.neg_cos) * 1000000.0) + 0.5)
+                ELSE floor((p.pos_cos - g.neg_cos) * 1000000.0 + 0.5)
+                END AS BIGINT) AS margin_micro,
+           g.neg_cos >= p.pos_cos AS is_violation
+    FROM pos p JOIN neg g ON p.q_id = g.q_id
+    """,
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative triplet mining (Schroff et al. CVPR'15 FaceNet;
+    Xiong et al. ICLR'21 ANCE): for each probe (vec_id < {_Q_MAX}), the
+    nearest SAME-label vector (the positive) and the {_HN_K} nearest
+    DIFFERENT-label vectors (the hard negatives), with the triplet
+    margin cos(pos) − cos(neg) and a violation flag (negative at least
+    as close as the positive) — exactly the pairs a contrastive /
+    triplet training batch is built from, and the curriculum signal
+    ANCE refreshes per checkpoint.  Probes with no same-label peer have
+    no positive and emit no triplets (inner join, documented).
+
+    Determinism: cosines through the SAME round6(dot/norms) chain as C10
+    (one definition); ranks tie-break on neighbor_id; the margin is
+    emitted as a half-away-floored micro-unit BIGINT (difference of two
+    certified 6dp doubles — identical IEEE ops both engines).
+
+    Scale shape: ONE corpus scan streamed against the broadcast probe
+    set (C10's O(|Q|·n) BroadcastNestedLoopJoin by design — at real
+    scale the candidate source swaps to C11b/C62's IVF buckets, same
+    downstream); positives and negatives come from ONE window pass
+    partitioned (q_id, same) — probe-bounded exchange — and the
+    (|Q|·(1+{_HN_K}))-row survivor relation localCheckpoints before the
+    tiny pos⋈neg broadcast join, so the corpus is never re-scanned."""
+    tune(spark)
+    n = _normed_labeled(spark, sf_dir)
+    q = n.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    ).where(F.col("q_id") < _Q_MAX)
+    cos = round6(dot("v", "qv") / (F.col("nrm") * F.col("qnrm")))
+    cand = (
+        n.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "q_label",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("n_label"),
+            (F.col("label") == F.col("q_label")).alias("same"),
+            cos.alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id", "same").orderBy(
+        F.col("cos").desc(), "neighbor_id"
+    )
+    survivors = (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(
+            (F.col("same") & (F.col("rank") == 1))
+            | (~F.col("same") & (F.col("rank") <= _HN_K))
+        )
+        .localCheckpoint(eager=False)
+    )
+    pos = survivors.where("same").select(
+        "q_id",
+        "q_label",
+        F.col("neighbor_id").alias("pos_id"),
+        F.col("cos").alias("pos_cos"),
+    )
+    neg = survivors.where(~F.col("same")).select(
+        "q_id",
+        F.col("neighbor_id").alias("neg_id"),
+        F.col("n_label").alias("neg_label"),
+        F.col("cos").alias("neg_cos"),
+        F.col("rank").alias("neg_rank"),
+    )
+    m = (F.col("pos_cos") - F.col("neg_cos")) * 1000000.0
+    margin = (
+        F.when(m < 0, -F.floor(-m + F.lit(0.5)))
+        .otherwise(F.floor(m + F.lit(0.5)))
+        .cast("long")
+    )
+    return pos.join(F.broadcast(neg), "q_id").select(
+        "q_id",
+        "q_label",
+        "pos_id",
+        "pos_cos",
+        "neg_id",
+        "neg_label",
+        "neg_cos",
+        "neg_rank",
+        margin.alias("margin_micro"),
+        (F.col("neg_cos") >= F.col("pos_cos")).alias("is_violation"),
+    )

@@ -81,6 +81,13 @@ _EMPTY_TOTAL = [
     "table_snapshot_diff",
     "events_audience_overlap",
     "events_transition_matrix",
+    # r6 continuation: the row-local Gopher rule matrix and the two-pass
+    # DSIR scorer (empty corpus -> empty bucket model -> empty scores;
+    # the one-row mean aggregate must not fabricate a row)
+    "quality_gopher_rules",
+    "dsir_importance",
+    "quality_c4_rules",
+    "embedding_hard_negatives",
 ]
 
 _ONE_ROW_ON_EMPTY = {

@@ -77,6 +77,15 @@ _FUZZ_QUERIES = [
     # digit/punct/space-only degenerate docs
     "winnowing_fingerprint",
     "corpus_entropy",
+    # r6 continuation: the Gopher integer cross-multiplication verdicts
+    # (random newline/bullet/ellipsis shapes hit the line rules the
+    # parquet corpus can't), and DSIR's quantized-llr decimal sums under
+    # random lang mixes including the no-target-docs degenerate case
+    "quality_gopher_rules",
+    "dsir_importance",
+    # C4's line-retention lambda (terminal punct + min words + js) and
+    # the empty-kept-text coalesce under random newline-heavy docs
+    "quality_c4_rules",
 ]
 
 

@@ -404,3 +404,116 @@ def test_bloom_probe_is_broadcast(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_dsir_importance_brute_force(spark):
+    """C64: on a hand corpus, every per-doc DSIR score equals an
+    independent Python re-derivation of the paper's estimator — hashed
+    unigram buckets, add-1-smoothed target/raw log-likelihood ratio
+    quantized to 9dp decimal, exact decimal per-doc sum — and the
+    selection flag matches the corpus-mean cut."""
+    import math
+    import os
+    import re
+    import tempfile
+    from collections import Counter
+    from decimal import Decimal
+
+    import pytest
+
+    from mapreduceimplementation_spark.functions.hashing import py_hash64
+    from mapreduceimplementation_spark.operators.pipeline import (
+        _DSIR_B,
+        _DSIR_TARGET_LANG,
+        dsir_importance,
+    )
+
+    texts = {
+        1: ("en", "the quick brown fox jumps over the lazy dog again and again"),
+        2: ("en", "data selection via importance resampling picks target like text"),
+        3: ("de", "der schnelle braune fuchs springt wieder und wieder"),
+        4: ("de", "daten auswahl nach wichtigkeit gewichtet den korpus"),
+        5: ("en", "the target distribution is formal english text the paper says"),
+        6: ("fr", "le renard brun rapide saute encore et encore"),
+        7: ("en", "importance weights favor documents that look like the target"),
+        8: ("de", "noch ein deutsches dokument ohne englische woerter"),
+    }
+
+    def words(t):
+        return [w for w in re.split(r"[^a-z]+", t.lower()) if w]
+
+    def bucket(w):
+        return py_hash64("dsir-" + w) % _DSIR_B
+
+    cr, ct = Counter(), Counter()
+    for _, (lang, t) in texts.items():
+        for w in words(t):
+            b = bucket(w)
+            cr[b] += 1
+            if lang == _DSIR_TARGET_LANG:
+                ct[b] += 1
+    nr, nt = sum(cr.values()), sum(ct.values())
+
+    def half_away9(q):
+        scaled = q * 1e9
+        r = -math.floor(-scaled + 0.5) if scaled < 0 else math.floor(scaled + 0.5)
+        return Decimal(r) / Decimal(10**9)
+
+    llr = {
+        b: half_away9(
+            math.log(
+                ((ct[b] + 1.0) * (nr + _DSIR_B))
+                / ((cr[b] + 1.0) * (nt + _DSIR_B))
+            )
+        )
+        for b in cr
+    }
+
+    expect = {}
+    for doc_id, (lang, t) in texts.items():
+        ws = words(t)
+        raw = sum((llr[bucket(w)] for w in ws), Decimal(0))
+        expect[doc_id] = (lang, len(ws), raw)
+    mean = float(sum((r for _, _, r in expect.values()), Decimal(0))) / len(expect)
+
+    rows = [(d, lang, t) for d, (lang, t) in sorted(texts.items())]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        out = dsir_importance(spark, d).toPandas().set_index("doc_id")
+
+    assert sorted(out.index) == sorted(texts)
+    n_sel = 0
+    for doc_id, (lang, n_words, raw) in expect.items():
+        row = out.loc[doc_id]
+        assert row["lang"] == lang
+        assert row["n_words"] == n_words
+        assert row["dsir_score"] == pytest.approx(float(raw), abs=1e-9)
+        # the fixture must not sit on the mean boundary
+        assert abs(float(raw) - mean) > 1e-6, (doc_id, raw, mean)
+        assert bool(row["selected"]) == (float(raw) > mean), doc_id
+        n_sel += bool(row["selected"])
+    # target-language docs must skew selected: the estimator's whole point
+    sel_langs = [expect[d][0] for d in expect if bool(out.loc[d, "selected"])]
+    uns_langs = [expect[d][0] for d in expect if not bool(out.loc[d, "selected"])]
+    assert 0 < n_sel < len(expect)
+    en_sel = sel_langs.count("en") / len(sel_langs)
+    en_uns = uns_langs.count("en") / len(uns_langs)
+    assert en_sel > en_uns, (sel_langs, uns_langs)
+
+
+def test_dsir_model_is_broadcast(spark, sf_dir):
+    """C64 scale shape (checkpoint=False exposes the full lineage the
+    production localCheckpoints truncate): the 512-row log-ratio table
+    reaches the scoring pass as the BUILD side of a BroadcastHashJoin,
+    the one-row totals/mean joins are broadcast NLJ, and nothing flips
+    to sort-merge or cartesian — the corpus word stream is never the
+    build side of anything."""
+    from mapreduceimplementation_spark.operators.pipeline import dsir_importance
+
+    df = dsir_importance(spark, sf_dir, checkpoint=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan

@@ -181,6 +181,10 @@ INVENTORY = [
     "table_snapshot_diff",   # B72: rolling-snapshot reconciliation diff
     "events_audience_overlap",  # B73: trailing-week overlap/Jaccard matrix
     "events_transition_matrix",  # B74: Markov transition estimate
+    "quality_gopher_rules",  # C63: Gopher §A1.1 per-rule filter matrix
+    "dsir_importance",       # C64: DSIR hashed-n-gram importance weights
+    "quality_c4_rules",      # C65: C4 §2.2 line+page cleaning heuristics
+    "embedding_hard_negatives",  # C66: FaceNet/ANCE triplet mining
 ]
 
 #: SURVEY rows not yet implemented — MUST shrink to empty; a key may not

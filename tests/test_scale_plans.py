@@ -77,6 +77,15 @@ _SCALE_PLAN_QUERIES = [
     "hybrid_search_rrf",
     "ann_ivfpq",
     "events_scd2_dimension",
+    # r6 continuation: the Gopher matrix must stay a zero-exchange scan
+    # at 10x; DSIR's 512-row model must stay the broadcast build side
+    # (the word stream flipping to build would be the scale killer)
+    "quality_gopher_rules",
+    "dsir_importance",
+    "quality_c4_rules",
+    # probe-broadcast triplet mining: the corpus stream must never become
+    # the build side as it grows
+    "embedding_hard_negatives",
 ]
 
 

@@ -353,3 +353,205 @@ def test_corpus_entropy_no_exchange_and_hand_case(spark, sf_dir):
     assert (
         out.loc[2, ["c_lower", "c_upper", "c_digit", "c_space", "c_other"]] == 1
     ).all()
+
+
+def test_quality_gopher_rules_zero_exchange_and_brute_force(spark, sf_dir):
+    """C63: the rule matrix is a row-local scan (zero exchanges), and on
+    hand-crafted docs — including the newline/bullet/ellipsis shapes the
+    synthetic corpus can't exercise — every emitted column equals an
+    independent Python re-implementation of the published Gopher rules."""
+    import os
+    import re
+    import tempfile
+
+    from mapreduceimplementation_spark.operators.textmetrics import (
+        _GOPHER_MAX_WORDS,
+        _GOPHER_MIN_STOPS,
+        _GOPHER_MIN_WORDS,
+        _GOPHER_STOPS,
+        quality_gopher_rules,
+    )
+
+    df = eng.QUERIES["quality_gopher_rules"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+    clean = ("the data needs to be part of and that have with quality " * 8).strip()
+    texts = {
+        1: clean,                                  # passes every rule
+        2: ("lorem ipsum dolor " * 30).strip(),    # no stop words
+        3: "- the one\n- of two\n* three\n- four\n-five",  # all-bullet lines
+        4: "see more...\nread more...\nthe end is near...",     # ellipsis-heavy
+        5: "#### #### #### the of and that",       # symbol-heavy
+        6: "a b c d e " * 20 + "the of",           # mean word len < 3
+        7: "the of and " + "1234 5678 " * 20,      # low alpha-token fraction
+        8: "the of and that have",                 # under min word count
+        9: "",                                     # empty text row
+    }
+
+    def brute(text):
+        n_words = len(re.findall(r"[A-Za-z]+", text))
+        n_letters = len(re.sub(r"[^A-Za-z]", "", text))
+        n_sym = len(re.findall(r"#|\.\.\.", text))
+        lines_all = text.split("\n")
+        n_lines = sum(1 for x in lines_all if x != "")
+        n_ell = sum(1 for x in lines_all if x.endswith("..."))
+        n_bullet = sum(
+            1 for x in lines_all if x.startswith("-") or x.startswith("*")
+        )
+        toks = text.split(" ")
+        n_tokens = sum(1 for t in toks if t != "")
+        n_alpha = sum(1 for t in toks if re.search(r"[A-Za-z]", t))
+        n_stops = sum(
+            1
+            for w in _GOPHER_STOPS
+            if re.search(r"\b" + w + r"\b", text.lower())
+        )
+        rules = {
+            "rule_word_count": _GOPHER_MIN_WORDS <= n_words <= _GOPHER_MAX_WORDS,
+            "rule_mean_word_len": (
+                n_words > 0
+                and 3 * n_words <= n_letters <= 10 * n_words
+            ),
+            "rule_symbol_ratio": 10 * n_sym <= n_words,
+            "rule_ellipsis_lines": 10 * n_ell <= 3 * n_lines,
+            "rule_bullet_lines": 10 * n_bullet <= 9 * n_lines,
+            "rule_alpha_words": 5 * n_alpha >= 4 * n_tokens,
+            "rule_stop_words": n_stops >= _GOPHER_MIN_STOPS,
+        }
+        rules["passes_gopher"] = all(rules.values())
+        return n_words, n_stops, rules
+
+    docs = spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        out = quality_gopher_rules(spark, d).toPandas().set_index("doc_id")
+
+    assert sorted(out.index) == sorted(texts)
+    for doc_id, text in texts.items():
+        n_words, n_stops, rules = brute(text)
+        row = out.loc[doc_id]
+        assert row["n_words"] == n_words, doc_id
+        assert row["n_stops"] == n_stops, doc_id
+        for col, want in rules.items():
+            assert bool(row[col]) == want, (doc_id, col, text[:40])
+    # the fixture must actually exercise each rejection rule at least once
+    assert not out["passes_gopher"].all()
+    assert bool(out.loc[1, "passes_gopher"])
+    for col in (
+        "rule_word_count",
+        "rule_mean_word_len",
+        "rule_symbol_ratio",
+        "rule_ellipsis_lines",
+        "rule_bullet_lines",
+        "rule_alpha_words",
+        "rule_stop_words",
+    ):
+        assert not out[col].all(), f"{col} never rejected by the fixture"
+
+
+def test_quality_c4_rules_zero_exchange_and_brute_force(spark, sf_dir):
+    """C65: zero-exchange scan; on crafted multi-line pages every column
+    equals an independent Python re-implementation of the published C4
+    line- and page-level rules."""
+    import os
+    import re
+    import tempfile
+
+    from mapreduceimplementation_spark.operators.textmetrics import (
+        _C4_BADWORDS,
+        _C4_MIN_LINE_WORDS,
+        _C4_MIN_SENTENCES,
+        quality_c4_rules,
+    )
+
+    df = eng.QUERIES["quality_c4_rules"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+    texts = {
+        1: "This page is fine and clean.\nIt has several proper sentences!"
+           "\nEach line ends with punctuation.\nThree words minimum here."
+           "\nAnd one more sentence to clear the bar.",
+        2: "short line\nno punctuation here\nstill none",      # nothing kept
+        3: "Enable javascript to view this page.\n"            # js line dropped
+           "A real sentence stays right here.\n"
+           "Another real sentence stays too!\n"
+           "Sentences three and four stay? Yes. Five stays.",
+        4: "Lorem ipsum dolor sit amet, consectetur adipiscing elit."
+           "\nMore filler text follows here. And here. And here. Done.",
+        5: "A config snippet { key: value } breaks the page rule."
+           "\nOtherwise these sentences all look fine. Truly fine."
+           " Quite fine. Very fine.",
+        6: "Win big at the casino tonight friends!\nCome play. Stay long."
+           " Bet more. Win less.",
+        7: 'A quoted line ends properly."\nOnly two. sentences though.',
+        8: "One two.\nOk fine.\nTiny!",                        # <3 words/line
+        9: "",
+    }
+
+    def brute(text):
+        lines_all = text.split("\n")
+        n_lines = sum(1 for x in lines_all if x != "")
+
+        def keep(x):
+            t = x.rstrip()
+            words = sum(1 for w in x.split(" ") if w != "")
+            return (
+                t.endswith((".", "!", "?", '"'))
+                and words >= _C4_MIN_LINE_WORDS
+                and "javascript" not in x.lower()
+            )
+
+        kept = [x for x in lines_all if keep(x)]
+        n_sentences = len(re.findall(r"[.!?]", "\n".join(kept)))
+        has_lorem = "lorem ipsum" in text.lower()
+        has_brace = "{" in text
+        has_bad = any(
+            re.search(r"\b" + w + r"\b", text.lower()) for w in _C4_BADWORDS
+        )
+        kept_ppm = 0 if n_lines == 0 else (1000000 * len(kept)) // n_lines
+        return {
+            "n_lines": n_lines,
+            "n_kept_lines": len(kept),
+            "n_sentences": n_sentences,
+            "kept_ppm": kept_ppm,
+            "rule_min_sentences": n_sentences >= _C4_MIN_SENTENCES,
+            "rule_no_lorem": not has_lorem,
+            "rule_no_brace": not has_brace,
+            "rule_no_badwords": not has_bad,
+            "passes_c4": (
+                len(kept) >= 1
+                and n_sentences >= _C4_MIN_SENTENCES
+                and not has_lorem
+                and not has_brace
+                and not has_bad
+            ),
+        }
+
+    docs = spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        out = quality_c4_rules(spark, d).toPandas().set_index("doc_id")
+
+    assert sorted(out.index) == sorted(texts)
+    for doc_id, text in texts.items():
+        want = brute(text)
+        row = out.loc[doc_id]
+        for col, v in want.items():
+            got = bool(row[col]) if isinstance(v, bool) else row[col]
+            assert got == v, (doc_id, col, got, v)
+    # the fixture exercises each page rule and both keep/reject outcomes
+    assert bool(out.loc[1, "passes_c4"])
+    for col in (
+        "rule_min_sentences",
+        "rule_no_lorem",
+        "rule_no_brace",
+        "rule_no_badwords",
+    ):
+        assert not out[col].all(), f"{col} never rejected by the fixture"
+    assert (out["n_kept_lines"] < out["n_lines"]).any()

@@ -545,3 +545,82 @@ def test_ann_ivfpq_adc_and_candidates(spark, sf_dir, duck):
         g = g.sort_values("rank")
         assert list(g["rank"]) == list(range(1, len(g) + 1))
         assert (g["adc_micro"].diff().dropna() >= 0).all()
+
+
+# ---------------------------------------------------------------------------
+# C66 embedding_hard_negatives
+
+
+def test_hard_negatives_matches_oracle(spark, sf_dir, duck):
+    from tests.conftest import assert_same_result
+
+    df = eng.QUERIES["embedding_hard_negatives"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["embedding_hard_negatives"])
+
+
+def test_hard_negatives_brute_force(spark, sf_dir):
+    """C66 against a driver-side brute force over the real sf table:
+    for every probe, the positive is THE nearest same-label vector, the
+    negatives are THE top-k different-label vectors in (cos desc, id)
+    order, margins are pos-neg at micro grain, and violation flags
+    agree."""
+    import math
+
+    from mapreduceimplementation_spark.operators.vectors import _HN_K, _Q_MAX
+    from mapreduceimplementation_spark.sources.tables import load_table
+
+    emb = {
+        r["vec_id"]: (list(r["embedding"]), r["label"])
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def cos6(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        q = d / (na * nb) * 1e6
+        r = -math.floor(-q + 0.5) if q < 0 else math.floor(q + 0.5)
+        return r / 1e6
+
+    out = eng.QUERIES["embedding_hard_negatives"](spark, sf_dir).toPandas()
+    probes = [i for i in emb if i < _Q_MAX]
+    for q in probes:
+        qv, ql = emb[q]
+        scored = [
+            (cos6(qv, v), i, lab)
+            for i, (v, lab) in emb.items()
+            if i != q
+        ]
+        same = sorted(
+            [(c, i) for c, i, lab in scored if lab == ql],
+            key=lambda t: (-t[0], t[1]),
+        )
+        diff = sorted(
+            [(c, i, lab) for c, i, lab in scored if lab != ql],
+            key=lambda t: (-t[0], t[1]),
+        )
+        rows = out[out["q_id"] == q].sort_values("neg_rank")
+        if not same:
+            assert len(rows) == 0, q
+            continue
+        pos_cos, pos_id = same[0]
+        want_k = min(_HN_K, len(diff))
+        assert len(rows) == want_k, q
+        for rank, (_, r) in enumerate(rows.iterrows(), start=1):
+            nc, ni, nl = diff[rank - 1]
+            assert r["pos_id"] == pos_id and r["pos_cos"] == pos_cos, q
+            assert (r["neg_id"], r["neg_rank"]) == (ni, rank), q
+            assert r["neg_cos"] == nc and r["neg_label"] == nl, q
+            m = (pos_cos - nc) * 1e6
+            mm = -math.floor(-m + 0.5) if m < 0 else math.floor(m + 0.5)
+            assert r["margin_micro"] == mm, q
+            assert bool(r["is_violation"]) == (nc >= pos_cos), q
+
+
+def test_hard_negatives_plan_shape(spark, sf_dir):
+    """C66 scale shape: probes broadcast against ONE corpus stream (the
+    C10 BNLJ-by-design), no sort-merge join, no cartesian product."""
+    df = eng.QUERIES["embedding_hard_negatives"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
