@@ -119,6 +119,15 @@ HEADLINE = [
     "dsir_importance",
     "quality_c4_rules",
     "embedding_hard_negatives",
+    "embedding_matryoshka_eval",
+    "events_funnel_attribution",
+    # previously-untimed round-6 families: the lake/KV maintenance trio
+    # and the two events matrices get recorded floors
+    "kv_client_dedup",
+    "table_merge_upsert",
+    "table_snapshot_diff",
+    "events_audience_overlap",
+    "events_transition_matrix",
 ]
 
 CANARY = "mr_wordcount"

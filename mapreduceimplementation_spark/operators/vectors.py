@@ -2245,3 +2245,143 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         margin.alias("margin_micro"),
         (F.col("neg_cos") >= F.col("pos_cos")).alias("is_violation"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C67. embedding_matryoshka_eval — truncated-dimension recall audit (MRL)
+
+#: audited truncation depths; 64 is the full dimension (its recall is
+#: 1.0 by construction — kept as the in-result self-check row)
+_MRL_DIMS = (8, 16, 32, 64)
+
+
+@register(
+    "embedding_matryoshka_eval",
+    oracle=f"""
+    WITH {_SQL_NORMED},
+    dims AS (SELECT unnest([{", ".join(str(d) for d in _MRL_DIMS)}])
+             AS trunc_dim),
+    cand AS (
+        SELECT nq.vec_id AS q_id, nc.vec_id AS neighbor_id, d.trunc_dim,
+               {sql_round6(
+                   "list_reduce(list_transform(range(1, d.trunc_dim + 1),"
+                   " i -> nq.v[i] * nc.v[i]), (a, b) -> a + b)"
+                   " / (sqrt(list_reduce(list_transform("
+                   "range(1, d.trunc_dim + 1), i -> nq.v[i] * nq.v[i]),"
+                   " (a, b) -> a + b))"
+                   " * sqrt(list_reduce(list_transform("
+                   "range(1, d.trunc_dim + 1), i -> nc.v[i] * nc.v[i]),"
+                   " (a, b) -> a + b)))")} AS cos
+        FROM n nq JOIN n nc
+          ON nq.vec_id < {_Q_MAX} AND nc.vec_id <> nq.vec_id
+        CROSS JOIN dims d
+    ),
+    ranked AS (
+        SELECT q_id, trunc_dim, neighbor_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_id, trunc_dim
+                ORDER BY cos DESC, neighbor_id) AS rank
+            FROM cand
+        ) WHERE rank <= {_TOPK}
+    ),
+    fullk AS (
+        SELECT q_id, neighbor_id, TRUE AS in_full
+        FROM ranked WHERE trunc_dim = {_DIM}
+    )
+    SELECT r.q_id, r.trunc_dim,
+           CAST(count(*) AS BIGINT) AS n_top,
+           CAST(sum(CASE WHEN f.in_full THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_overlap,
+           (CAST(sum(CASE WHEN f.in_full THEN 1 ELSE 0 END) AS BIGINT)
+               * 1000000) // {_TOPK} AS recall_ppm
+    FROM ranked r LEFT JOIN fullk f
+      ON r.q_id = f.q_id AND r.neighbor_id = f.neighbor_id
+    GROUP BY r.q_id, r.trunc_dim
+    """,
+)
+def embedding_matryoshka_eval(
+    spark: SparkSession, sf_dir: str, *, checkpoint: bool = True
+) -> DataFrame:
+    """Matryoshka truncation audit (Kusupati et al. NeurIPS'22, MRL —
+    the eval run before shipping truncated embeddings): per probe and
+    truncation depth d ∈ {_MRL_DIMS}, exact top-{_TOPK} by cosine over
+    the FIRST d dimensions vs the full-{_DIM} top-{_TOPK}, reporting
+    overlap and recall@{_TOPK} in exact ppm — the number that decides
+    whether a 64→16 storage cut (4× memory, 4× ADC speed) is safe for a
+    given corpus.  The d={_DIM} row is recall 1.0 by construction and
+    stays in the result as a self-check (C48/C53 audit discipline:
+    measure the shipped ranking, and carry a row that must be perfect).
+
+    Determinism: truncated cosines through the same left-fold/round6
+    chain as C10 (at d={_DIM} the formula IS C10's, slice norms equal
+    full norms); ranks tie-break on neighbor_id; recall is an exact
+    BIGINT div — no float fraction at the frontier.
+
+    Scale shape: ONE corpus stream against the broadcast probe set
+    computes all {len(_MRL_DIMS)} depths row-locally (the |Q|·n BNLJ by
+    design, C10's documented baseline shape); the per-(probe, depth)
+    window moves only candidate rows; the (|Q|·{len(_MRL_DIMS)}·{_TOPK})-row
+    survivor relation localCheckpoints before the tiny self-join
+    against its own d={_DIM} slice.  ``checkpoint=False`` (tests only)
+    exposes the full lineage to plan gates."""
+    tune(spark)
+    n = _normed(spark, sf_dir)
+    q = n.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+    ).where(F.col("q_id") < _Q_MAX)
+    depth_cos = [
+        F.struct(
+            F.lit(d).cast("int").alias("trunc_dim"),
+            round6(
+                dot(F.slice("v", 1, d), F.slice("qv", 1, d))
+                / (
+                    l2_norm(F.slice("v", 1, d))
+                    * l2_norm(F.slice("qv", 1, d))
+                )
+            ).alias("cos"),
+        )
+        for d in _MRL_DIMS
+    ]
+    cand = (
+        n.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.explode(F.array(*depth_cos)).alias("dc"),
+        )
+        .select("q_id", "neighbor_id", "dc.trunc_dim", "dc.cos")
+    )
+    w = Window.partitionBy("q_id", "trunc_dim").orderBy(
+        F.col("cos").desc(), "neighbor_id"
+    )
+    ranked = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TOPK)
+        .select("q_id", "trunc_dim", "neighbor_id")
+    )
+    if checkpoint:
+        ranked = ranked.localCheckpoint(eager=False)
+    full = ranked.where(F.col("trunc_dim") == _DIM).select(
+        "q_id", "neighbor_id", F.lit(True).alias("in_full")
+    )
+    return (
+        ranked.join(F.broadcast(full), ["q_id", "neighbor_id"], "left")
+        .groupBy("q_id", "trunc_dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_top"),
+            F.sum(F.when(F.col("in_full"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_overlap"),
+        )
+        .select(
+            "q_id",
+            "trunc_dim",
+            "n_top",
+            "n_overlap",
+            F.expr(f"(n_overlap * 1000000L) div {_TOPK}").alias(
+                "recall_ppm"
+            ),
+        )
+    )

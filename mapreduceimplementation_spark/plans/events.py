@@ -1817,3 +1817,157 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(n * 1000000L) div sum(n) over (partition by prev_type)"
         " as prob_ppm",
     )
+
+
+# ---------------------------------------------------------------------------
+# B75. events_funnel_attribution — U-shaped multi-touch attribution
+
+#: attribution lookback: touches older than this before the purchase get
+#: no credit
+_ATTR_DAYS = 7
+#: U-shaped (position-based) weights in ppm: first 40%, last 40%, the
+#: middle 20% split evenly (integer div; the sub-ppm remainder stays
+#: unassigned, so per-purchase credit sums to <= 1e6 deterministically)
+_ATTR_EDGE_PPM = 400_000
+_ATTR_MID_PPM = 200_000
+
+
+@register(
+    "events_funnel_attribution",
+    oracle=f"""
+    WITH p AS (
+        SELECT user_id, ts AS p_ts, event_id AS p_id,
+               CAST(CASE WHEN value * 1000000.0 < 0
+                    THEN -floor(-(value * 1000000.0) + 0.5)
+                    ELSE floor(value * 1000000.0 + 0.5) END AS BIGINT)
+                   AS value_micro
+        FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+        SELECT user_id, ts AS t_ts, event_id AS t_id,
+               event_type AS t_type
+        FROM events WHERE event_type <> 'purchase'
+    ),
+    pairs AS (
+        SELECT t.t_type, t.t_ts, t.t_id, p.p_id, p.value_micro
+        FROM t JOIN p ON t.user_id = p.user_id
+         AND t.t_ts < p.p_ts
+         AND t.t_ts >= p.p_ts - INTERVAL {_ATTR_DAYS} DAY
+    ),
+    ranked AS (
+        SELECT *,
+               CAST(row_number() OVER w AS BIGINT) AS rn,
+               CAST(count(*) OVER (PARTITION BY p_id) AS BIGINT) AS k
+        FROM pairs
+        WINDOW w AS (PARTITION BY p_id ORDER BY t_ts, t_id)
+    ),
+    credited AS (
+        SELECT t_type, p_id, rn, k,
+               CASE WHEN k = 1 THEN 1000000
+                    WHEN k = 2 THEN 500000
+                    WHEN rn = 1 OR rn = k THEN {_ATTR_EDGE_PPM}
+                    ELSE {_ATTR_MID_PPM} // (k - 2) END AS weight_ppm,
+               value_micro
+        FROM ranked
+    )
+    SELECT t_type AS event_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(count(DISTINCT p_id) AS BIGINT) AS n_conversions,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_first,
+           CAST(sum(CASE WHEN rn = k THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_last,
+           CAST(sum((value_micro * weight_ppm) // 1000000) AS BIGINT)
+               AS credit_micro
+    FROM credited
+    GROUP BY t_type
+    """,
+)
+def events_funnel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution — the standard
+    marketing-analytics credit model (40% to the first touch, 40% to the
+    last, 20% split across the middle; single touch takes all, two
+    touches split evenly): every purchase distributes its value across
+    the user's touches (non-purchase events) in the {_ATTR_DAYS}-day
+    lookback, and credit rolls up per touch type.  B23 asks "did the
+    fixed path complete"; this prices EVERY path — the pair give the
+    funnel's conversion view and its revenue view.
+
+    Determinism discipline: purchase value snaps to micro-unit BIGINT
+    (half-away floor) BEFORE weighting, weights are exact ppm integers
+    (the middle split's sub-ppm remainder stays unassigned, so per-
+    purchase credit ≤ 1e6 ppm deterministically — no float fractions to
+    re-normalize), and credit is an exact BIGINT product-then-div.
+    Touch order is the total (ts, event_id) order.
+
+    Scale shape: ONE equi-join shuffle on user_id (both sides of the
+    self-join repartition once; the {_ATTR_DAYS}-day window is a
+    row-local filter on the joined pair, never a range-join plan —
+    pair volume is bounded by per-user activity in the horizon, the
+    same bound every per-user window op here carries); then one window
+    exchange on p_id and a types-bounded rollup.  No broadcast of
+    event-volume data, no cartesian (plan-gated)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+        (half_away(F.col("value") * 1000000.0, 0))
+        .cast("long")
+        .alias("value_micro"),
+    )
+    t = ev.where(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("t_type"),
+    )
+    pairs = t.join(p, "user_id").where(
+        (F.col("t_ts") < F.col("p_ts"))
+        & (
+            F.col("t_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {_ATTR_DAYS} DAYS")
+        )
+    )
+    wr = Window.partitionBy("p_id").orderBy("t_ts", "t_id")
+    wk = Window.partitionBy("p_id")
+    ranked = pairs.select(
+        "t_type",
+        "p_id",
+        "value_micro",
+        F.row_number().over(wr).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wk).cast("long").alias("k"),
+    )
+    weight = (
+        F.when(F.col("k") == 1, F.lit(1000000).cast("long"))
+        .when(F.col("k") == 2, F.lit(500000).cast("long"))
+        .when(
+            (F.col("rn") == 1) | (F.col("rn") == F.col("k")),
+            F.lit(_ATTR_EDGE_PPM).cast("long"),
+        )
+        .otherwise(F.expr(f"{_ATTR_MID_PPM}L div (k - 2)"))
+    )
+    credited = ranked.select(
+        "t_type",
+        "p_id",
+        "rn",
+        "k",
+        weight.alias("weight_ppm"),
+        "value_micro",
+    )
+    return credited.groupBy(F.col("t_type").alias("event_type")).agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.countDistinct("p_id").alias("n_conversions"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_first"),
+        F.sum(F.when(F.col("rn") == F.col("k"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_last"),
+        F.sum(F.expr("(value_micro * weight_ppm) div 1000000"))
+        .cast("long")
+        .alias("credit_micro"),
+    )

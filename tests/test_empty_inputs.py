@@ -88,6 +88,8 @@ _EMPTY_TOTAL = [
     "dsir_importance",
     "quality_c4_rules",
     "embedding_hard_negatives",
+    "embedding_matryoshka_eval",
+    "events_funnel_attribution",
 ]
 
 _ONE_ROW_ON_EMPTY = {

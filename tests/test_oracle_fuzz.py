@@ -157,6 +157,9 @@ _EVENTS_FUZZ = [
     "events_type_pivot",
     # B69: run collapse + interval close under random repeat patterns
     "events_scd2_dimension",
+    # B75: U-shaped weights under random touch counts/ties; same-second
+    # touches force the (ts, event_id) tie-break through both engines
+    "events_funnel_attribution",
 ]
 
 
@@ -400,6 +403,10 @@ _VEC_FUZZ_QUERIES = [
     "embedding_pq",
     "ann_topk",
     "ann_ivfpq",
+    # C66/C67: injected duplicate vectors force the rank tie-breaks in
+    # triplet mining and in every truncated-depth top-k simultaneously
+    "embedding_hard_negatives",
+    "embedding_matryoshka_eval",
 ]
 
 

@@ -185,6 +185,8 @@ INVENTORY = [
     "dsir_importance",       # C64: DSIR hashed-n-gram importance weights
     "quality_c4_rules",      # C65: C4 §2.2 line+page cleaning heuristics
     "embedding_hard_negatives",  # C66: FaceNet/ANCE triplet mining
+    "embedding_matryoshka_eval",  # C67: MRL truncated-dim recall audit
+    "events_funnel_attribution",  # B75: U-shaped multi-touch attribution
 ]
 
 #: SURVEY rows not yet implemented — MUST shrink to empty; a key may not

@@ -83,9 +83,13 @@ _SCALE_PLAN_QUERIES = [
     "quality_gopher_rules",
     "dsir_importance",
     "quality_c4_rules",
-    # probe-broadcast triplet mining: the corpus stream must never become
-    # the build side as it grows
+    # probe-broadcast triplet mining / truncation audit: the corpus
+    # stream must never become the build side as it grows
     "embedding_hard_negatives",
+    "embedding_matryoshka_eval",
+    # the user_id self-join must stay an equi-join (never flip to a
+    # nested-loop range join) as the fact grows
+    "events_funnel_attribution",
 ]
 
 

@@ -843,3 +843,151 @@ def test_transition_matrix_hand_case_and_rowsum(spark, tmp_path, sf_dir):
         sums[r["prev_type"]][1] += 1
     for prev, (s, k) in sums.items():
         assert 1000000 - k < s <= 1000000, (prev, s, k)
+
+
+# ---------------------------------------------------------------------------
+# B75. events_funnel_attribution
+
+
+def test_funnel_attribution_hand_case(spark, tmp_path):
+    """Crafted journeys pin the U-shaped weight table: 1 touch takes all,
+    2 split evenly, k>=3 gives 40/40 to the edges and splits 20 across
+    the middle with BIGINT div; lookback excludes old touches; purchases
+    with no prior touch attribute nothing."""
+    import datetime as dt
+
+    import mapreduceimplementation_spark as eng
+
+    def ev(eid, day, hour, uid, typ, val=0.0):
+        return (eid, dt.datetime(2024, 1, day, hour), uid, typ, val, "{}")
+
+    rows = [
+        # user 1: one view then a 10.0 purchase -> view gets all 1e6 ppm
+        ev(1, 1, 9, 1, "view"),
+        ev(2, 1, 10, 1, "purchase", 10.0),
+        # user 2: click, view, then a 6.0 purchase -> 50/50
+        ev(3, 2, 9, 2, "click"),
+        ev(4, 2, 10, 2, "view"),
+        ev(5, 2, 11, 2, "purchase", 6.0),
+        # user 3: 5 touches then a 9.0 purchase -> first/last 40%,
+        # three middles get 200000 // 3 = 66666 ppm each
+        ev(6, 3, 8, 3, "click"),
+        ev(7, 3, 9, 3, "view"),
+        ev(8, 3, 10, 3, "view"),
+        ev(9, 3, 11, 3, "view"),
+        ev(10, 3, 12, 3, "click"),
+        ev(11, 3, 13, 3, "purchase", 9.0),
+        # user 4: touch OUTSIDE the 7-day lookback -> purchase unattributed
+        ev(12, 1, 9, 4, "view"),
+        ev(13, 20, 9, 4, "purchase", 100.0),
+        # user 5: purchase with no touches at all
+        ev(14, 5, 9, 5, "purchase", 50.0),
+        # user 6: touch AFTER the purchase -> excluded
+        ev(15, 6, 12, 6, "purchase", 7.0),
+        ev(16, 6, 13, 6, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path / "attr")
+    df.write.parquet(d + "/events.parquet")
+    out = {
+        r["event_type"]: r
+        for r in eng.QUERIES["events_funnel_attribution"](spark, d).collect()
+    }
+    assert set(out) == {"view", "click"}
+    # view credit: u1 10.0*1.0 + u2 6.0*0.5 + u3 9.0*(66666*3/1e6)
+    v = out["view"]
+    assert v["n_touches"] == 5
+    assert v["n_conversions"] == 3
+    assert v["credit_micro"] == (
+        10_000_000 + 3_000_000 + 3 * (9_000_000 * 66_666 // 1_000_000)
+    )
+    # click credit: u2 6.0*0.5 + u3 9.0*0.4 (first) + 9.0*0.4 (last)
+    c = out["click"]
+    assert c["n_touches"] == 3
+    assert c["n_conversions"] == 2
+    assert c["credit_micro"] == 3_000_000 + 2 * (9_000_000 * 400_000 // 1_000_000)
+    # first/last bookkeeping: u3's first touch is a click, last is a click;
+    # u1's single view is both first and last, u2's first is click/last view
+    assert (v["n_first"], v["n_last"]) == (1, 2)
+    assert (c["n_first"], c["n_last"]) == (2, 1)
+
+
+def test_funnel_attribution_brute_force(spark, sf_dir):
+    """On the real table: a driver-side brute force re-derives every
+    (purchase, touch) pair, the U-shaped ppm weights, and the truncated
+    credit, and matches the operator's per-type rollup EXACTLY; the plan
+    carries no cartesian and no broadcast of the event-volume side."""
+    import math
+    from collections import defaultdict
+
+    import mapreduceimplementation_spark as eng
+    from pyspark.sql import functions as F
+    from mapreduceimplementation_spark.sources.tables import load_table
+
+    df = eng.QUERIES["events_funnel_attribution"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    out = df.toPandas().set_index("event_type")
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase")
+    t = ev.where(F.col("event_type") != "purchase")
+    pairs = (
+        t.select(
+            "user_id",
+            F.col("ts").alias("t_ts"),
+            F.col("event_id").alias("t_id"),
+            F.col("event_type").alias("t_type"),
+        )
+        .join(
+            p.select(
+                "user_id",
+                F.col("ts").alias("p_ts"),
+                F.col("event_id").alias("p_id"),
+                F.col("value").alias("p_val"),
+            ),
+            "user_id",
+        )
+        .where(
+            (F.col("t_ts") < F.col("p_ts"))
+            & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS"))
+        )
+        .collect()
+    )
+    by_p = defaultdict(list)
+    for r in pairs:
+        by_p[r["p_id"]].append(r)
+    agg = defaultdict(lambda: [0, set(), 0, 0, 0])  # touches, convs, first, last, credit
+    for pid, rows in by_p.items():
+        rows.sort(key=lambda r: (r["t_ts"], r["t_id"]))
+        k = len(rows)
+        q = rows[0]["p_val"] * 1000000.0
+        vm = int(-math.floor(-q + 0.5) if q < 0 else math.floor(q + 0.5))
+        for rn, r in enumerate(rows, start=1):
+            if k == 1:
+                w = 1000000
+            elif k == 2:
+                w = 500000
+            elif rn in (1, k):
+                w = 400000
+            else:
+                w = 200000 // (k - 2)
+            a = agg[r["t_type"]]
+            a[0] += 1
+            a[1].add(pid)
+            a[2] += rn == 1
+            a[3] += rn == k
+            a[4] += (vm * w) // 1000000
+    assert set(out.index) == set(agg)
+    for typ, (nt, convs, nf, nl, credit) in agg.items():
+        row = out.loc[typ]
+        assert row["n_touches"] == nt, typ
+        assert row["n_conversions"] == len(convs), typ
+        assert row["n_first"] == nf, typ
+        assert row["n_last"] == nl, typ
+        assert row["credit_micro"] == credit, typ

@@ -624,3 +624,64 @@ def test_hard_negatives_plan_shape(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# C67 embedding_matryoshka_eval
+
+
+def test_matryoshka_matches_oracle(spark, sf_dir, duck):
+    from tests.conftest import assert_same_result
+
+    df = eng.QUERIES["embedding_matryoshka_eval"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["embedding_matryoshka_eval"])
+
+
+def test_matryoshka_brute_force(spark, sf_dir):
+    """C67 against a driver-side brute force: per probe and depth the
+    truncated top-k set is re-derived in Python and the overlap/recall
+    recomputed; the full-dim row must be recall 1.0 exactly."""
+    import math
+
+    from mapreduceimplementation_spark.operators.vectors import (
+        _MRL_DIMS,
+        _Q_MAX,
+        _TOPK,
+    )
+    from mapreduceimplementation_spark.sources.tables import load_table
+
+    emb = {
+        r["vec_id"]: list(r["embedding"])
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def cos6(a, b, d):
+        s = sum(a[i] * b[i] for i in range(d))
+        na = math.sqrt(sum(a[i] * a[i] for i in range(d)))
+        nb = math.sqrt(sum(b[i] * b[i] for i in range(d)))
+        q = s / (na * nb) * 1e6
+        r = -math.floor(-q + 0.5) if q < 0 else math.floor(q + 0.5)
+        return r / 1e6
+
+    def topk(qid, d):
+        scored = sorted(
+            ((cos6(emb[qid], v, d), i) for i, v in emb.items() if i != qid),
+            key=lambda t: (-t[0], t[1]),
+        )[:_TOPK]
+        return [i for _, i in scored]
+
+    out = eng.QUERIES["embedding_matryoshka_eval"](spark, sf_dir).toPandas()
+    probes = [i for i in emb if i < _Q_MAX]
+    assert len(out) == len(probes) * len(_MRL_DIMS)
+    for q in probes:
+        want_full = set(topk(q, 64))
+        for d in _MRL_DIMS:
+            row = out[(out["q_id"] == q) & (out["trunc_dim"] == d)]
+            assert len(row) == 1, (q, d)
+            row = row.iloc[0]
+            ov = len(set(topk(q, d)) & want_full)
+            assert row["n_top"] == _TOPK, (q, d)
+            assert row["n_overlap"] == ov, (q, d)
+            assert row["recall_ppm"] == (ov * 1000000) // _TOPK, (q, d)
+    full_rows = out[out["trunc_dim"] == 64]
+    assert (full_rows["recall_ppm"] == 1000000).all()
