@@ -128,6 +128,8 @@ HEADLINE = [
     "table_snapshot_diff",
     "events_audience_overlap",
     "events_transition_matrix",
+    "corpus_semantic_decontaminate",
+    "events_ab_test_metrics",
 ]
 
 CANARY = "mr_wordcount"

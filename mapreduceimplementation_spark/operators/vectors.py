@@ -2385,3 +2385,101 @@ def embedding_matryoshka_eval(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C68. corpus_semantic_decontaminate — embedding-space benchmark overlap
+
+#: the benchmark sample: vectors with vec_id < _SD_Q play the held-out
+#: eval set; corpus = everything else
+_SD_Q = 16
+#: contamination threshold on exact cosine — aligned with C9's near-dup
+#: grain (_DE_TAU) so "contaminated" means "would have been caught as a
+#: near-duplicate of an eval item"
+_SD_TAU = _DE_TAU
+
+
+@register(
+    "corpus_semantic_decontaminate",
+    oracle=f"""
+    WITH {_SQL_NORMED},
+    pair AS (
+        SELECT nc.vec_id, nq.vec_id AS probe_id,
+               {sql_round6(_SQL_COS)} AS cos
+        FROM n nc JOIN n nq
+          ON nq.vec_id < {_SD_Q} AND nc.vec_id >= {_SD_Q}
+    ),
+    best AS (
+        SELECT vec_id, probe_id AS best_probe, cos AS max_cos FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cos DESC, probe_id) AS rnk
+            FROM pair
+        ) WHERE rnk = 1
+    ),
+    above AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN cos >= {_SD_TAU} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_above
+        FROM pair GROUP BY vec_id
+    )
+    SELECT b.vec_id, b.best_probe, b.max_cos, a.n_above,
+           b.max_cos >= {_SD_TAU} AS contaminated
+    FROM best b JOIN above a ON b.vec_id = a.vec_id
+    """,
+)
+def corpus_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic twin of
+    C27's n-gram check (modern pipelines run BOTH: n-gram overlap misses
+    paraphrased eval leakage, embedding cosine catches it — the SemDeDup
+    / Phi-style decontamination step): every corpus vector (vec_id ≥
+    {_SD_Q}) is scored by its nearest benchmark item (vec_id < {_SD_Q},
+    standing in for the held-out eval set), reporting the argmax probe,
+    the max cosine, how many benchmark items sit above the threshold,
+    and the contaminated verdict at C9's near-dup grain (τ = {_SD_TAU} —
+    "would have been caught as a near-duplicate of an eval item").
+
+    Determinism: cosines through the shared round6(dot/norm) chain (C10
+    definition); the argmax is a (cos DESC, probe_id) row_number — ties
+    to the smallest probe id on both engines; n_above is an exact count.
+
+    Scale shape: the benchmark set is SMALL by nature (an eval suite,
+    not a corpus) — it broadcasts, the corpus streams ONCE against it
+    (the C10 BNLJ-by-design shape), and the per-vector argmax/count
+    share ONE vec_id window exchange carrying |corpus|·|benchmark|
+    candidate rows.  At extreme benchmark sizes the candidate source
+    swaps to C11b's IVF buckets — same downstream, as C62 demonstrates."""
+    tune(spark)
+    n = _normed(spark, sf_dir)
+    probes = n.where(F.col("vec_id") < _SD_Q).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cos = round6(dot("v", "qv") / (F.col("nrm") * F.col("qnrm")))
+    pair = (
+        n.where(F.col("vec_id") >= _SD_Q)
+        .crossJoin(F.broadcast(probes))
+        .select("vec_id", "probe_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "probe_id")
+    wv = Window.partitionBy("vec_id")
+    return (
+        pair.select(
+            "vec_id",
+            "probe_id",
+            "cos",
+            F.row_number().over(w).alias("rnk"),
+            F.sum(F.when(F.col("cos") >= _SD_TAU, 1).otherwise(0))
+            .over(wv)
+            .cast("long")
+            .alias("n_above"),
+        )
+        .where(F.col("rnk") == 1)
+        .select(
+            "vec_id",
+            F.col("probe_id").alias("best_probe"),
+            F.col("cos").alias("max_cos"),
+            "n_above",
+            (F.col("cos") >= _SD_TAU).alias("contaminated"),
+        )
+    )

@@ -8,6 +8,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from mapreduceimplementation_spark.functions.hashing import hash64, sql_hash64
 from mapreduceimplementation_spark.functions.stable import dsum, sql_dsum
 from mapreduceimplementation_spark.functions.stable import (
     half_away,
@@ -1970,4 +1971,124 @@ def events_funnel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("(value_micro * weight_ppm) div 1000000"))
         .cast("long")
         .alias("credit_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B76. events_ab_test_metrics — hash-bucketed experiment readout
+
+#: experiment salt: changing it re-randomizes every assignment (the knob
+#: a real experimentation platform turns per experiment)
+_AB_SALT = "ab-exp1-"
+
+
+@register(
+    "events_ab_test_metrics",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT user_id,
+               CASE WHEN {sql_hash64(f"'{_AB_SALT}' || CAST(user_id AS VARCHAR)")} % 2 = 0
+                    THEN 'control' ELSE 'treatment' END AS variant,
+               event_type, value
+        FROM events
+    ),
+    per_user AS (
+        SELECT variant, user_id,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN
+                   CAST(CASE WHEN value * 1000000.0 < 0
+                        THEN -floor(-(value * 1000000.0) + 0.5)
+                        ELSE floor(value * 1000000.0 + 0.5) END AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS value_micro
+        FROM assigned GROUP BY variant, user_id
+    ),
+    per_variant AS (
+        SELECT variant,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(converted) AS BIGINT) AS n_converted,
+               (CAST(sum(converted) AS BIGINT) * 1000000) // count(*)
+                   AS conv_ppm,
+               CAST(sum(value_micro) AS BIGINT) AS revenue_micro,
+               CAST(sum(value_micro) AS BIGINT) // count(*)
+                   AS revenue_per_user_micro
+        FROM per_user GROUP BY variant
+    )
+    SELECT variant, n_users, n_converted, conv_ppm, revenue_micro,
+           revenue_per_user_micro,
+           CAST(conv_ppm - (sum(conv_ppm) OVER () - conv_ppm) AS BIGINT)
+               AS delta_conv_ppm
+    FROM per_variant
+    """,
+)
+def events_ab_test_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout over deterministic hash bucketing — the
+    experimentation-platform staple: every user is assigned
+    control/treatment by a salted portable hash (same user → same arm on
+    every engine, every rerun, every backfill — the property that makes
+    the readout auditable), then per-arm exposure, conversion (any
+    purchase), conversion rate in exact ppm, revenue, and revenue per
+    exposed user, plus each arm's conversion delta against the other.
+    Changing {_AB_SALT!r} re-randomizes the split (per-experiment salt).
+
+    Determinism discipline: assignment is hash64(salt‖user_id) % 2 — the
+    same md5-derived hash the LSH/split family certifies cross-engine;
+    purchase value snaps to micro BIGINT (half-away floor) BEFORE any
+    sum; rates and per-user revenue are exact BIGINT division; the delta
+    is integer arithmetic over the 2-row arm relation (a window, no
+    self-join).
+
+    Scale shape: assignment is row-local at scan speed; ONE exchange on
+    (variant, user_id) builds per-user facts with map-side partials;
+    the arm rollup aggregates an already-aggregated relation into 2
+    rows; the delta window runs on those 2 rows.  No broadcast of
+    event-volume data, no join anywhere."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    variant = F.when(
+        hash64(F.col("user_id").cast("string"), _AB_SALT) % 2 == 0,
+        F.lit("control"),
+    ).otherwise(F.lit("treatment"))
+    vm = F.col("value") * 1000000.0
+    value_micro = (
+        F.when(vm < 0, -F.floor(-vm + F.lit(0.5)))
+        .otherwise(F.floor(vm + F.lit(0.5)))
+        .cast("long")
+    )
+    per_user = (
+        ev.select(
+            variant.alias("variant"),
+            "user_id",
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("is_p"),
+            F.when(F.col("event_type") == "purchase", value_micro)
+            .otherwise(F.lit(0).cast("long"))
+            .alias("vm"),
+        )
+        .groupBy("variant", "user_id")
+        .agg(
+            F.max("is_p").alias("converted"),
+            F.sum("vm").cast("long").alias("value_micro"),
+        )
+    )
+    per_variant = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.sum("value_micro").cast("long").alias("revenue_micro"),
+    )
+    return per_variant.select(
+        "variant",
+        "n_users",
+        "n_converted",
+        F.expr("(n_converted * 1000000L) div n_users").alias("conv_ppm"),
+        "revenue_micro",
+        F.expr("revenue_micro div n_users").alias("revenue_per_user_micro"),
+        F.expr(
+            "(n_converted * 1000000L) div n_users"
+            " - (sum((n_converted * 1000000L) div n_users) OVER ()"
+            "    - (n_converted * 1000000L) div n_users)"
+        ).alias("delta_conv_ppm"),
     )

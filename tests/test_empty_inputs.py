@@ -90,6 +90,8 @@ _EMPTY_TOTAL = [
     "embedding_hard_negatives",
     "embedding_matryoshka_eval",
     "events_funnel_attribution",
+    "corpus_semantic_decontaminate",
+    "events_ab_test_metrics",
 ]
 
 _ONE_ROW_ON_EMPTY = {

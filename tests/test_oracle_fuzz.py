@@ -160,6 +160,9 @@ _EVENTS_FUZZ = [
     # B75: U-shaped weights under random touch counts/ties; same-second
     # touches force the (ts, event_id) tie-break through both engines
     "events_funnel_attribution",
+    # B76: hash-arm totality + micro/ppm arithmetic on random values
+    # (including negatives, which exercise the signed half-away floor)
+    "events_ab_test_metrics",
 ]
 
 
@@ -407,6 +410,8 @@ _VEC_FUZZ_QUERIES = [
     # triplet mining and in every truncated-depth top-k simultaneously
     "embedding_hard_negatives",
     "embedding_matryoshka_eval",
+    # C68: nearest-benchmark argmax under duplicate-vector cosine ties
+    "corpus_semantic_decontaminate",
 ]
 
 

@@ -187,6 +187,8 @@ INVENTORY = [
     "embedding_hard_negatives",  # C66: FaceNet/ANCE triplet mining
     "embedding_matryoshka_eval",  # C67: MRL truncated-dim recall audit
     "events_funnel_attribution",  # B75: U-shaped multi-touch attribution
+    "corpus_semantic_decontaminate",  # C68: embedding-space eval decon
+    "events_ab_test_metrics",  # B76: hash-bucketed experiment readout
 ]
 
 #: SURVEY rows not yet implemented — MUST shrink to empty; a key may not

@@ -90,6 +90,9 @@ _SCALE_PLAN_QUERIES = [
     # the user_id self-join must stay an equi-join (never flip to a
     # nested-loop range join) as the fact grows
     "events_funnel_attribution",
+    # benchmark-broadcast decon and the joinless A/B rollup
+    "corpus_semantic_decontaminate",
+    "events_ab_test_metrics",
 ]
 
 

@@ -991,3 +991,95 @@ def test_funnel_attribution_brute_force(spark, sf_dir):
         assert row["n_first"] == nf, typ
         assert row["n_last"] == nl, typ
         assert row["credit_micro"] == credit, typ
+
+
+# ---------------------------------------------------------------------------
+# B76. events_ab_test_metrics
+
+
+def test_ab_test_hand_case(spark, tmp_path):
+    """Crafted users with hash-derived arms: exposure and conversion
+    counts, exact ppm rates, micro-unit revenue, and the antisymmetric
+    conversion delta all pinned against a Python re-derivation."""
+    import datetime as dt
+    import math
+    from collections import defaultdict
+
+    import mapreduceimplementation_spark as eng
+    from mapreduceimplementation_spark.functions.hashing import py_hash64
+    from mapreduceimplementation_spark.plans.events import _AB_SALT
+
+    def arm(uid):
+        return "control" if py_hash64(str(uid), _AB_SALT) % 2 == 0 else "treatment"
+
+    # users 1..8; purchases for a subset with decimal values
+    rows, eid = [], 0
+    purchases = {1: [9.99], 3: [0.5, 2.25], 6: [100.0]}
+    for uid in range(1, 9):
+        eid += 1
+        rows.append((eid, dt.datetime(2024, 1, 1, 9), uid, "view", 0.0, "{}"))
+        for val in purchases.get(uid, []):
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1, 10), uid, "purchase", val, "{}")
+            )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path / "ab")
+    df.write.parquet(d + "/events.parquet")
+    out = {
+        r["variant"]: r
+        for r in eng.QUERIES["events_ab_test_metrics"](spark, d).collect()
+    }
+
+    want = defaultdict(lambda: [0, 0, 0])  # users, converted, revenue_micro
+    for uid in range(1, 9):
+        a = arm(uid)
+        want[a][0] += 1
+        if uid in purchases:
+            want[a][1] += 1
+            want[a][2] += sum(
+                int(math.floor(v * 1000000.0 + 0.5)) for v in purchases[uid]
+            )
+    assert set(out) == set(want)
+    ppm = {}
+    for a, (nu, nc, rev) in want.items():
+        r = out[a]
+        assert r["n_users"] == nu, a
+        assert r["n_converted"] == nc, a
+        assert r["revenue_micro"] == rev, a
+        assert r["conv_ppm"] == (nc * 1000000) // nu, a
+        assert r["revenue_per_user_micro"] == rev // nu, a
+        ppm[a] = (nc * 1000000) // nu
+    # the delta is antisymmetric across the two arms
+    assert (
+        out["control"]["delta_conv_ppm"]
+        == ppm["control"] - ppm["treatment"]
+    )
+    assert (
+        out["treatment"]["delta_conv_ppm"]
+        == -out["control"]["delta_conv_ppm"]
+    )
+
+
+def test_ab_test_assignment_is_total_and_joinless(spark, sf_dir):
+    """On the real table: arms partition the full user set (exposure
+    totals equal distinct users), and the plan has no join at all —
+    assignment is row-local, the rollups are two aggregations."""
+    import mapreduceimplementation_spark as eng
+    from mapreduceimplementation_spark.sources.tables import load_table
+
+    df = eng.QUERIES["events_ab_test_metrics"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    out = df.toPandas()
+    n_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert int(out["n_users"].sum()) == n_users
+    assert (out["n_converted"] <= out["n_users"]).all()
+    # hash split should be near-even (binomial 3-sigma at any real size)
+    import math
+    n = int(out["n_users"].sum())
+    assert abs(int(out["n_users"].max()) - n / 2) <= 3 * math.sqrt(n) / 2 + 1

@@ -685,3 +685,66 @@ def test_matryoshka_brute_force(spark, sf_dir):
             assert row["recall_ppm"] == (ov * 1000000) // _TOPK, (q, d)
     full_rows = out[out["trunc_dim"] == 64]
     assert (full_rows["recall_ppm"] == 1000000).all()
+
+
+# ---------------------------------------------------------------------------
+# C68 corpus_semantic_decontaminate
+
+
+def test_semantic_decontaminate_brute_force(spark, sf_dir, duck):
+    """C68: oracle match, then a driver-side brute force re-derives every
+    corpus vector's nearest-benchmark cosine, argmax tie-break, above-
+    threshold count, and verdict."""
+    import math
+
+    from tests.conftest import assert_same_result
+    from mapreduceimplementation_spark.operators.vectors import _SD_Q, _SD_TAU
+    from mapreduceimplementation_spark.sources.tables import load_table
+
+    df = eng.QUERIES["corpus_semantic_decontaminate"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["corpus_semantic_decontaminate"])
+
+    emb = {
+        r["vec_id"]: list(r["embedding"])
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def cos6(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        q = (
+            d
+            / (
+                math.sqrt(sum(x * x for x in a))
+                * math.sqrt(sum(x * x for x in b))
+            )
+            * 1e6
+        )
+        r = -math.floor(-q + 0.5) if q < 0 else math.floor(q + 0.5)
+        return r / 1e6
+
+    out = df.toPandas().set_index("vec_id")
+    probes = {i: v for i, v in emb.items() if i < _SD_Q}
+    corpus = {i: v for i, v in emb.items() if i >= _SD_Q}
+    assert sorted(out.index) == sorted(corpus)
+    for i, v in corpus.items():
+        scored = sorted(
+            ((cos6(v, p), pid) for pid, p in probes.items()),
+            key=lambda t: (-t[0], t[1]),
+        )
+        mc, bp = scored[0]
+        row = out.loc[i]
+        assert row["max_cos"] == mc, i
+        assert row["best_probe"] == bp, i
+        assert row["n_above"] == sum(1 for c, _ in scored if c >= _SD_TAU), i
+        assert bool(row["contaminated"]) == (mc >= _SD_TAU), i
+
+
+def test_semantic_decontaminate_plan_shape(spark, sf_dir):
+    """C68 scale shape: the benchmark set broadcasts against ONE corpus
+    stream; the argmax and the above-count share one vec_id window
+    exchange (no second hashpartitioning on vec_id, no sort-merge)."""
+    df = eng.QUERIES["corpus_semantic_decontaminate"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
