@@ -130,6 +130,8 @@ HEADLINE = [
     "events_transition_matrix",
     "corpus_semantic_decontaminate",
     "events_ab_test_metrics",
+    "events_session_paths",
+    "tokenizer_fertility",
 ]
 
 CANARY = "mr_wordcount"

@@ -2079,3 +2079,78 @@ def quality_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ~F.col("has_badword")
         ).alias("passes_c4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C69. tokenizer_fertility — per-language tokenizer efficiency rollup
+
+
+@register(
+    "tokenizer_fertility",
+    oracle=f"""
+    WITH per_doc AS (
+        SELECT lang,
+               CAST(length(regexp_extract_all(text, '{_WS_RE}')) AS BIGINT)
+                   AS n_words,
+               CAST(length(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT)
+                   AS n_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS total_words,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CASE WHEN sum(n_words) = 0 THEN CAST(0 AS BIGINT)
+                ELSE (CAST(sum(n_tokens) AS BIGINT) * 1000000)
+                     // CAST(sum(n_words) AS BIGINT) END AS fertility_ppm,
+           CASE WHEN sum(n_tokens) = 0 THEN CAST(0 AS BIGINT)
+                ELSE (CAST(sum(n_chars) AS BIGINT) * 1000000)
+                     // CAST(sum(n_tokens) AS BIGINT) END
+               AS chars_per_token_ppm
+    FROM per_doc GROUP BY lang
+    """,
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility — the tokenizer-evaluation
+    staple (fertility = subword tokens per word; chars per token is its
+    byte-level dual): languages a tokenizer serves poorly show fertility
+    far above ~1.3 and pay that multiple in sequence length, training
+    cost, and context budget — the number multilingual pipelines check
+    before committing a vocab.  Uses the SAME _WS_RE/_BPE_RE token
+    definitions as C2's token_count (one tokenizer definition — a
+    drifted copy would report a fertility no other operator computes).
+
+    Determinism: counts are exact integers; both ratios are exact BIGINT
+    ppm divisions with explicit zero-denominator gates.
+
+    Scale shape: row-local regexp counting at scan speed folded by ONE
+    partial-agg exchange bounded by the language count — the 100 TB cost
+    is the scan, the shuffle carries a handful of rows per partition."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    per_doc = docs.where(F.col("text").isNotNull()).select(
+        "lang",
+        F.regexp_count("text", F.lit(_WS_RE)).cast("long").alias("n_words"),
+        F.regexp_count("text", F.lit(_BPE_RE)).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    ).select(
+        "lang",
+        "n_docs",
+        "total_words",
+        "total_tokens",
+        "total_chars",
+        F.when(F.col("total_words") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("(total_tokens * 1000000L) div total_words"))
+        .alias("fertility_ppm"),
+        F.when(F.col("total_tokens") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("(total_chars * 1000000L) div total_tokens"))
+        .alias("chars_per_token_ppm"),
+    )

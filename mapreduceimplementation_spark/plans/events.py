@@ -2092,3 +2092,137 @@ def events_ab_test_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "    - (n_converted * 1000000L) div n_users)"
         ).alias("delta_conv_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B77. events_session_paths — top session paths (sequence mining)
+
+#: path truncation: only the first N steps identify a path (the cap that
+#: keeps path cardinality bounded — every path-analysis tool truncates)
+_PATH_STEPS = 8
+#: paths reported
+_PATH_TOPK = 20
+
+
+@register(
+    "events_session_paths",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_id
+        FROM flagged
+    ), per_session AS (
+        SELECT user_id, session_id,
+               array_to_string(list_slice(
+                   list(event_type ORDER BY ts, event_id),
+                   1, {_PATH_STEPS}), '>') AS path
+        FROM sessions GROUP BY user_id, session_id
+    ), path_counts AS (
+        SELECT path,
+               CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM per_session GROUP BY path
+    ), total AS (
+        SELECT CAST(sum(n_sessions) AS BIGINT) AS n_total FROM path_counts
+    )
+    SELECT path, n_sessions, n_users,
+           (n_sessions * 1000000) // n_total AS share_ppm
+    FROM path_counts CROSS JOIN total
+    ORDER BY n_sessions DESC, path
+    LIMIT {_PATH_TOPK}
+    """,
+)
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session paths (the product-analytics path/flow report): the
+    B8 sessionization (30-min gap, SAME lag+running-sum definition so
+    the two session views cannot drift), each session reduced to its
+    ordered event-type sequence truncated to the first {_PATH_STEPS}
+    steps (the cap every path tool applies — untruncated path
+    cardinality is unbounded), then the {_PATH_TOPK} most common paths
+    with session counts, distinct users, and exact-ppm share of ALL
+    sessions.  B23 checks ONE fixed funnel; this reports which funnels
+    actually happen.
+
+    Determinism: step order is the (ts, event_id) total order on both
+    engines (sort_array of (ts, event_id, type) structs vs list(...
+    ORDER BY ts, event_id)); the frontier is (n_sessions DESC, path) —
+    a total order; share is exact BIGINT div.
+
+    Scale shape: ONE exchange on user_id drives both session windows
+    AND the per-session path rollup (grouping keys superset of the
+    partition key); path counting is a partial-agg exchange on the
+    truncation-bounded path key; the top-{_PATH_TOPK} compiles to
+    TakeOrderedAndProject (per-partition heaps, no global sort) and the
+    1-row total broadcasts; path_counts localCheckpoints (consumed by
+    rows AND the total)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts")
+                > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES")
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                1,
+                _PATH_STEPS,
+            ),
+            ">",
+        ).alias("path")
+    )
+    path_counts = (
+        per_session.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    total = path_counts.agg(
+        F.sum("n_sessions").cast("long").alias("n_total")
+    )
+    return (
+        path_counts.crossJoin(F.broadcast(total))
+        .select(
+            "path",
+            "n_sessions",
+            "n_users",
+            F.expr("(n_sessions * 1000000L) div n_total").alias("share_ppm"),
+        )
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(_PATH_TOPK)
+    )

@@ -92,6 +92,8 @@ _EMPTY_TOTAL = [
     "events_funnel_attribution",
     "corpus_semantic_decontaminate",
     "events_ab_test_metrics",
+    "events_session_paths",
+    "tokenizer_fertility",
 ]
 
 _ONE_ROW_ON_EMPTY = {

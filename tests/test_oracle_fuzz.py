@@ -86,6 +86,8 @@ _FUZZ_QUERIES = [
     # C4's line-retention lambda (terminal punct + min words + js) and
     # the empty-kept-text coalesce under random newline-heavy docs
     "quality_c4_rules",
+    # C69: shared-tokenizer rollup incl. zero-word/zero-token denominators
+    "tokenizer_fertility",
 ]
 
 
@@ -163,6 +165,9 @@ _EVENTS_FUZZ = [
     # B76: hash-arm totality + micro/ppm arithmetic on random values
     # (including negatives, which exercise the signed half-away floor)
     "events_ab_test_metrics",
+    # B77: step order under same-second ties, 8-step truncation, and the
+    # (count DESC, path) frontier under random session shapes
+    "events_session_paths",
 ]
 
 

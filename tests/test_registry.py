@@ -189,6 +189,8 @@ INVENTORY = [
     "events_funnel_attribution",  # B75: U-shaped multi-touch attribution
     "corpus_semantic_decontaminate",  # C68: embedding-space eval decon
     "events_ab_test_metrics",  # B76: hash-bucketed experiment readout
+    "events_session_paths",  # B77: top session paths (sequence mining)
+    "tokenizer_fertility",   # C69: per-lang tokenizer efficiency rollup
 ]
 
 #: SURVEY rows not yet implemented — MUST shrink to empty; a key may not

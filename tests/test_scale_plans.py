@@ -93,6 +93,10 @@ _SCALE_PLAN_QUERIES = [
     # benchmark-broadcast decon and the joinless A/B rollup
     "corpus_semantic_decontaminate",
     "events_ab_test_metrics",
+    # the session-path rollup reuses the one user_id exchange; its total
+    # must stay a 1-row broadcast and the top-k a TakeOrdered
+    "events_session_paths",
+    "tokenizer_fertility",
 ]
 
 

@@ -555,3 +555,44 @@ def test_quality_c4_rules_zero_exchange_and_brute_force(spark, sf_dir):
     ):
         assert not out[col].all(), f"{col} never rejected by the fixture"
     assert (out["n_kept_lines"] < out["n_lines"]).any()
+
+
+def test_tokenizer_fertility_matches_token_count_rollup(spark, sf_dir, duck):
+    """C69: oracle match, and the rollup is EXACTLY the per-doc C2
+    token_count summed by language — the shared-definition invariant
+    (one tokenizer definition across operators)."""
+    from tests.conftest import assert_same_result
+    from mapreduceimplementation_spark.sources.tables import load_table
+
+    df = eng.QUERIES["tokenizer_fertility"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["tokenizer_fertility"])
+
+    out = df.toPandas().set_index("lang")
+    tc = eng.QUERIES["token_count"](spark, sf_dir).toPandas()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang").toPandas()
+    merged = tc.merge(docs, on="doc_id")
+    agg = merged.groupby("lang").agg(
+        n=("doc_id", "count"),
+        words=("n_ws_tokens", "sum"),
+        toks=("n_bpe_tokens", "sum"),
+        chars=("n_chars_actual", "sum"),
+    )
+    assert sorted(out.index) == sorted(agg.index)
+    for lang, r in agg.iterrows():
+        row = out.loc[lang]
+        assert row["n_docs"] == r["n"]
+        assert row["total_words"] == r["words"]
+        assert row["total_tokens"] == r["toks"]
+        assert row["total_chars"] == r["chars"]
+        assert row["fertility_ppm"] == (r["toks"] * 1000000) // r["words"]
+        assert row["chars_per_token_ppm"] == (r["chars"] * 1000000) // r["toks"]
+    # fertility >= 1: the BPE-ish regex never merges across whitespace,
+    # so every whitespace token yields at least one subword token
+    assert (out["fertility_ppm"] >= 1000000).all()
+
+    from tools.plan_audit import plan_counts
+
+    # fingerprint a FRESH plan: a post-execution AdaptiveSparkPlan's
+    # explain prints final+initial sections and double-counts nodes
+    c = plan_counts(eng.QUERIES["tokenizer_fertility"](spark, sf_dir))
+    assert c["exchanges"] == 1 and c["smj"] + c["bhj"] + c["bnlj"] == 0, c

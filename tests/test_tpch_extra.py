@@ -1083,3 +1083,70 @@ def test_ab_test_assignment_is_total_and_joinless(spark, sf_dir):
     import math
     n = int(out["n_users"].sum())
     assert abs(int(out["n_users"].max()) - n / 2) <= 3 * math.sqrt(n) / 2 + 1
+
+
+# ---------------------------------------------------------------------------
+# B77. events_session_paths
+
+
+def test_session_paths_hand_case(spark, tmp_path):
+    """Crafted streams pin the path semantics: 30-min-gap session splits,
+    (ts, event_id) step order, truncation to the first 8 steps, distinct
+    user counting, exact ppm shares, and the (n_sessions DESC, path)
+    frontier order."""
+    import datetime as dt
+
+    import mapreduceimplementation_spark as eng
+
+    base = dt.datetime(2024, 1, 1, 9, 0, 0)
+
+    def ev(eid, minutes, uid, typ):
+        return (eid, base + dt.timedelta(minutes=minutes), uid, typ, 0.0, "{}")
+
+    rows = [
+        # user 1, session 1: view > click > purchase
+        ev(1, 0, 1, "view"), ev(2, 1, 1, "click"), ev(3, 2, 1, "purchase"),
+        # user 1, session 2 (gap 40 min): view > click > purchase again
+        ev(4, 45, 1, "view"), ev(5, 46, 1, "click"), ev(6, 47, 1, "purchase"),
+        # user 2: the same path once (distinct-user check)
+        ev(7, 0, 2, "view"), ev(8, 1, 2, "click"), ev(9, 2, 2, "purchase"),
+        # user 3: a 10-step session -> truncated to the first 8
+        *[ev(10 + i, i, 3, "view") for i in range(9)],
+        ev(19, 9, 3, "purchase"),
+        # user 4: same-timestamp tie broken by event_id: click(20) < view(21)
+        ev(20, 0, 4, "click"), ev(21, 0, 4, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path / "paths")
+    df.write.parquet(d + "/events.parquet")
+    out = eng.QUERIES["events_session_paths"](spark, d).collect()
+    got = {r["path"]: r for r in out}
+    # 5 sessions total
+    assert got["view>click>purchase"]["n_sessions"] == 3
+    assert got["view>click>purchase"]["n_users"] == 2
+    assert got["view>click>purchase"]["share_ppm"] == 3 * 1000000 // 5
+    assert got["view>view>view>view>view>view>view>view"]["n_sessions"] == 1
+    assert got["click>view"]["n_sessions"] == 1
+    # frontier order: count desc, then path asc
+    assert [r["path"] for r in out] == [
+        "view>click>purchase",
+        "click>view",
+        "view>view>view>view>view>view>view>view",
+    ]
+
+
+def test_session_paths_plan_shape(spark, sf_dir):
+    """B77 scale shape: fresh-plan fingerprint has no cartesian, the
+    top-k compiles to TakeOrderedAndProject, and the 1-row total joins
+    as a broadcast."""
+    import mapreduceimplementation_spark as eng
+    from tests.conftest import formatted_plan
+
+    plan = formatted_plan(eng.QUERIES["events_session_paths"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
