@@ -132,6 +132,7 @@ HEADLINE = [
     "events_ab_test_metrics",
     "events_session_paths",
     "tokenizer_fertility",
+    "streaming_ab_test_metrics",
 ]
 
 CANARY = "mr_wordcount"

@@ -1982,9 +1982,69 @@ def events_funnel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AB_SALT = "ab-exp1-"
 
 
-@register(
-    "events_ab_test_metrics",
-    oracle=f"""
+def ab_per_user_facts(ev: DataFrame) -> DataFrame:
+    """(variant, user_id) -> (converted, value_micro) facts — the SHARED
+    B76/D17 definition (assignment hash, purchase flag, signed half-away
+    micro snap, per-user agg): the batch readout and its streaming twin
+    compute the experiment state through one code path.  ``ev`` may be a
+    batch OR a streaming DataFrame (aggregate only, no windows)."""
+    variant = F.when(
+        hash64(F.col("user_id").cast("string"), _AB_SALT) % 2 == 0,
+        F.lit("control"),
+    ).otherwise(F.lit("treatment"))
+    vm = F.col("value") * 1000000.0
+    value_micro = (
+        F.when(vm < 0, -F.floor(-vm + F.lit(0.5)))
+        .otherwise(F.floor(vm + F.lit(0.5)))
+        .cast("long")
+    )
+    return (
+        ev.select(
+            variant.alias("variant"),
+            "user_id",
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("is_p"),
+            F.when(F.col("event_type") == "purchase", value_micro)
+            .otherwise(F.lit(0).cast("long"))
+            .alias("vm"),
+        )
+        .groupBy("variant", "user_id")
+        .agg(
+            F.max("is_p").alias("converted"),
+            F.sum("vm").cast("long").alias("value_micro"),
+        )
+    )
+
+
+def ab_arm_readout(per_user: DataFrame) -> DataFrame:
+    """Per-arm rollup + antisymmetric delta over the per-user fact table
+    (shared by B76 and D17 — the serving query is identical whether the
+    facts came from one batch pass or a microbatch-upserted stream)."""
+    per_variant = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.sum("value_micro").cast("long").alias("revenue_micro"),
+    )
+    return per_variant.select(
+        "variant",
+        "n_users",
+        "n_converted",
+        F.expr("(n_converted * 1000000L) div n_users").alias("conv_ppm"),
+        "revenue_micro",
+        F.expr("revenue_micro div n_users").alias("revenue_per_user_micro"),
+        F.expr(
+            "(n_converted * 1000000L) div n_users"
+            " - (sum((n_converted * 1000000L) div n_users) OVER ()"
+            "    - (n_converted * 1000000L) div n_users)"
+        ).alias("delta_conv_ppm"),
+    )
+
+
+#: the ONE batch-semantics oracle for the experiment readout — B76 and
+#: its streaming twin D17 register this identical string (the stream
+#: must end exactly equal to the batch answer)
+_AB_ORACLE = f"""
     WITH assigned AS (
         SELECT user_id,
                CASE WHEN {sql_hash64(f"'{_AB_SALT}' || CAST(user_id AS VARCHAR)")} % 2 = 0
@@ -2019,8 +2079,10 @@ _AB_SALT = "ab-exp1-"
            CAST(conv_ppm - (sum(conv_ppm) OVER () - conv_ppm) AS BIGINT)
                AS delta_conv_ppm
     FROM per_variant
-    """,
-)
+    """
+
+
+@register("events_ab_test_metrics", oracle=_AB_ORACLE)
 def events_ab_test_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B experiment readout over deterministic hash bucketing — the
     experimentation-platform staple: every user is assigned
@@ -2047,51 +2109,7 @@ def events_ab_test_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "value"
     )
-    variant = F.when(
-        hash64(F.col("user_id").cast("string"), _AB_SALT) % 2 == 0,
-        F.lit("control"),
-    ).otherwise(F.lit("treatment"))
-    vm = F.col("value") * 1000000.0
-    value_micro = (
-        F.when(vm < 0, -F.floor(-vm + F.lit(0.5)))
-        .otherwise(F.floor(vm + F.lit(0.5)))
-        .cast("long")
-    )
-    per_user = (
-        ev.select(
-            variant.alias("variant"),
-            "user_id",
-            F.when(F.col("event_type") == "purchase", 1)
-            .otherwise(0)
-            .alias("is_p"),
-            F.when(F.col("event_type") == "purchase", value_micro)
-            .otherwise(F.lit(0).cast("long"))
-            .alias("vm"),
-        )
-        .groupBy("variant", "user_id")
-        .agg(
-            F.max("is_p").alias("converted"),
-            F.sum("vm").cast("long").alias("value_micro"),
-        )
-    )
-    per_variant = per_user.groupBy("variant").agg(
-        F.count(F.lit(1)).alias("n_users"),
-        F.sum("converted").cast("long").alias("n_converted"),
-        F.sum("value_micro").cast("long").alias("revenue_micro"),
-    )
-    return per_variant.select(
-        "variant",
-        "n_users",
-        "n_converted",
-        F.expr("(n_converted * 1000000L) div n_users").alias("conv_ppm"),
-        "revenue_micro",
-        F.expr("revenue_micro div n_users").alias("revenue_per_user_micro"),
-        F.expr(
-            "(n_converted * 1000000L) div n_users"
-            " - (sum((n_converted * 1000000L) div n_users) OVER ()"
-            "    - (n_converted * 1000000L) div n_users)"
-        ).alias("delta_conv_ppm"),
-    )
+    return ab_arm_readout(ab_per_user_facts(ev))
 
 
 # ---------------------------------------------------------------------------

@@ -223,3 +223,97 @@ def streaming_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(_D9_SINK)
+
+
+# ---------------------------------------------------------------------------
+# D17. streaming_ab_test_metrics — live experiment monitor
+
+
+def run_ab_stream(
+    spark: SparkSession, sf_dir: str, feed_dir: str | None = None
+) -> tuple[DataFrame, int]:
+    """Drive the experiment stream to completion; returns (per-user
+    serving table, number of microbatches that carried updates)."""
+    from mapreduceimplementation_spark.plans.events import ab_per_user_facts
+
+    tune(spark)
+    _size_stream_state(spark)
+    feed = feed_dir if feed_dir is not None else _chronological_feed(sf_dir)
+    ev = _events_stream(
+        spark, os.path.join(feed, "chunk-*.parquet"), maxFilesPerTrigger="1"
+    )
+    per_user = ab_per_user_facts(ev.select("user_id", "event_type", "value"))
+    work = tempfile.mkdtemp(prefix="mri_spark_d17_state_")
+    state = {"dir": None, "batches": 0}
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sp = batch_df.sparkSession
+        new_dir = os.path.join(work, f"state-{batch_id}")
+        if state["dir"] is None:
+            out = batch_df
+        else:
+            prev = sp.read.parquet(state["dir"])
+            kept = prev.join(
+                batch_df.select("variant", "user_id"),
+                ["variant", "user_id"],
+                "left_anti",
+            )
+            out = kept.unionByName(batch_df)
+        out.write.mode("overwrite").parquet(new_dir)
+        old = state["dir"]
+        state["dir"] = new_dir
+        state["batches"] += 1
+        if old is not None:
+            shutil.rmtree(old, ignore_errors=True)
+
+    q = (
+        per_user.writeStream.outputMode("update")
+        .foreachBatch(_upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["dir"] is not None, "stream produced no updates"
+    return spark.read.parquet(state["dir"]), state["batches"]
+
+
+def _register_d17() -> None:
+    from mapreduceimplementation_spark.plans.events import (
+        _AB_ORACLE,
+        ab_arm_readout,
+    )
+
+    @register("streaming_ab_test_metrics", oracle=_AB_ORACLE)
+    def streaming_ab_test_metrics(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """B76's experiment readout maintained by a STREAM — the live
+        experiment monitor (every experimentation platform watches arms
+        converge in near-real-time; the decision metric must end equal
+        to the nightly batch readout or nobody trusts either): per-user
+        (converted, value_micro) facts are an update-mode aggregation
+        keyed (variant, user_id) — NOT event-time state, so no watermark:
+        a user can always convert later, the state is the monitor's
+        working set, bounded by AUDIENCE not stream length (the same
+        bound the per-user batch ops carry; a real deployment ages out
+        dormant users by policy, not by watermark) — upserted per
+        microbatch into the serving table by foreachBatch (D7's merge
+        loop, keys (variant, user_id), cost proportional to users who
+        CHANGED this batch), and the 2-row arm readout runs at read time
+        over the serving table (the Kappa split D11 established).
+
+        Assignment, micro-snap, per-user agg, and the readout are the
+        SAME ab_per_user_facts/ab_arm_readout code B76 runs, and the
+        registered oracle is the IDENTICAL _AB_ORACLE string — the green
+        hash proves the microbatch upsert chain converges to exactly the
+        batch answer (update-mode aggs re-emit the COMPLETE per-key
+        value, so the last write per user is total-history-correct even
+        when conversions arrive batches after exposure — pinned by the
+        multibatch pytest)."""
+        df, _ = run_ab_stream(spark, sf_dir)
+        return ab_arm_readout(df)
+
+
+_register_d17()

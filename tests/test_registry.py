@@ -191,6 +191,7 @@ INVENTORY = [
     "events_ab_test_metrics",  # B76: hash-bucketed experiment readout
     "events_session_paths",  # B77: top session paths (sequence mining)
     "tokenizer_fertility",   # C69: per-lang tokenizer efficiency rollup
+    "streaming_ab_test_metrics",  # D17: live experiment monitor (B76 twin)
 ]
 
 #: SURVEY rows not yet implemented — MUST shrink to empty; a key may not

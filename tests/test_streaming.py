@@ -897,3 +897,82 @@ def test_streaming_asof_join_multibatch_equals_batch(spark, sf_dir, tmp_path):
     b = sorted(map(tuple, batch.collect()))
     assert a == b
     assert len(a) > 0
+
+
+def test_ab_stream_late_conversion_upserts_user(spark, sf_dir, tmp_path):
+    """D17: a user exposed in batch 1 who converts in batch 2 must end
+    converted with full revenue — the update-mode agg re-emits the
+    COMPLETE per-user value and the upsert replaces the stale row; and
+    the final readout equals the batch B76 twin exactly."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import mapreduceimplementation_spark as eng
+    from mapreduceimplementation_spark.plans.events import ab_arm_readout
+    from mapreduceimplementation_spark.streaming.incremental import run_ab_stream
+
+    def chunk(path, rows, mtime):
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        pq.write_table(t, path)
+        os.utime(path, (mtime, mtime))
+
+    m = dt.datetime(2024, 1, 1, 12, 0)
+
+    def ts(sec):
+        return m + dt.timedelta(seconds=sec)
+
+    # batch 1: users 1-4 exposed, user 2 already converts (1.25)
+    chunk(
+        str(tmp_path / "chunk-00.parquet"),
+        [
+            (1, ts(1), 1, "view", 0.0),
+            (2, ts(2), 2, "purchase", 1.25),
+            (3, ts(3), 3, "view", 0.0),
+            (4, ts(4), 4, "click", 0.0),
+        ],
+        1_000_000,
+    )
+    # batch 2: user 1 converts LATE (9.99) and again (0.01); user 5 appears
+    chunk(
+        str(tmp_path / "chunk-01.parquet"),
+        [
+            (5, ts(60), 1, "purchase", 9.99),
+            (6, ts(61), 1, "purchase", 0.01),
+            (7, ts(62), 5, "view", 0.0),
+        ],
+        1_000_001,
+    )
+    per_user, n_batches = run_ab_stream(spark, sf_dir, feed_dir=str(tmp_path))
+    assert n_batches == 2
+    rows = {r["user_id"]: r for r in per_user.collect()}
+    assert sorted(rows) == [1, 2, 3, 4, 5]
+    assert rows[1]["converted"] == 1 and rows[1]["value_micro"] == 10_000_000
+    assert rows[2]["converted"] == 1 and rows[2]["value_micro"] == 1_250_000
+    assert rows[3]["converted"] == 0 and rows[5]["converted"] == 0
+
+    # the arm readout over the stream state == the batch twin on the
+    # same little table
+    d = str(tmp_path / "as_table")
+    spark.read.parquet(str(tmp_path / "chunk-*.parquet")).write.parquet(
+        d + "/events.parquet"
+    )
+    got = {r["variant"]: r for r in ab_arm_readout(per_user).collect()}
+    want = {
+        r["variant"]: r
+        for r in eng.QUERIES["events_ab_test_metrics"](spark, d).collect()
+    }
+    assert got.keys() == want.keys()
+    for v in want:
+        assert got[v].asDict() == want[v].asDict(), v
