@@ -133,6 +133,7 @@ HEADLINE = [
     "events_session_paths",
     "tokenizer_fertility",
     "streaming_ab_test_metrics",
+    "quality_ccnet_buckets",
 ]
 
 CANARY = "mr_wordcount"

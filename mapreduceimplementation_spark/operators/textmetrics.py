@@ -672,9 +672,9 @@ _SQL_LM_TRIS = """
 """
 
 
-@register(
-    "quality_lm_score",
-    oracle=f"""
+#: the ONE C28 scoring definition — C70's CCNet bucketing composes this
+#: verbatim as a CTE body so the two scores cannot drift
+_LM_ORACLE = f"""
     WITH tris AS ({_SQL_LM_TRIS}),
     freq AS (SELECT tg, count(*) AS c FROM tris
              WHERE doc_id % {_LM_SAMPLE_MOD} = 0 GROUP BY tg),
@@ -689,8 +689,10 @@ _SQL_LM_TRIS = """
                AS lm_score
     FROM tris LEFT JOIN logp USING (tg) CROSS JOIN stats
     GROUP BY doc_id
-    """,
-)
+    """
+
+
+@register("quality_lm_score", oracle=_LM_ORACLE)
 def quality_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-proxy quality score: each document's mean char-trigram
     log-probability under trigram statistics built from a deterministic
@@ -2153,4 +2155,67 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("total_tokens") == 0, F.lit(0).cast("long"))
         .otherwise(F.expr("(total_chars * 1000000L) div total_tokens"))
         .alias("chars_per_token_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C70. quality_ccnet_buckets — CCNet head/middle/tail perplexity split
+
+
+@register(
+    "quality_ccnet_buckets",
+    oracle=f"""
+    WITH lm AS ({_LM_ORACLE}),
+    ranked AS (
+        SELECT doc_id, lm_score,
+               CAST(row_number() OVER (ORDER BY lm_score DESC, doc_id)
+                    AS BIGINT) AS rank,
+               CAST(count(*) OVER () AS BIGINT) AS n_total
+        FROM lm
+    )
+    SELECT doc_id, lm_score, rank,
+           CASE WHEN rank * 3 <= n_total THEN 'head'
+                WHEN rank * 3 <= 2 * n_total THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ranked
+    """,
+)
+def quality_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail corpus split (Wenzek et al. LREC 2020 —
+    THE published recipe for perplexity-tiered pretraining data: rank
+    the corpus by LM score, cut into equal thirds, train preferentially
+    on the head): every document ranked by C28's perplexity-proxy score
+    (SAME quality_lm_score code path and, in the oracle, the verbatim
+    _LM_ORACLE CTE — one scoring definition) and assigned its tercile by
+    exact integer arithmetic (rank·3 ≤ N / ≤ 2N — no float quantile at
+    the cut frontier).
+
+    Determinism: the ranking order (lm_score DESC, doc_id) is total;
+    the cut is integer; C28's 9dp-decimal score discipline carries over.
+
+    Scale shape: the oracle states the literal single-window
+    row_number() OVER (ORDER BY …); the engine computes the IDENTICAL
+    rank with the A5/B47 `distributed_rank` machinery — range exchange,
+    per-partition row_number, prefix-sum offsets broadcast — so no
+    single-partition stage touches corpus-sized data (the green hash
+    certifies the rewrite, B47's discipline); n_total is a 1-row
+    broadcast."""
+    from mapreduceimplementation_spark.operators.mrcore import (
+        distributed_rank,
+    )
+
+    tune(spark)
+    scored = quality_lm_score(spark, sf_dir).select("doc_id", "lm_score")
+    ranked = distributed_rank(
+        scored, order=[F.col("lm_score").desc(), F.col("doc_id")]
+    )
+    n_total = ranked.agg(F.count(F.lit(1)).alias("n_total"))
+    return ranked.crossJoin(F.broadcast(n_total)).select(
+        "doc_id",
+        "lm_score",
+        "rank",
+        F.when(F.col("rank") * 3 <= F.col("n_total"), F.lit("head"))
+        .when(F.col("rank") * 3 <= 2 * F.col("n_total"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
     )

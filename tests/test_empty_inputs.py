@@ -94,6 +94,7 @@ _EMPTY_TOTAL = [
     "events_ab_test_metrics",
     "events_session_paths",
     "tokenizer_fertility",
+    "quality_ccnet_buckets",
 ]
 
 _ONE_ROW_ON_EMPTY = {

@@ -88,6 +88,9 @@ _FUZZ_QUERIES = [
     "quality_c4_rules",
     # C69: shared-tokenizer rollup incl. zero-word/zero-token denominators
     "tokenizer_fertility",
+    # C70: the full C28 decimal-ln chain + distributed-rank tercile cut
+    # under random corpora (short docs drop, sample may be empty)
+    "quality_ccnet_buckets",
 ]
 
 

@@ -192,6 +192,7 @@ INVENTORY = [
     "events_session_paths",  # B77: top session paths (sequence mining)
     "tokenizer_fertility",   # C69: per-lang tokenizer efficiency rollup
     "streaming_ab_test_metrics",  # D17: live experiment monitor (B76 twin)
+    "quality_ccnet_buckets",  # C70: CCNet head/middle/tail tercile split
 ]
 
 #: SURVEY rows not yet implemented — MUST shrink to empty; a key may not

@@ -97,6 +97,9 @@ _SCALE_PLAN_QUERIES = [
     # must stay a 1-row broadcast and the top-k a TakeOrdered
     "events_session_paths",
     "tokenizer_fertility",
+    # the CCNet cut rides distributed_rank's range exchange — growth
+    # must not add stages or degrade the broadcast offsets
+    "quality_ccnet_buckets",
 ]
 
 

@@ -596,3 +596,38 @@ def test_tokenizer_fertility_matches_token_count_rollup(spark, sf_dir, duck):
     # explain prints final+initial sections and double-counts nodes
     c = plan_counts(eng.QUERIES["tokenizer_fertility"](spark, sf_dir))
     assert c["exchanges"] == 1 and c["smj"] + c["bhj"] + c["bnlj"] == 0, c
+
+
+def test_ccnet_buckets_cuts_and_rank(spark, sf_dir, duck):
+    """C70: oracle match; exact integer tercile sizes; ranks are a
+    permutation of 1..N consistent with (lm_score DESC, doc_id); score
+    order never inverts across bucket boundaries; and the rank comes
+    from the distributed machinery, not a single-partition window over
+    the corpus (no empty-partition-spec row_number in the plan)."""
+    from tests.conftest import assert_same_result
+
+    df = eng.QUERIES["quality_ccnet_buckets"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["quality_ccnet_buckets"])
+
+    out = df.toPandas().sort_values("rank").reset_index(drop=True)
+    n = len(out)
+    assert list(out["rank"]) == list(range(1, n + 1))
+    order = out[["lm_score", "doc_id"]].values.tolist()
+    assert order == sorted(order, key=lambda t: (-t[0], t[1]))
+    sizes = out["bucket"].value_counts().to_dict()
+    assert sizes.get("head", 0) == n // 3
+    assert sizes.get("middle", 0) == (2 * n) // 3 - n // 3
+    assert sizes.get("tail", 0) == n - (2 * n) // 3
+    h = out[out["bucket"] == "head"]["lm_score"]
+    m = out[out["bucket"] == "middle"]["lm_score"]
+    t = out[out["bucket"] == "tail"]["lm_score"]
+    assert h.min() >= m.max() and m.min() >= t.max()
+
+    from tests.conftest import formatted_plan
+
+    plan = formatted_plan(eng.QUERIES["quality_ccnet_buckets"](spark, sf_dir))
+    for line in plan.splitlines():
+        low = line.lower()
+        if "row_number" in low and "windowspecdefinition(lm_score" in low.replace(" ", ""):
+            raise AssertionError(f"corpus-wide single-partition window: {line}")
+    assert "CartesianProduct" not in plan
