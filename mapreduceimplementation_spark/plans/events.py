@@ -1384,8 +1384,13 @@ def quantile_sketch_audit(hist: DataFrame, ev: DataFrame) -> DataFrame:
         )
     )
     wr = Window.partitionBy("event_type").orderBy("value", "event_id")
+    # the probe side renames its join key: `located` and `ranked` can share
+    # lineage (D14 derives both from the same memory sink), and a same-name
+    # equi-join over shared lineage resolves to a trivially-true predicate
+    # (Spark's "join condition is trivially true" warning = a silent cross
+    # product risk if the analyzer ever dedups the attributes)
     ranked = ev.withColumn("rn", F.row_number().over(wr)).select(
-        "event_type", "value", "rn"
+        F.col("event_type").alias("r_event_type"), "value", "rn"
     )
     micro = lambda c: F.floor(c * 1000000 + F.expr("CAST(0.5 AS DOUBLE)")).cast(
         "long"
@@ -1393,7 +1398,7 @@ def quantile_sketch_audit(hist: DataFrame, ev: DataFrame) -> DataFrame:
     return (
         located.join(
             ranked,
-            (located["event_type"] == ranked["event_type"])
+            (located["event_type"] == ranked["r_event_type"])
             & (ranked["rn"] == located["k"]),
         )
         .select(

@@ -517,3 +517,105 @@ def test_dsir_model_is_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "ShuffledHashJoin" not in plan, plan
+
+
+def test_quality_classifier_python_twin(spark):
+    """C71: on a hand corpus, the distributed fixed-point trainer's final
+    per-doc scores equal a pure-Python integer re-derivation of the whole
+    run — ppm featurization, integer mean-centering, 6 hard-sigmoid
+    gradient steps with the exact round() semantics — bit for bit."""
+    import os
+    import tempfile
+
+    from mapreduceimplementation_spark.functions.hashing import py_hash64
+    from mapreduceimplementation_spark.operators.pipeline import (
+        _QC_DIM,
+        _QC_ITERS,
+        _QC_SCALE,
+        quality_classifier,
+    )
+
+    # stop-dense docs (label True) vs stop-sparse (False), one empty-ish
+    texts = {
+        1: "the quick fox and a dog saw the cat in a box by the door",
+        2: "data pipeline shuffles rows across partitions for aggregation",
+        3: "a man and the woman took a walk by the sea in the morning",
+        4: "vector quantization codebooks compress embeddings efficiently",
+        5: "the a the a the a filler stop words dominate this one",
+        6: "broadcast joins avoid shuffling small dimension tables entirely",
+        7: "a tale of the river and the hill and a quiet the valley",
+        8: "catalyst optimizer prunes columns and pushes predicates down",
+        9: "the engine scans a parquet file and the rows stream onward",
+        10: "executors spill sorted runs when aggregation state exceeds memory",
+    }
+
+    def rnd(x):
+        # round-half-away-from-zero (both engines' round() on DOUBLE)
+        import math
+
+        return -math.floor(-x + 0.5) if x < 0 else math.floor(x + 0.5)
+
+    X, Y, ids = [], [], []
+    for doc_id in sorted(texts):
+        ws = [w for w in texts[doc_id].split(" ") if w]
+        n = len(ws)
+        cnt = [0] * _QC_DIM
+        for w in ws:
+            cnt[py_hash64(w, salt="qc-") % _QC_DIM] += 1
+        X.append([rnd(_QC_SCALE * c / n) for c in cnt] + [1000000])
+        nstop = sum(1 for w in ws if w in ("the", "a"))
+        Y.append(1000000 if 10 * nstop >= n else 0)
+        ids.append(doc_id)
+    ndim = _QC_DIM + 1
+    nd = len(X)
+    mu = [rnd(sum(x[j] for x in X) * 1.0 / nd) for j in range(_QC_DIM)] + [0]
+    Xc = [[x[j] - mu[j] for j in range(ndim)] for x in X]
+
+    def forward(w, x):
+        z = rnd(sum(a * b for a, b in zip(w, x)) / 1e6)
+        return min(1000000, max(0, 500000 + rnd(z / 4.0)))
+
+    w = [0] * ndim
+    for _ in range(_QC_ITERS):
+        ps = [forward(w, x) for x in Xc]
+        g = [
+            sum((y - p) * x[j] for x, y, p in zip(Xc, Y, ps))
+            for j in range(ndim)
+        ]
+        w = [w[j] + rnd(8.0 * g[j] / (1e6 * nd)) for j in range(ndim)]
+    expect = {i: forward(w, x) for i, x in zip(ids, Xc)}
+
+    # both labels present, or the fixture tests nothing
+    assert 0 < sum(1 for y in Y if y) < len(Y)
+
+    rows = [(d, texts[d]) for d in sorted(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        out = quality_classifier(spark, d).toPandas().set_index("doc_id")
+
+    assert sorted(out.index) == ids
+    for i, doc_id in enumerate(ids):
+        row = out.loc[doc_id]
+        assert int(row["p_micro"]) == expect[doc_id], (
+            doc_id,
+            int(row["p_micro"]),
+            expect[doc_id],
+        )
+        assert bool(row["label"]) == (Y[i] == 1000000)
+        assert bool(row["pred"]) == (expect[doc_id] >= 500000)
+        assert bool(row["correct"]) == (
+            (Y[i] == 1000000) == (expect[doc_id] >= 500000)
+        )
+
+
+def test_quality_classifier_learns(spark, sf_dir):
+    """C71: on the synthetic corpus the trained model must BEAT the
+    majority-class base rate with a non-degenerate prediction mix —
+    the regression guard against the all-False local optimum that
+    uncentered features converge to."""
+    out = eng.QUERIES["quality_classifier"](spark, sf_dir).toPandas()
+    base = max(out["label"].mean(), 1.0 - out["label"].mean())
+    acc = out["correct"].mean()
+    assert acc > base, (acc, base)
+    assert 0 < out["pred"].sum() < len(out), out["pred"].sum()
