@@ -2219,3 +2219,202 @@ def quality_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C72. bpe_train — full BPE merge-training loop (Sennrich et al. 2016 §3.2)
+# (C46 is ONE counting round; this iterates count -> argmax -> re-tokenize
+# to an actual merge table — the canonical corpus-scale tokenizer-training
+# job)
+
+#: merge rounds to train (the merge table IS the model)
+_BPT_STEPS = 8
+
+#: tokenization state is a string of {}-wrapped symbols ("{l}{o}{w}{_}").
+#: The wrappers guarantee replace()'s leftmost-nonoverlapping scan equals
+#: BPE's greedy left-to-right merge: adjacent matches share NO characters
+#: (...}{...), so "{a}{b}{a}{b}" -> "{ab}{ab}" in one pass, and the
+#: self-overlapping "{a}{a}{a}" -> "{aa}{a}" exactly like the reference
+#: algorithm.  Symbols are [a-z_] (lowercased letter-runs + the '_'
+#: end-of-word marker), so '{'/'}' can never occur INSIDE a symbol.
+_BPT_EOW = "_"
+
+
+def _sql_bpt_v0() -> str:
+    return f"""
+    bptw AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+            SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+            FROM documents WHERE text IS NOT NULL
+        ) GROUP BY w
+    ),
+    v0 AS (
+        SELECT w, freq,
+               list_aggregate(
+                   list_transform(range(1, length(w) + 1),
+                                  i -> '{{' || substr(w, i, 1) || '}}'),
+                   'string_agg', '') || '{{{_BPT_EOW}}}' AS s
+        FROM bptw
+    )"""
+
+
+def _sql_bpt_iters() -> str:
+    parts = []
+    for t in range(1, _BPT_STEPS + 1):
+        parts.append(f"""
+    p{t} AS (
+        SELECT pr[1] AS l, pr[2] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+        FROM (
+            SELECT freq,
+                   unnest(list_transform(range(1, len(sy)),
+                                         i -> [sy[i], sy[i + 1]])) AS pr
+            FROM (SELECT freq,
+                         string_split(substr(s, 2, length(s) - 2), '}}{{') AS sy
+                  FROM v{t - 1})
+            WHERE len(sy) >= 2
+        ) GROUP BY pr[1], pr[2]
+    ),
+    b{t} AS (SELECT l, r, cnt FROM p{t} ORDER BY cnt DESC, l, r LIMIT 1),
+    v{t} AS (
+        SELECT w, freq,
+               replace(s, '{{' || l || '}}{{' || r || '}}',
+                       '{{' || l || r || '}}') AS s
+        FROM v{t - 1} CROSS JOIN b{t}
+    )""")
+    return ",".join(parts)
+
+
+def _bpt_vocab0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, freq, s): lowercased letter-run vocabulary with counts and
+    the initial wrapped-character tokenization state."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    words = docs.where(F.col("text").isNotNull()).select(
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).alias(
+            "w"
+        )
+    )
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    wrapped = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.concat(
+                F.lit("{"), F.col("w").substr(i, F.lit(1)), F.lit("}")
+            ),
+        ),
+        "",
+    )
+    return wf.select(
+        "w", "freq", F.concat(wrapped, F.lit("{" + _BPT_EOW + "}")).alias("s")
+    )
+
+
+def _bpt_pair_counts(v: DataFrame) -> DataFrame:
+    """One C46-shaped counting round over the wrapped-symbol states:
+    weighted adjacent-pair counts, bounded by the symbol vocabulary²."""
+    sy = F.split(F.expr("substring(s, 2, length(s) - 2)"), "\\}\\{")
+    pairs = (
+        v.select("freq", sy.alias("sy"))
+        # a fully-merged word is ONE symbol; sequence(1, 0) would run
+        # BACKWARD in Spark (the fnv1a32 gotcha), so gate on len >= 2
+        .where(F.size("sy") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("sy") - 1),
+                    lambda i: F.struct(
+                        F.element_at("sy", i).alias("l"),
+                        F.element_at("sy", i + 1).alias("r"),
+                    ),
+                )
+            ).alias("pr"),
+        )
+    )
+    return pairs.groupBy("pr.l", "pr.r").agg(
+        F.sum("freq").cast("long").alias("cnt")
+    )
+
+
+def train_bpe(vocab: DataFrame, steps: int = _BPT_STEPS) -> DataFrame:
+    """Iterate count -> argmax -> re-tokenize for ``steps`` rounds over any
+    (w, freq, s) vocabulary table; returns the ordered merge table
+    (step, left, right, merged, cnt) — the model.  API twin of the
+    registered query (run it on your own corpus' word counts).
+
+    Per round: ONE partial-agg exchange onto the symbol-pair key space
+    (bounded by vocab², tiny), a 1-row TakeOrdered argmax with the total
+    order (cnt DESC, l, r), then a ROW-LOCAL replace over the vocabulary
+    against the broadcast best pair.  The working set is materialized
+    per round (localCheckpoint) because each state derives from the last
+    — the re-tokenized vocabulary is exactly what a production trainer
+    writes between rounds; without it the lineage re-derives every prior
+    round per consumer."""
+    merges = []
+    v = vocab.localCheckpoint(eager=True)
+    for t in range(1, steps + 1):
+        best = (
+            _bpt_pair_counts(v)
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        merges.append(
+            best.select(
+                F.lit(t).cast("long").alias("step"),
+                F.col("l").alias("left"),
+                F.col("r").alias("right"),
+                F.concat("l", "r").alias("merged"),
+                "cnt",
+            )
+        )
+        pat = F.concat(F.lit("{"), F.col("l"), F.lit("}{"), F.col("r"), F.lit("}"))
+        rep = F.concat(F.lit("{"), F.col("l"), F.col("r"), F.lit("}"))
+        v = (
+            v.crossJoin(F.broadcast(best))
+            .select("w", "freq", F.replace(F.col("s"), pat, rep).alias("s"))
+            .localCheckpoint(eager=True)
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+@register(
+    "bpe_train",
+    oracle=f"""
+    WITH {_sql_bpt_v0()},
+    {_sql_bpt_iters()}
+    {" UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS step, l AS left, r AS right,"
+        f" l || r AS merged, cnt FROM b{t}"
+        for t in range(1, _BPT_STEPS + 1)
+    )}
+    """,
+)
+def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (C72): {_BPT_STEPS} full merge rounds over
+    the corpus vocabulary — the count job C46 runs once, iterated with
+    the argmax merge applied between rounds (Sennrich et al. 2016's
+    learn_bpe, the canonical corpus-scale counting loop behind every
+    production tokenizer).  Output is the ordered merge table — the
+    model a tokenizer ships.
+
+    Determinism: pure integer counts; the argmax uses the total order
+    (cnt DESC, left, right); re-tokenization is string replace over
+    {{}}-wrapped symbols, whose leftmost-nonoverlapping semantics equal
+    BPE's greedy left-to-right merge on BOTH engines (see _BPT_EOW note;
+    probed: '{{a}}{{a}}{{a}}' and '{{a}}{{b}}{{a}}{{b}}' agree).  The
+    oracle unrolls all {_BPT_STEPS} rounds as CTEs; a pure-Python twin
+    pytest re-derives the merge table from Sennrich's reference
+    algorithm directly.
+
+    Scale shape: the corpus is scanned ONCE into word counts (map-side
+    combine onto the vocabulary key space); every round after that
+    touches only the vocabulary relation — pair counting partial-aggs
+    onto the bounded symbol-pair space, the 1-row argmax broadcasts
+    back, and the merge applies row-local.  At 100 TB the vocab table is
+    ~10⁷ rows regardless of corpus size: the loop costs T vocab passes,
+    not T corpus passes."""
+    tune(spark)
+    return train_bpe(_bpt_vocab0(spark, sf_dir))

@@ -744,3 +744,90 @@ def test_weighted_sample_prefers_heavy_docs(spark, tmp_path):
     out = corpus_sample_weighted(spark, str(d)).toPandas()
     assert out[out["sample_pos"] == 1]["doc_id"].iloc[0] == 999
     assert 0 not in set(out["doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# C72 bpe_train
+
+
+def _sennrich_bpe(word_freqs: dict[str, int], steps: int):
+    """Reference BPE trainer (Sennrich et al. 2016 learn_bpe): vocab as
+    symbol tuples, get_stats counts adjacent pairs, merge applied greedily
+    left-to-right.  Tie-break (cnt DESC, left, right) like the operator."""
+    vocab = {
+        tuple(list(w) + ["_"]): f for w, f in word_freqs.items()
+    }
+    merges = []
+    for step in range(1, steps + 1):
+        stats: dict[tuple[str, str], int] = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] = (
+                    stats.get((syms[i], syms[i + 1]), 0) + f
+                )
+        if not stats:
+            break
+        best = min(stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (l, r), cnt = best
+        merges.append((step, l, r, l + r, cnt))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_sennrich_reference(spark):
+    """C72: the distributed merge table equals the reference algorithm's
+    on a hand corpus that exercises self-overlap ('aaaa' -> (a,a) merges
+    left-to-right) and merged-symbol chaining ((er) then (er,_))."""
+    import tempfile
+    from collections import Counter
+
+    texts = {
+        1: "lower lower lowest newer newer newer wider wide wide",
+        2: "aaaa aaaa aab low low low new new era era",
+        3: "the the the thee thee there where were her her hers",
+    }
+    wf = Counter()
+    for t in texts.values():
+        for w in t.split():
+            wf[w] += 1
+    expect = _sennrich_bpe(dict(wf), 8)
+
+    df = spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        rows = (
+            eng.QUERIES["bpe_train"](spark, d)
+            .orderBy("step")
+            .collect()
+        )
+    got = [
+        (r["step"], r["left"], r["right"], r["merged"], r["cnt"]) for r in rows
+    ]
+    assert got == expect, (got, expect)
+
+
+def test_bpe_train_merge_table_shape(spark, sf_dir):
+    """C72 invariants on the real corpus: one row per step, counts are
+    positive, and every later merge's symbols are buildable from earlier
+    merges or single characters (the well-formedness of a merge table)."""
+    rows = eng.QUERIES["bpe_train"](spark, sf_dir).orderBy("step").collect()
+    assert [r["step"] for r in rows] == list(range(1, len(rows) + 1))
+    known = set("abcdefghijklmnopqrstuvwxyz_")
+    for r in rows:
+        assert r["cnt"] > 0
+        assert r["left"] in known or all(c in known for c in r["left"])
+        assert r["merged"] == r["left"] + r["right"]
+        known.add(r["merged"])
