@@ -3015,3 +3015,201 @@ def kv_client_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dups",
         "n_conflicts",
     )
+
+
+# ---------------------------------------------------------------------------
+# B78. shardkv_gc_audit — shard garbage-collection custody audit
+# (reference src/shardkv/test_test.go:738 TestChallenge1Delete: after a
+# handoff the SOURCE group must delete the moved shard state; the test
+# fails a server whose snapshot still carries keys it no longer owns)
+
+#: 1/7 of handoff cells leak (the source keeps reporting the shard)
+_GC_LEAK_EVERY = 7
+#: a leak persists for 1 + hash%3 configs after the handoff
+_GC_LEAK_SPAN = 3
+
+_GC_CELL = "CAST(num AS VARCHAR) || '/' || CAST(shard AS VARCHAR)"
+_GC_H = sql_hash64(f"'gc-' || {_GC_CELL}")
+_GC_HL = sql_hash64(f"'gcl-' || {_GC_CELL}")
+
+
+def audit_shard_gc(
+    reports: DataFrame, cfg: DataFrame, diff: DataFrame
+) -> DataFrame:
+    """Shard-GC audit over a custody-report trace.
+
+    ``reports``: (num, gid, shard) — each group's claim "at config num I
+    hold shard s" (duplicates = heartbeat retries, benign).  ``cfg``:
+    the ctrler history (num, shard, gid=owner).  ``diff``: the handoffs
+    (num, shard, from_gid, to_gid).  A report is a VIOLATION when the
+    reporter is not the owner at that config; each violation is
+    attributed to the reporter's LATEST handoff of that shard at or
+    before the report (the state it failed to delete).  Emits one row
+    per handoff with the leaked-config count and the
+    TestChallenge1Delete verdict.
+
+    Scale shape: cfg/diff are control-plane-sized and BROADCAST; the
+    report trace (the potentially huge side) is distinct-collapsed with
+    map-side partials onto the (num, gid, shard) grid before any join;
+    the violation attribution is a broadcast max_by.  No fact-sized
+    shuffle keyed on config."""
+    viol = (
+        reports.select("num", "gid", "shard")
+        .distinct()
+        .join(
+            F.broadcast(
+                cfg.select(
+                    "num", "shard", F.col("gid").alias("owner")
+                )
+            ),
+            ["num", "shard"],
+        )
+        .where(F.col("gid") != F.col("owner"))
+    )
+    handoffs = diff.select(
+        F.col("num").alias("h_num"),
+        F.col("shard").alias("h_shard"),
+        F.col("from_gid").alias("h_gid"),
+    )
+    attr = (
+        viol.join(
+            F.broadcast(handoffs),
+            (F.col("h_shard") == F.col("shard"))
+            & (F.col("h_gid") == F.col("gid"))
+            & (F.col("h_num") <= F.col("num")),
+        )
+        .groupBy("num", "gid", "shard")
+        .agg(F.max("h_num").alias("h_num"))
+        .groupBy("h_num", "shard", "gid")
+        .agg(F.count(F.lit(1)).alias("n_leak_cfgs"))
+    )
+    return (
+        diff.join(
+            F.broadcast(attr),
+            (diff["num"] == attr["h_num"])
+            & (diff["shard"] == attr["shard"])
+            & (diff["from_gid"] == attr["gid"]),
+            "left",
+        )
+        .select(
+            diff["num"],
+            diff["shard"],
+            "from_gid",
+            "to_gid",
+            F.coalesce("n_leak_cfgs", F.lit(0)).cast("long").alias(
+                "n_leak_cfgs"
+            ),
+            (F.coalesce("n_leak_cfgs", F.lit(0)) == 0).alias("gc_clean"),
+        )
+    )
+
+
+def derive_gc_reports(cfg: DataFrame, diff: DataFrame, last_cfg: int) -> DataFrame:
+    """Deterministic custody-report trace: every owner reports its shards
+    (compliant), and 1/{_GC_LEAK_EVERY} of handoff cells LEAK — the
+    source group keeps reporting the shard for 1 + hash%{_GC_LEAK_SPAN}
+    configs after the handoff (the deletion bug TestChallenge1Delete
+    exists to catch).  All md5-derived from the (num, shard) cell, so
+    the violation mix is a property of the bounded handoff grid —
+    bit-identical on both engines and stable at every scale factor."""
+    owners = cfg.where(F.col("num") >= 1).select("num", "gid", "shard")
+    cell = F.concat(
+        F.col("num").cast("string"), F.lit("/"), F.col("shard").cast("string")
+    )
+    span = 1 + (hash64(cell, salt="gcl-") % _GC_LEAK_SPAN)
+    leaks = (
+        diff.where(hash64(cell, salt="gc-") % _GC_LEAK_EVERY == 0)
+        .select(
+            F.col("from_gid").alias("gid"),
+            "shard",
+            F.explode(
+                F.sequence(
+                    F.col("num"),
+                    F.least(F.col("num") + span - 1, F.lit(last_cfg)),
+                )
+            ).alias("num"),
+        )
+        .select("num", "gid", "shard")
+    )
+    return owners.unionByName(leaks)
+
+
+@register(
+    "shardkv_gc_audit",
+    oracle=f"""
+    WITH {_CTRL_CFG_CTES},
+    diff AS (
+        SELECT b.num, b.shard, a.gid AS from_gid, b.gid AS to_gid
+        FROM cfg a JOIN cfg b ON b.num = a.num + 1 AND b.shard = a.shard
+        WHERE a.gid <> b.gid
+    ),
+    leaks AS (
+        SELECT t.num, d.from_gid AS gid, d.shard
+        FROM (SELECT *, 1 + ({_GC_HL} % {_GC_LEAK_SPAN}) AS span
+              FROM diff WHERE {_GC_H} % {_GC_LEAK_EVERY} = 0) d,
+             UNNEST(range(d.num,
+                          LEAST(d.num + d.span - 1, {_CTRL_LAST_CFG}) + 1))
+                 t(num)
+    ),
+    reports AS (
+        SELECT num, gid, shard FROM cfg WHERE num >= 1
+        UNION ALL SELECT num, gid, shard FROM leaks
+    ),
+    viol AS (
+        SELECT DISTINCT r.num, r.gid, r.shard
+        FROM reports r JOIN cfg c ON c.num = r.num AND c.shard = r.shard
+        WHERE r.gid <> c.gid
+    ),
+    attr AS (
+        SELECT h_num, shard, gid, CAST(count(*) AS BIGINT) AS n_leak_cfgs
+        FROM (
+            SELECT v.num, v.gid, v.shard, max(d.num) AS h_num
+            FROM viol v JOIN diff d
+              ON d.shard = v.shard AND d.from_gid = v.gid AND d.num <= v.num
+            GROUP BY v.num, v.gid, v.shard
+        ) GROUP BY h_num, shard, gid
+    )
+    SELECT d.num, d.shard, d.from_gid, d.to_gid,
+           COALESCE(a.n_leak_cfgs, 0) AS n_leak_cfgs,
+           COALESCE(a.n_leak_cfgs, 0) = 0 AS gc_clean
+    FROM diff d LEFT JOIN attr a
+      ON a.h_num = d.num AND a.shard = d.shard AND a.gid = d.from_gid
+    """,
+)
+def shardkv_gc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard garbage-collection audit (B78) — TestChallenge1Delete
+    (/root/reference/src/shardkv/test_test.go:738) as a trace-audit
+    query: for every handoff in the ctrler history, did the source group
+    actually DELETE the moved shard state, or does it still report
+    custody afterwards?  See ``audit_shard_gc`` for the rules and scale
+    shape and ``derive_gc_reports`` for the deterministic leak
+    injection; composes B30's config-diff machinery (the same cfg/diff
+    relations, localCheckpoint'ed once)."""
+    tune(spark)
+    cfg = (
+        config_log_replay(spark, sf_dir)
+        .select("num", "shard", "gid")
+        .localCheckpoint(eager=True)
+    )
+    nxt = cfg.select(
+        (F.col("num") - 1).alias("pnum"),
+        F.col("shard").alias("pshard"),
+        F.col("gid").alias("to_gid"),
+        F.col("num").alias("nnum"),
+    )
+    diff = (
+        cfg.join(
+            nxt,
+            (cfg["num"] == nxt["pnum"]) & (cfg["shard"] == nxt["pshard"]),
+        )
+        .where(F.col("gid") != F.col("to_gid"))
+        .select(
+            F.col("nnum").alias("num"),
+            "shard",
+            F.col("gid").alias("from_gid"),
+            "to_gid",
+        )
+        .localCheckpoint(eager=True)
+    )
+    reports = derive_gc_reports(cfg, diff, _CTRL_LAST_CFG)
+    return audit_shard_gc(reports, cfg, diff)

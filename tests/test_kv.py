@@ -1123,3 +1123,63 @@ def test_client_dedup_counts_consistent(spark, sf_dir):
     assert all(r["n_attempts"] == r["n_applied"] + r["n_dups"] for r in rows)
     assert all(r["n_conflicts"] <= r["n_dups"] for r in rows)
     assert sum(r["n_dups"] for r in rows) > 0
+
+
+# ---------------------------------------------------------------------------
+# B78 shardkv_gc_audit
+
+
+def test_shard_gc_audit_hand_trace(spark):
+    """B78: a hand config history with one handoff whose source keeps
+    reporting (violation), one clean handoff, a RE-ACQUISITION (the old
+    owner reports while owning again — NOT a violation), and retry
+    duplicates (benign)."""
+    from mapreduceimplementation_spark.plans.kv import audit_shard_gc
+
+    # shard 0: g1 -> g2 at num 2 (g1 leaks at 2 and 3); shard 1: g1 -> g2
+    # at num 2, clean; shard 2: g1 -> g2 at num 2 then BACK at num 3 — g1
+    # reporting at 3 is ownership, not a leak.
+    cfg = spark.createDataFrame(
+        [
+            (1, 0, 1), (1, 1, 1), (1, 2, 1),
+            (2, 0, 2), (2, 1, 2), (2, 2, 2),
+            (3, 0, 2), (3, 1, 2), (3, 2, 1),
+        ],
+        "num long, shard long, gid long",
+    )
+    diff = spark.createDataFrame(
+        [(2, 0, 1, 2), (2, 1, 1, 2), (2, 2, 1, 2), (3, 2, 2, 1)],
+        "num long, shard long, from_gid long, to_gid long",
+    )
+    reports = spark.createDataFrame(
+        # owners (compliant)
+        [(1, 1, 0), (1, 1, 1), (1, 1, 2),
+         (2, 2, 0), (2, 2, 1), (2, 2, 2),
+         (3, 2, 0), (3, 2, 1), (3, 1, 2),
+         # g1 leaks shard 0 at configs 2 and 3 (+ a retry duplicate)
+         (2, 1, 0), (3, 1, 0), (3, 1, 0)],
+        "num long, gid long, shard long",
+    )
+    out = {
+        (r["num"], r["shard"], r["from_gid"]): (r["n_leak_cfgs"], r["gc_clean"])
+        for r in audit_shard_gc(reports, cfg, diff).collect()
+    }
+    assert out[(2, 0, 1)] == (2, False)   # leaked at num 2 and 3, dup ignored
+    assert out[(2, 1, 1)] == (0, True)    # clean handoff
+    assert out[(2, 2, 1)] == (0, True)    # re-acquired at 3: not a leak
+    assert out[(3, 2, 2)] == (0, True)    # g2's handoff back is clean
+
+
+def test_shard_gc_registered_query_mix(spark, sf_dir):
+    """B78 registered query: the injected leak cells make both verdicts
+    occur, every handoff appears exactly once, and dirty handoffs leak
+    for at most the injection horizon."""
+    from mapreduceimplementation_spark.plans.kv import _GC_LEAK_SPAN
+
+    rows = eng.QUERIES["shardkv_gc_audit"](spark, sf_dir).collect()
+    keys = [(r["num"], r["shard"]) for r in rows]
+    assert len(keys) == len(set(keys))
+    verdicts = {r["gc_clean"] for r in rows}
+    assert verdicts == {True, False}, verdicts
+    for r in rows:
+        assert 0 <= r["n_leak_cfgs"] <= _GC_LEAK_SPAN
