@@ -3213,3 +3213,283 @@ def shardkv_gc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     reports = derive_gc_reports(cfg, diff, _CTRL_LAST_CFG)
     return audit_shard_gc(reports, cfg, diff)
+
+
+# ---------------------------------------------------------------------------
+# B79. raft_persistence_audit — crash-restart persistence trace audit
+# (reference src/raft/test_test.go TestPersist1/2/3 + TestFigure8: a
+# restarted peer must come back with currentTerm/votedFor/log intact —
+# the term may never regress across a restart, a vote for a term may
+# never change, and a log suffix overwritten by a newer leader must
+# never RESURFACE after a later restart)
+
+_RFP_EPOCHS = 6  # restart generations per peer
+_RFP_IDX = 20  # log index space in the derived trace
+_RFP_REGRESS_EVERY = 9  # 1/9 (peer, epoch>0) cells restart with a stale term
+_RFP_REVOTE_EVERY = 11  # 1/11 (peer, term) cells change their vote
+_RFP_RESURRECT_EVERY = 13  # 1/13 (peer, index) cells resurrect an old entry
+
+
+def audit_raft_persistence(trace: DataFrame) -> DataFrame:
+    """Persistence audit over a per-peer persisted-state trace.
+
+    ``trace``: (peer, epoch, term, voted_for, idx, entry_id) records —
+    each row is one persisted snapshot of a peer's durable raft state
+    (epoch = restart generation; idx/entry_id = one log cell the record
+    carries).  Three lab-2C properties, each as a bounded aggregate:
+
+    1. TERM MONOTONICITY: the smallest term a peer persists in epoch
+       e+1 must be >= the largest it persisted in epoch e (a dip means
+       currentTerm was not durably saved across the crash).
+    2. VOTE STABILITY: a peer persists at most ONE votedFor per term
+       (two distinct votes for one term = the double-vote enabler
+       TestPersist exists to prevent).
+    3. NO RESURRECTED SUFFIX: per (peer, idx), entry ids must occupy
+       CONTIGUOUS epoch ranges — id A reappearing after id B overwrote
+       it (A.first < B.first < A.last) is Figure-8's forbidden history.
+
+    Scale shape: ONE pass collapses the trace onto three bounded grids
+    (peer x epoch, peer x term, peer x idx x id) with map-side partials;
+    the adjacency and interleave checks are self-joins over those
+    broadcast-sized grids, never over the trace."""
+    trace = trace.localCheckpoint(eager=False)
+    # 1. term monotonicity across adjacent epochs
+    pe = trace.groupBy("peer", "epoch").agg(
+        F.min("term").alias("tmin"), F.max("term").alias("tmax")
+    )
+    nxt = pe.select(
+        F.col("peer").alias("p2"),
+        (F.col("epoch") - 1).alias("e2"),
+        F.col("tmin").alias("next_tmin"),
+    )
+    regress = (
+        pe.join(
+            F.broadcast(nxt),
+            (pe["peer"] == nxt["p2"]) & (pe["epoch"] == nxt["e2"]),
+        )
+        .where(F.col("next_tmin") < F.col("tmax"))
+        .groupBy("peer")
+        .agg(F.count(F.lit(1)).alias("n_term_regressions"))
+    )
+    # 2. vote stability per (peer, term)
+    revote = (
+        trace.where(F.col("voted_for").isNotNull())
+        .groupBy("peer", "term")
+        .agg(F.countDistinct("voted_for").alias("nv"))
+        .where(F.col("nv") > 1)
+        .groupBy("peer")
+        .agg(F.count(F.lit(1)).alias("n_revote_terms"))
+    )
+    # 3. resurrected log suffix per (peer, idx)
+    span = trace.groupBy("peer", "idx", "entry_id").agg(
+        F.min("epoch").alias("emin"), F.max("epoch").alias("emax")
+    )
+    other = span.select(
+        F.col("peer").alias("p2"),
+        F.col("idx").alias("i2"),
+        F.col("entry_id").alias("id2"),
+        F.col("emin").alias("b_emin"),
+    )
+    resurrect = (
+        span.join(
+            F.broadcast(other),
+            (span["peer"] == other["p2"])
+            & (span["idx"] == other["i2"])
+            & (span["entry_id"] != other["id2"])
+            & (span["emin"] < other["b_emin"])
+            & (other["b_emin"] < span["emax"]),
+        )
+        .select("peer", "idx")
+        .distinct()
+        .groupBy("peer")
+        .agg(F.count(F.lit(1)).alias("n_resurrect_indexes"))
+    )
+    base = trace.groupBy("peer").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.countDistinct("epoch").alias("n_epochs"),
+    )
+    z = lambda c: F.coalesce(c, F.lit(0)).cast("long")
+    return (
+        base.join(regress, "peer", "left")
+        .join(revote, "peer", "left")
+        .join(resurrect, "peer", "left")
+        .select(
+            "peer",
+            "n_records",
+            "n_epochs",
+            z(F.col("n_term_regressions")).alias("n_term_regressions"),
+            z(F.col("n_revote_terms")).alias("n_revote_terms"),
+            z(F.col("n_resurrect_indexes")).alias("n_resurrect_indexes"),
+            (
+                (z(F.col("n_term_regressions")) == 0)
+                & (z(F.col("n_revote_terms")) == 0)
+                & (z(F.col("n_resurrect_indexes")) == 0)
+            ).alias("persist_ok"),
+        )
+    )
+
+
+def derive_persistence_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic persisted-state trace from events.  Per record:
+    peer/epoch/log-index hash-assigned; terms live in [4e, 4e+3] so
+    epochs are term-monotone UNLESS the (peer, epoch) cell is one of the
+    1/{_RFP_REGRESS_EVERY} injected stale-term restarts; votedFor is a
+    per-(peer, term) constant except the 1/{_RFP_REVOTE_EVERY} re-vote
+    cells, whose records alternate candidates; each record carries one
+    (idx, entry_id) log cell — id flips a->b at a per-(peer, idx) switch
+    epoch (a legitimate overwrite, contiguous) except the
+    1/{_RFP_RESURRECT_EVERY} resurrect cells, where the id ALTERNATES
+    with epoch parity (the Figure-8 forbidden history).  Violation rates
+    are properties of the bounded cell grids, not event volume, so the
+    verdict mix is scale-stable; everything is md5-derived and
+    bit-identical on both engines."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    eid = F.col("event_id").cast("string")
+    peer = hash64(eid, salt="rfp-p") % _RAFT_PEERS
+    epoch = hash64(eid, salt="rfp-e") % _RFP_EPOCHS
+    # only hash-chosen FAULTY peers get injections, so compliant peers
+    # genuinely pass all three checks and the verdict column is a real mix
+    faulty = hash64(peer.cast("string"), salt="rfp-g") % 2 == 0
+    pe_cell = F.concat(peer.cast("string"), F.lit("/"), epoch.cast("string"))
+    regressed = (
+        faulty
+        & (epoch > 0)
+        & (hash64(pe_cell, salt="rfp-r") % _RFP_REGRESS_EVERY == 0)
+    )
+    term = F.when(
+        regressed,
+        F.greatest(F.lit(0), 4 * epoch - 6 + hash64(eid, salt="rfp-t") % 4),
+    ).otherwise(4 * epoch + hash64(eid, salt="rfp-t") % 4)
+    pt_cell = F.concat(peer.cast("string"), F.lit("/"), term.cast("string"))
+    v0 = hash64(pt_cell, salt="rfp-v") % _RAFT_PEERS
+    revote_cell = faulty & (
+        hash64(pt_cell, salt="rfp-w") % _RFP_REVOTE_EVERY == 0
+    )
+    flip = hash64(eid, salt="rfp-f") % 2 == 0
+    voted_for = F.when(revote_cell & flip, (v0 + 1) % _RAFT_PEERS).otherwise(v0)
+    idx = hash64(eid, salt="rfp-i") % _RFP_IDX
+    pi_cell = F.concat(peer.cast("string"), F.lit("/"), idx.cast("string"))
+    id_a = hash64(pi_cell, salt="rfp-a") % 1000000
+    switch = 1 + hash64(pi_cell, salt="rfp-s") % (_RFP_EPOCHS - 1)
+    resurrect_cell = faulty & (
+        hash64(pi_cell, salt="rfp-x") % _RFP_RESURRECT_EVERY == 0
+    )
+    entry_id = F.when(
+        resurrect_cell,
+        F.when(epoch % 2 == 0, id_a).otherwise(id_a + 1),
+    ).otherwise(F.when(epoch < switch, id_a).otherwise(id_a + 1))
+    return ev.select(
+        peer.alias("peer"),
+        epoch.alias("epoch"),
+        term.alias("term"),
+        voted_for.alias("voted_for"),
+        idx.alias("idx"),
+        entry_id.alias("entry_id"),
+    )
+
+
+_RFP_P = sql_hash64("'rfp-p' || CAST(event_id AS VARCHAR)")
+_RFP_E = sql_hash64("'rfp-e' || CAST(event_id AS VARCHAR)")
+_RFP_T = sql_hash64("'rfp-t' || CAST(event_id AS VARCHAR)")
+_RFP_F = sql_hash64("'rfp-f' || CAST(event_id AS VARCHAR)")
+_RFP_I = sql_hash64("'rfp-i' || CAST(event_id AS VARCHAR)")
+_RFP_PE = "CAST(peer AS VARCHAR) || '/' || CAST(epoch AS VARCHAR)"
+_RFP_PT = "CAST(peer AS VARCHAR) || '/' || CAST(term AS VARCHAR)"
+_RFP_PI = "CAST(peer AS VARCHAR) || '/' || CAST(idx AS VARCHAR)"
+
+
+@register(
+    "raft_persistence_audit",
+    oracle=f"""
+    WITH t0 AS (
+        SELECT ({_RFP_P} % {_RAFT_PEERS}) AS peer,
+               ({_RFP_E} % {_RFP_EPOCHS}) AS epoch,
+               ({_RFP_T} % 4) AS tj,
+               ({_RFP_F} % 2) = 0 AS flip,
+               ({_RFP_I} % {_RFP_IDX}) AS idx
+        FROM events
+    ),
+    tf AS (
+        SELECT *, ({sql_hash64("'rfp-g' || CAST(peer AS VARCHAR)")} % 2) = 0
+                      AS faulty
+        FROM t0
+    ),
+    t1 AS (
+        SELECT *, CASE WHEN faulty AND epoch > 0
+                        AND ({sql_hash64(f"'rfp-r' || {_RFP_PE}")}
+                             % {_RFP_REGRESS_EVERY}) = 0
+                       THEN GREATEST(0, 4 * epoch - 6 + tj)
+                       ELSE 4 * epoch + tj END AS term
+        FROM tf
+    ),
+    t2 AS (
+        SELECT peer, epoch, term, flip, idx,
+               ({sql_hash64(f"'rfp-v' || {_RFP_PT}")} % {_RAFT_PEERS}) AS v0,
+               faulty AND ({sql_hash64(f"'rfp-w' || {_RFP_PT}")}
+                % {_RFP_REVOTE_EVERY}) = 0 AS revote,
+               ({sql_hash64(f"'rfp-a' || {_RFP_PI}")} % 1000000) AS id_a,
+               1 + ({sql_hash64(f"'rfp-s' || {_RFP_PI}")}
+                    % {_RFP_EPOCHS - 1}) AS switch,
+               faulty AND ({sql_hash64(f"'rfp-x' || {_RFP_PI}")}
+                % {_RFP_RESURRECT_EVERY}) = 0 AS resurrect
+        FROM t1
+    ),
+    trace AS (
+        SELECT peer, epoch, term, idx,
+               CASE WHEN revote AND flip
+                    THEN (v0 + 1) % {_RAFT_PEERS} ELSE v0 END AS voted_for,
+               CASE WHEN resurrect
+                    THEN CASE WHEN epoch % 2 = 0 THEN id_a ELSE id_a + 1 END
+                    ELSE CASE WHEN epoch < switch THEN id_a
+                              ELSE id_a + 1 END END AS entry_id
+        FROM t2
+    ),
+    pe AS (SELECT peer, epoch, min(term) AS tmin, max(term) AS tmax
+           FROM trace GROUP BY peer, epoch),
+    regress AS (
+        SELECT a.peer, CAST(count(*) AS BIGINT) AS n_term_regressions
+        FROM pe a JOIN pe b ON b.peer = a.peer AND b.epoch = a.epoch + 1
+        WHERE b.tmin < a.tmax GROUP BY a.peer
+    ),
+    revote AS (
+        SELECT peer, CAST(count(*) AS BIGINT) AS n_revote_terms FROM (
+            SELECT peer, term FROM trace WHERE voted_for IS NOT NULL
+            GROUP BY peer, term HAVING count(DISTINCT voted_for) > 1
+        ) GROUP BY peer
+    ),
+    span AS (SELECT peer, idx, entry_id,
+                    min(epoch) AS emin, max(epoch) AS emax
+             FROM trace GROUP BY peer, idx, entry_id),
+    resurrect AS (
+        SELECT peer, CAST(count(*) AS BIGINT) AS n_resurrect_indexes FROM (
+            SELECT DISTINCT a.peer, a.idx
+            FROM span a JOIN span b
+              ON b.peer = a.peer AND b.idx = a.idx
+             AND b.entry_id <> a.entry_id
+             AND a.emin < b.emin AND b.emin < a.emax
+        ) GROUP BY peer
+    ),
+    base AS (SELECT peer, CAST(count(*) AS BIGINT) AS n_records,
+                    CAST(count(DISTINCT epoch) AS BIGINT) AS n_epochs
+             FROM trace GROUP BY peer)
+    SELECT peer, n_records, n_epochs,
+           COALESCE(n_term_regressions, 0) AS n_term_regressions,
+           COALESCE(n_revote_terms, 0) AS n_revote_terms,
+           COALESCE(n_resurrect_indexes, 0) AS n_resurrect_indexes,
+           COALESCE(n_term_regressions, 0) = 0
+               AND COALESCE(n_revote_terms, 0) = 0
+               AND COALESCE(n_resurrect_indexes, 0) = 0 AS persist_ok
+    FROM base LEFT JOIN regress USING (peer)
+    LEFT JOIN revote USING (peer) LEFT JOIN resurrect USING (peer)
+    """,
+)
+def raft_persistence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raft persistence audit (B79) — TestPersist1/2/3 + TestFigure8
+    (/root/reference/src/raft/test_test.go) as a trace-audit query over
+    a derived persisted-state trace: term monotonicity across restarts,
+    votedFor stability within a term, and no resurrected overwritten log
+    suffix.  See ``audit_raft_persistence`` for the properties and scale
+    shape, ``derive_persistence_trace`` for the per-cell injection
+    recipe (the B63/B64 discipline)."""
+    return audit_raft_persistence(derive_persistence_trace(spark, sf_dir))

@@ -1183,3 +1183,60 @@ def test_shard_gc_registered_query_mix(spark, sf_dir):
     assert verdicts == {True, False}, verdicts
     for r in rows:
         assert 0 <= r["n_leak_cfgs"] <= _GC_LEAK_SPAN
+
+
+# ---------------------------------------------------------------------------
+# B79 raft_persistence_audit
+
+
+def test_raft_persistence_audit_hand_trace(spark):
+    """B79: a hand trace with (a) a clean peer whose term only grows,
+    whose vote is stable, and whose one log overwrite is contiguous;
+    (b) a term-regressing restart; (c) a re-vote within one term; (d) a
+    resurrected overwritten entry (Figure 8's forbidden history); and a
+    legitimate overwrite that must NOT count as resurrection."""
+    from mapreduceimplementation_spark.plans.kv import audit_raft_persistence
+
+    rows = [
+        # peer 0 (clean): terms 1,2 across epochs 0,1; vote stable;
+        # entry at idx 0 overwritten a->b contiguously (a: e0, b: e1)
+        (0, 0, 1, 3, 0, 100), (0, 1, 2, 3, 0, 101), (0, 1, 2, 3, 1, 200),
+        # peer 1: term REGRESSES across restart (epoch 0 max=5, epoch 1 min=4)
+        (1, 0, 5, 2, 0, 300), (1, 1, 4, 2, 0, 300),
+        # peer 2: re-votes in term 7 (voted 1 then 3)
+        (2, 0, 7, 1, 0, 400), (2, 1, 7, 3, 0, 400),
+        # peer 3: resurrection at idx 5 (id 500 at e0, 501 at e1, 500 at e2)
+        (3, 0, 1, 0, 5, 500), (3, 1, 2, 0, 5, 501), (3, 2, 3, 0, 5, 500),
+    ]
+    trace = spark.createDataFrame(
+        rows,
+        "peer long, epoch long, term long, voted_for long,"
+        " idx long, entry_id long",
+    )
+    out = {r["peer"]: r for r in audit_raft_persistence(trace).collect()}
+    assert out[0]["persist_ok"] and out[0]["n_term_regressions"] == 0
+    assert out[0]["n_revote_terms"] == 0 and out[0]["n_resurrect_indexes"] == 0
+    assert out[1]["n_term_regressions"] == 1 and not out[1]["persist_ok"]
+    assert out[2]["n_revote_terms"] == 1 and not out[2]["persist_ok"]
+    assert out[3]["n_resurrect_indexes"] == 1 and not out[3]["persist_ok"]
+    # the clean overwrite on peer 0 did not read as a resurrection
+    assert out[0]["n_resurrect_indexes"] == 0
+
+
+def test_raft_persistence_registered_query_mix(spark, sf_dir):
+    """B79 registered query: faulty-peer gating yields BOTH verdicts, all
+    three violation classes occur somewhere, and every peer reports all
+    epochs (the derivation covers the grid)."""
+    rows = eng.QUERIES["raft_persistence_audit"](spark, sf_dir).collect()
+    assert {r["persist_ok"] for r in rows} == {True, False}
+    assert sum(r["n_term_regressions"] for r in rows) > 0
+    assert sum(r["n_revote_terms"] for r in rows) > 0
+    assert sum(r["n_resurrect_indexes"] for r in rows) > 0
+    for r in rows:
+        if r["persist_ok"]:
+            assert (
+                r["n_term_regressions"]
+                == r["n_revote_terms"]
+                == r["n_resurrect_indexes"]
+                == 0
+            )
