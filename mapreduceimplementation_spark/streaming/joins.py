@@ -493,3 +493,142 @@ def streaming_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch as-of join exactly.  See run_asof_join."""
     tune(spark)
     return run_asof_join(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# D18. streaming_transition_matrix — B74's Markov estimate on a live stream
+
+_TRM_SINK = "d18_transition_sink"
+
+#: adjacency horizon: a transition only counts when the previous event is
+#: within this bound — the DECLARED interval that makes prev-side state
+#: evictable (a streaming lag() with no horizon would buffer forever;
+#: this is the D16 cutoff discipline applied to B74's semantics)
+_TRM_HORIZON_H = 24
+
+#: next-events cutoff so every 24 h count window provably finalizes
+#: before the availableNow no-data microbatch (see _ASOF_PURCHASE_CUTOFF)
+_TRM_CUTOFF = "2024-01-28 00:00:00"
+
+
+def run_transition_matrix(
+    spark: SparkSession, path: str, sink: str = _TRM_SINK, **source_options
+) -> DataFrame:
+    """First-order Markov transition counts on a live stream: per UTC day,
+    how many (prev_type -> next_type) adjacencies occurred — B74's
+    estimator with a declared {_TRM_HORIZON_H} h adjacency horizon.
+
+    Streaming lag() does not exist; this composes it from THREE chained
+    stateful operators (the Spark-4 multi-stateful pipeline, one query):
+      1. watermarked interval self-join — all candidate (prev, next)
+         pairs by the same user within the horizon, with the strict
+         (ts, event_id) order as an extra join predicate;
+      2. windowed argmax — per next-event max(struct(prev_ts,
+         prev_event_id, prev_type)) = THE immediately-preceding event
+         (identical total order to batch lag());
+      3. chained windowed count onto the (day, prev_type, next_type)
+         matrix via window-of-window re-aggregation (SPARK-40925).
+    The availableNow run equals the batch lag-with-horizon twin exactly
+    (full hash gate).
+
+    Scale shape: join state bounded by the horizon on both sides; argmax
+    state is one struct per in-flight next-event (partial agg collapses
+    candidates); the count state is the matrix itself — bounded by
+    #types² x days, the mergeable-monoid shape.  At 100 TB/day none of
+    the three states grows with history."""
+    _size_stream_state(spark)
+    _stop_query(spark, sink)
+    prevs = (
+        _events_stream(spark, path, **source_options)
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_type").alias("p_type"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    nexts = (
+        _events_stream(spark, path, **source_options)
+        .select("event_id", "user_id", "event_type", "ts")
+        .withWatermark("ts", "1 hour")
+        .where(F.col("ts") < F.lit(_TRM_CUTOFF).cast("timestamp"))
+    )
+    pairs = nexts.join(
+        prevs,
+        F.expr(
+            f"""
+            user_id = p_user_id AND
+            p_ts >= ts - INTERVAL {_TRM_HORIZON_H} HOURS AND
+            (p_ts < ts OR (p_ts = ts AND p_event_id < event_id))
+            """
+        ),
+    )
+    prev_pick = (
+        pairs.groupBy(
+            F.window("ts", "24 hours").alias("w"),
+            "event_id",
+        )
+        .agg(
+            F.max(
+                F.struct("p_ts", "p_event_id", "p_type")
+            ).alias("best"),
+            F.max("event_type").alias("next_type"),
+        )
+        .select("w", F.col("best.p_type").alias("prev_type"), "next_type")
+    )
+    matrix = (
+        prev_pick.groupBy(
+            F.window("w", "24 hours").alias("day_w"),
+            "prev_type",
+            "next_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("day_w.start").alias("day"),
+            "prev_type",
+            "next_type",
+            "n",
+        )
+    )
+    q = (
+        matrix.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+@register(
+    "streaming_transition_matrix",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, ts, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type,
+               lag(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    )
+    SELECT time_bucket(INTERVAL 24 HOURS, ts) AS day,
+           prev_type, event_type AS next_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq
+    WHERE prev_type IS NOT NULL
+      AND ts < TIMESTAMP '{_TRM_CUTOFF}'
+      AND prev_ts >= ts - INTERVAL {_TRM_HORIZON_H} HOURS
+    GROUP BY 1, 2, 3
+    """,
+)
+def streaming_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Markov transition matrix (D18) — B74 on a live stream
+    via interval-self-join -> windowed argmax -> chained windowed count
+    (three stateful operators, one query); availableNow equals the batch
+    lag-with-horizon twin exactly.  See run_transition_matrix."""
+    tune(spark)
+    return run_transition_matrix(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )

@@ -976,3 +976,61 @@ def test_ab_stream_late_conversion_upserts_user(spark, sf_dir, tmp_path):
     assert got.keys() == want.keys()
     for v in want:
         assert got[v].asDict() == want[v].asDict(), v
+
+
+def test_streaming_transition_matrix_multibatch_equals_batch(
+    spark, sf_dir, tmp_path
+):
+    """D18: the three-stateful-operator pipeline (interval self-join ->
+    windowed argmax -> chained windowed count) under maxFilesPerTrigger=1
+    — a prev-event buffered in batch 1 must still be the lag() winner for
+    a next-event arriving batches later, and the chained count windows
+    must finalize across microbatch boundaries; output equals the batch
+    lag-with-horizon matrix exactly."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from mapreduceimplementation_spark.streaming.joins import (
+        _TRM_CUTOFF,
+        _TRM_HORIZON_H,
+        run_transition_matrix,
+    )
+
+    path = _split_events(spark, sf_dir, tmp_path)
+    out = run_transition_matrix(
+        spark, path, sink="d18_multibatch_sink", maxFilesPerTrigger=1
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    batch = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.lag("ts").over(w).alias("prev_ts"),
+        )
+        .where(
+            F.col("prev_type").isNotNull()
+            & (F.col("ts") < F.lit(_TRM_CUTOFF).cast("timestamp"))
+            & (
+                F.col("prev_ts")
+                >= F.col("ts") - F.expr(f"INTERVAL {_TRM_HORIZON_H} HOURS")
+            )
+        )
+        .groupBy(
+            F.window("ts", "24 hours").alias("w"),
+            "prev_type",
+            F.col("event_type").alias("next_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("day"), "prev_type", "next_type", "n")
+    )
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert a == b
+    assert len(a) > 0
+    # the matrix is genuinely 2-D: several prev types transition to
+    # several next types
+    assert len({(r[1], r[2]) for r in a}) > 3
