@@ -24,6 +24,7 @@ from pyspark.sql.window import Window
 
 from mapreduceimplementation_spark.functions.hashing import hash64, sql_hash64
 from mapreduceimplementation_spark.functions.text import (
+    ngrams_of_words,
     sql_word_ngrams,
     word_array,
     word_chunks,
@@ -42,7 +43,7 @@ from mapreduceimplementation_spark.functions.stable import (
     sql_round6,
 )
 from mapreduceimplementation_spark.registry import register
-from mapreduceimplementation_spark.session import tune
+from mapreduceimplementation_spark.session import spread, tune
 from mapreduceimplementation_spark.sources.tables import load_table
 
 _MIN_SCORE = 0.45  # keeps ~half the synthetic corpus (median score ≈ 0.44)
@@ -1260,3 +1261,289 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p") >= 500000).alias("pred"),
         ((F.col("y") == 1000000) == (F.col("p") >= 500000)).alias("correct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C73. corpus_e2e_pipeline — the composed end-to-end corpus-prep run
+# (screens -> minhash dedup -> decontaminate -> stratified mix -> pack,
+# with per-stage attrition counts; proves the single-operator family
+# composes on ONE materialized corpus pass instead of re-scanning text
+# per stage)
+
+_E2E_MIN_WORDS = 30
+_E2E_MAX_WORDS = 100_000
+_E2E_MIN_STOPS = 2
+
+# C7's band/verify SQL fragments, shared so the composed pipeline's dedup
+# stage provably buckets and verifies EXACTLY like the standalone operator
+# (module-level import is safe: dedup never imports pipeline)
+from mapreduceimplementation_spark.operators.dedup import (  # noqa: E402
+    _SQL_MH_CAND as _MH_CAND_SQL,
+    _TAU as _MH_TAU,
+)
+
+
+def _e2e_stage(df: DataFrame, idx: int, name: str) -> DataFrame:
+    return df.agg(
+        F.lit(idx).cast("long").alias("stage"),
+        F.lit(name).alias("name"),
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    ).select("stage", "name", "n_units", "n_tokens")
+
+
+@register(
+    "corpus_e2e_pipeline",
+    oracle=f"""
+    WITH stats AS (
+        SELECT doc_id, lang, text,
+               CAST(length(regexp_extract_all(text, '{{bpe}}')) AS BIGINT)
+                   AS n_tokens,
+               CAST(length(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+                   AS n_words,
+               CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+                   AS BIGINT) AS n_tok_sp,
+               CAST(len(list_filter(string_split(text, ' '),
+                        w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+                   AS n_alpha,
+               CAST(len(list_filter(string_split(text, ' '),
+                        w -> w = 'the' OR w = 'a')) AS BIGINT) AS n_stops
+        FROM documents WHERE text IS NOT NULL
+    ),
+    scr AS (
+        SELECT * FROM stats
+        WHERE 5 * n_alpha >= 4 * n_tok_sp
+          AND n_words BETWEEN {_E2E_MIN_WORDS} AND {_E2E_MAX_WORDS}
+          AND n_stops >= {_E2E_MIN_STOPS}
+    ),
+    ws AS ({{sh3}}),
+    {{mh_cand}},
+    e2ecommon AS (
+        SELECT a_id, b_id, count(*) AS n_common
+        FROM cand
+        JOIN ws wa ON wa.doc_id = cand.a_id
+        JOIN ws wb ON wb.doc_id = cand.b_id AND wb.sh = wa.sh
+        GROUP BY a_id, b_id
+    ),
+    e2esz AS (SELECT doc_id, count(*) AS n FROM ws GROUP BY doc_id),
+    verif AS (
+        SELECT a_id, b_id FROM e2ecommon
+        JOIN e2esz sa ON sa.doc_id = a_id
+        JOIN e2esz sb ON sb.doc_id = b_id
+        WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {{tau}}
+    ),
+    dropped AS (SELECT DISTINCT b_id AS doc_id FROM verif),
+    dd AS (SELECT * FROM scr
+           WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+    sh4 AS ({{sh4}}),
+    ev AS (SELECT DISTINCT sh FROM sh4 WHERE doc_id % {{evmod}} = 0),
+    cont AS (SELECT DISTINCT doc_id FROM sh4 JOIN ev USING (sh)),
+    dec AS (SELECT * FROM dd
+            WHERE doc_id % {{evmod}} <> 0
+              AND doc_id NOT IN (SELECT doc_id FROM cont)),
+    samp AS (SELECT * FROM dec
+             WHERE {{samphash}} % 100 < {{ratecase}}),
+    placed AS (
+        SELECT n_tokens,
+               CAST(sum(n_tokens) OVER (
+                   PARTITION BY h % {{buckets}} ORDER BY h, doc_id
+                   ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+                   AS start_tok,
+               h % {{buckets}} AS bucket
+        FROM (SELECT doc_id, n_tokens, {{packhash}} AS h FROM samp)
+    ),
+    packrows AS (
+        SELECT bucket * {{ns}} + start_tok // {{budget}} AS seq_id, n_tokens
+        FROM placed
+    )
+    SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS name,
+           CAST(count(*) AS BIGINT) AS n_units,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM stats
+    UNION ALL SELECT 1, 'screened', CAST(count(*) AS BIGINT),
+           CAST(sum(n_tokens) AS BIGINT) FROM scr
+    UNION ALL SELECT 2, 'deduped', CAST(count(*) AS BIGINT),
+           CAST(sum(n_tokens) AS BIGINT) FROM dd
+    UNION ALL SELECT 3, 'decontaminated', CAST(count(*) AS BIGINT),
+           CAST(sum(n_tokens) AS BIGINT) FROM dec
+    UNION ALL SELECT 4, 'sampled', CAST(count(*) AS BIGINT),
+           CAST(sum(n_tokens) AS BIGINT) FROM samp
+    UNION ALL SELECT 5, 'packed', CAST(count(DISTINCT seq_id) AS BIGINT),
+           CAST(sum(n_tokens) AS BIGINT) FROM packrows
+    """.format(
+        bpe=_BPE_RE,
+        sh3=sql_word_ngrams(3, "scr"),
+        sh4=sql_word_ngrams(4, "stats"),
+        mh_cand=_MH_CAND_SQL,
+        tau=_MH_TAU,
+        evmod=_DECON_EVAL_MOD,
+        samphash=sql_hash64("'sample-' || CAST(doc_id AS VARCHAR)"),
+        ratecase=_sample_rate_case(),
+        packhash=sql_hash64("'pack-' || CAST(doc_id AS VARCHAR)"),
+        buckets=_PACK_BUCKETS,
+        ns=1 << 40,
+        budget=_PACK_BUDGET,
+    ),
+)
+def corpus_e2e_pipeline(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+) -> DataFrame:
+    """Composed corpus-prep pipeline (C73): quality screens (C63/C65's
+    rule style) -> MinHash-LSH near-dup removal (C7's exact machinery) ->
+    benchmark decontamination (C27) -> stratified language mix (C20) ->
+    sequence packing (C29), reported as a per-stage attrition table
+    (stage, name, n_units, n_tokens) — the end-to-end manifest a
+    training-data run publishes.
+
+    Dedup survivor rule: a doc is dropped iff a SMALLER doc_id is a
+    verified near-dup of it (j >= {_TAU} on the shared word-3gram
+    shingles) — the standard greedy keep-first; C18's connected-component
+    clustering is the heavier alternative when transitive grouping is
+    wanted.  The decontamination eval set is C27's (doc_id % 50 = 0),
+    which is also EXCLUDED from the output (it is eval, not training).
+
+    Scale shape — the composition contract: the corpus text is scanned
+    ONCE into a materialized base relation carrying per-doc stats and
+    both shingle widths (localCheckpoint; ~a few x text size — the price
+    of not re-scanning 100 TB per stage, the same trade a staged
+    production run makes by writing intermediate manifests).  Every
+    stage then consumes that relation: the screens are row-local
+    filters; dedup exchanges only band keys and candidate shingles; the
+    eval shingle set and the drop/contaminated id sets are broadcast
+    anti-joins (near-dup + contamination volume, not corpus volume); the
+    mix is a row-local hash filter; packing is C29's bucketed window.
+    The pytest plan gate counts exactly ONE parquet scan of documents in
+    the whole composed run."""
+    from mapreduceimplementation_spark.operators.dedup import (
+        _bucket_pairs,
+        _mh_bands,
+        _SHINGLE_N,
+        _TAU,
+        _verified_pairs,
+    )
+
+    tune(spark)
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
+        spark,
+    )
+    toks = F.filter(F.split("text", " "), lambda w: w != F.lit(""))
+    base = (
+        docs.where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            word_array("text").alias("ws"),
+            F.regexp_count("text", F.lit(_BPE_RE)).cast("long").alias(
+                "n_tokens"
+            ),
+            F.regexp_count("text", F.lit("[A-Za-z]+")).cast("long").alias(
+                "n_words"
+            ),
+            F.size(toks).cast("long").alias("n_tok_sp"),
+            F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+            .cast("long")
+            .alias("n_alpha"),
+            F.size(
+                F.filter(toks, lambda w: (w == F.lit("the")) | (w == F.lit("a")))
+            )
+            .cast("long")
+            .alias("n_stops"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "n_words",
+            "n_tok_sp",
+            "n_alpha",
+            "n_stops",
+            F.array_distinct(ngrams_of_words("ws", _SHINGLE_N)).alias("sh3"),
+            F.array_distinct(ngrams_of_words("ws", 4)).alias("sh4"),
+        )
+    )
+    if checkpoint:
+        base = base.localCheckpoint(eager=True)
+
+    scr = base.where(
+        (5 * F.col("n_alpha") >= 4 * F.col("n_tok_sp"))
+        & F.col("n_words").between(_E2E_MIN_WORDS, _E2E_MAX_WORDS)
+        & (F.col("n_stops") >= _E2E_MIN_STOPS)
+    )
+    # --- dedup: C7's band/verify machinery over the materialized shingles
+    bands = _mh_bands(scr.select("doc_id", F.col("sh3").alias("sh_arr")))
+    cand = (
+        _bucket_pairs(bands, ["band", "bkey"], ["doc_id"])
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    sh = scr.select("doc_id", F.explode_outer("sh3").alias("sh"))
+    if checkpoint:
+        cand = cand.localCheckpoint(eager=False)
+        sh = sh.localCheckpoint(eager=False)
+    dropped = (
+        _verified_pairs(cand, None, _TAU, sh=sh)
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+    )
+    dd = scr.join(F.broadcast(dropped), "doc_id", "left_anti")
+    # --- decontaminate: C27's broadcast eval shingle set (+ drop eval docs)
+    is_eval = F.col("doc_id") % _DECON_EVAL_MOD == 0
+    ev = (
+        base.where(is_eval)
+        .select(F.explode_outer("sh4").alias("ev_sh"))
+        .distinct()
+    )
+    cont = (
+        dd.select("doc_id", F.explode_outer("sh4").alias("sh"))
+        .join(F.broadcast(ev), F.col("sh") == F.col("ev_sh"))
+        .select("doc_id")
+        .distinct()
+    )
+    dec = dd.where(~is_eval).join(F.broadcast(cont), "doc_id", "left_anti")
+    # --- stratified mix: C20's per-language hash rates
+    rate = None
+    for lang, pct in sorted(_SAMPLE_RATES.items()):
+        rate = (
+            F.when(F.col("lang") == lang, pct)
+            if rate is None
+            else rate.when(F.col("lang") == lang, pct)
+        )
+    bucket = (
+        hash64(F.concat(F.lit("sample-"), F.col("doc_id").cast("string"))) % 100
+    )
+    samp = dec.where(bucket < rate.otherwise(0))
+    if checkpoint:
+        samp = samp.localCheckpoint(eager=False)
+    # --- pack: C29's bucketed running-sum placement
+    h = hash64(F.concat(F.lit("pack-"), F.col("doc_id").cast("string")))
+    w = (
+        Window.partitionBy(F.col("h") % _PACK_BUCKETS)
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    placed = samp.select("doc_id", "n_tokens", h.alias("h")).select(
+        "n_tokens",
+        (F.col("h") % _PACK_BUCKETS).alias("bucket"),
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_tok"),
+    )
+    packrows = placed.select(
+        (
+            F.col("bucket") * (1 << 40)
+            + F.floor(F.col("start_tok") / _PACK_BUDGET)
+        ).alias("seq_id"),
+        "n_tokens",
+    )
+    packed = packrows.agg(
+        F.lit(5).cast("long").alias("stage"),
+        F.lit("packed").alias("name"),
+        F.countDistinct("seq_id").cast("long").alias("n_units"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    ).select("stage", "name", "n_units", "n_tokens")
+
+    out = _e2e_stage(base, 0, "raw")
+    for i, (nm, rel) in enumerate(
+        [("screened", scr), ("deduped", dd), ("decontaminated", dec), ("sampled", samp)],
+        start=1,
+    ):
+        out = out.unionByName(_e2e_stage(rel, i, nm))
+    return out.unionByName(packed)

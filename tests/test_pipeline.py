@@ -619,3 +619,46 @@ def test_quality_classifier_learns(spark, sf_dir):
     acc = out["correct"].mean()
     assert acc > base, (acc, base)
     assert 0 < out["pred"].sum() < len(out), out["pred"].sum()
+
+
+def test_corpus_e2e_pipeline_attrition_invariants(spark, sf_dir, duck):
+    """C73: stage counts are monotone non-increasing through the doc
+    stages, every stage cuts something on the synthetic corpus, packing
+    conserves the sampled tokens exactly, and the result matches the
+    composed DuckDB oracle."""
+    df = eng.QUERIES["corpus_e2e_pipeline"](spark, sf_dir)
+    assert_same_result(df, duck, eng.ORACLES["corpus_e2e_pipeline"])
+    rows = {r["stage"]: r for r in df.collect()}
+    assert [rows[i]["name"] for i in range(6)] == [
+        "raw", "screened", "deduped", "decontaminated", "sampled", "packed",
+    ]
+    for i in range(1, 5):
+        assert rows[i]["n_units"] <= rows[i - 1]["n_units"]
+        assert rows[i]["n_tokens"] <= rows[i - 1]["n_tokens"]
+    # the synthetic corpus exercises every stage (nothing is a no-op)
+    assert rows[1]["n_units"] < rows[0]["n_units"]
+    assert rows[3]["n_units"] < rows[2]["n_units"]
+    assert rows[4]["n_units"] < rows[3]["n_units"]
+    # packing re-chunks but never drops tokens
+    assert rows[5]["n_tokens"] == rows[4]["n_tokens"]
+    assert rows[5]["n_units"] <= max(rows[4]["n_units"], 1)
+
+
+def test_corpus_e2e_pipeline_single_corpus_scan(spark, sf_dir):
+    """C73's composition contract: the corpus text is materialized ONCE —
+    the production plan (checkpoint=True) contains ZERO parquet scans
+    (every stage reads the checkpointed base), and the un-checkpointed
+    lineage shows how many times the stages WOULD re-derive the scan
+    (> 1), which is exactly what the checkpoint is buying."""
+    from mapreduceimplementation_spark.operators.pipeline import (
+        corpus_e2e_pipeline,
+    )
+
+    prod = corpus_e2e_pipeline(spark, sf_dir, checkpoint=True)
+    plan = prod._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+    raw = corpus_e2e_pipeline(spark, sf_dir, checkpoint=False)
+    rawplan = raw._jdf.queryExecution().executedPlan().toString()
+    assert rawplan.count("Scan parquet") > 1
