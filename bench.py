@@ -134,6 +134,44 @@ HEADLINE = [
     "tokenizer_fertility",
     "streaming_ab_test_metrics",
     "quality_ccnet_buckets",
+    # round-7 additions: the two trained models (fixed-point logistic
+    # classifier, BPE merge loop), the two new distributed-systems audits,
+    # the chained three-stateful-operator stream, and the composed
+    # end-to-end corpus pipeline
+    "quality_classifier",
+    "quality_classifier_eval",
+    "bpe_train",
+    "bpe_tokenize",
+    "shardkv_gc_audit",
+    "raft_persistence_audit",
+    "streaming_transition_matrix",
+    "corpus_e2e_pipeline",
+    # round-7 widening: one representative per remaining untimed family
+    # (VERDICT r6 item 8; the family -> representative map and the
+    # justification for what stays untimed live in BENCH_COVERAGE.md)
+    "mr_distributed_sort",       # mr range-partition total sort
+    "mr_generic_wc",             # the Arrow-batched generic MR engine path
+    "q9_product_profit",         # widest TPC-H multi-join star
+    "q18_large_orders",          # semi-join-on-HAVING TPC-H shape
+    "q13_customer_distribution", # outer-join distribution TPC-H shape
+    "events_minutely",           # scan->agg floor of the minutely family
+    "events_retention",          # cohort self-join family
+    "events_exact_median",       # two-pass exact median family
+    "kv_apply_log",              # window log-replay fact shape
+    "shardkv_migration_diff",    # broadcast config-diff against fact state
+    "dedup_exact",               # hash-groupBy dedup floor
+    "dedup_simhash",             # chunked-hamming dedup family
+    "dedup_clusters",            # CC-iteration dedup family
+    "ann_ivf_kmeans",            # trained-cell IVF family
+    "pca_power_iter",            # chained-iteration linear algebra
+    "lang_id",                   # multi-regex row-local scan family
+    "tfidf_top_terms",           # two-exchange tf-idf family
+    "quality_lm_score",          # broadcast-model scoring family
+    "corpus_decontaminate",      # broadcast shingle semi-join family
+    "corpus_pack_sequences",     # bucketed-window packing family
+    "multimodal_meta",           # Arrow mapInPandas binary-column family
+    "streaming_dedup",           # dropDuplicates state family
+    "streaming_enriched_counts", # stream x broadcast dim family
 ]
 
 CANARY = "mr_wordcount"
@@ -143,10 +181,19 @@ MAX_PASSES = 3
 
 
 def run_pass(spark, qs, sf_dir: str, F) -> dict[str, float]:
+    from mapreduceimplementation_spark.registry import BASELINE_CLASS, has_tag
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
+        if has_tag(name, BASELINE_CLASS):
+            print(
+                f"# WARNING: {name} is {BASELINE_CLASS} (exact-but-quadratic"
+                " diagnostic) running UNSAMPLED — its timing is a"
+                " ground-truth cost, not a serving-path number",
+                file=sys.stderr,
+            )
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         row = df.agg(

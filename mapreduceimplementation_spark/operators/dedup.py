@@ -43,7 +43,7 @@ from mapreduceimplementation_spark.functions.text import (
     word_chunks,
 )
 from mapreduceimplementation_spark.functions.stable import round6, sql_round6
-from mapreduceimplementation_spark.registry import register
+from mapreduceimplementation_spark.registry import BASELINE_CLASS, register
 from mapreduceimplementation_spark.session import spread, tune
 from mapreduceimplementation_spark.sources.tables import load_table
 
@@ -258,6 +258,7 @@ def _with_pair_sizes(common: DataFrame, sz: DataFrame) -> DataFrame:
 
 @register(
     "dedup_ngram_jaccard",
+    tags=(BASELINE_CLASS,),
     oracle=f"""
     WITH ws AS ({_SQL_SH}),
     cand AS (
@@ -670,6 +671,7 @@ _CONTAIN_TAU = 0.9  # containment threshold: |A∩B| / min(|A|,|B|)
 
 @register(
     "dedup_containment",
+    tags=(BASELINE_CLASS,),
     oracle=f"""
     WITH ws AS ({_SQL_SH}),
     common AS (
@@ -937,6 +939,7 @@ _RA_MIN_BAND = 5  # audit pairs with exact jaccard >= 0.5
 
 @register(
     "minhash_recall_audit",
+    tags=(BASELINE_CLASS,),
     oracle=f"""
     WITH ws AS ({_SQL_SH}),
     {_SQL_MH_CAND},

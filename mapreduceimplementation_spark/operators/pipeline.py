@@ -1015,22 +1015,33 @@ _SQL_QC_P = (
 )
 
 
-def _sql_qc_iters() -> str:
-    """Unrolled training chain: score -> gradient -> weight-update CTEs."""
+def _sql_qc_iters(train_filter: str | None = None) -> str:
+    """Unrolled training chain: score -> gradient -> weight-update CTEs.
+
+    With ``train_filter`` (a doc_id predicate), the centering statistics
+    AND every gradient step see only the filtered subset (no eval
+    leakage), while the final scoring pass (``sfin``) still covers all
+    docs — the C75 train/eval split; default trains on everything (C71)."""
     mus = ", ".join(
         f"CAST(round(sum(x[{j}]) * 1.0 / count(*)) AS BIGINT) AS m{j}"
         for j in range(1, _QC_DIM + 1)
     )
     mu_list = ", ".join(f"m{j}" for j in range(1, _QC_DIM + 1))
+    mu_where = f" WHERE {train_filter}" if train_filter else ""
+    train_src = "qctr" if train_filter else "qcfeats"
     parts = [
         f"qcmu AS (SELECT [{mu_list}, CAST(0 AS BIGINT)] AS mu"
-        f" FROM (SELECT {mus} FROM qcraws))",
+        f" FROM (SELECT {mus} FROM qcraws{mu_where}))",
         "qcfeats AS (SELECT doc_id,"
         f" list_transform(range(1, {_QC_NDIM + 1}), j -> x[j] - mu[j]) AS x, y"
         " FROM qcraws CROSS JOIN qcmu)",
-        "w0 AS (SELECT list_transform(range(0, "
-        f"{_QC_NDIM}), j -> CAST(0 AS BIGINT)) AS w)",
     ]
+    if train_filter:
+        parts.append(f"qctr AS (SELECT * FROM qcfeats WHERE {train_filter})")
+    parts.append(
+        "w0 AS (SELECT list_transform(range(0, "
+        f"{_QC_NDIM}), j -> CAST(0 AS BIGINT)) AS w)"
+    )
     gsums = ", ".join(
         f"sum((y - p) * x[{j}]) AS g{j}" for j in range(1, _QC_NDIM + 1)
     )
@@ -1041,7 +1052,7 @@ def _sql_qc_iters() -> str:
     for t in range(1, _QC_ITERS + 1):
         parts.append(
             f"s{t} AS (SELECT doc_id, x, y, {_SQL_QC_P} AS p"
-            f" FROM qcfeats CROSS JOIN w{t - 1})"
+            f" FROM {train_src} CROSS JOIN w{t - 1})"
         )
         parts.append(
             f"g{t} AS (SELECT CAST(count(*) AS BIGINT) AS n, {gsums} FROM s{t})"
@@ -1084,9 +1095,14 @@ _SQL_QC_FEATS = f"""
 """
 
 
-def _qc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _qc_features(
+    spark: SparkSession, sf_dir: str, center_on=None
+) -> DataFrame:
     """(doc_id, x: array<long>[17], y: 0|1e6) — ppm-normalized hashed
-    bag-of-words + bias, and the rule label (stop-word density >= 10%)."""
+    bag-of-words + bias, and the rule label (stop-word density >= 10%).
+    ``center_on`` (a doc_id predicate Column) restricts the centering
+    statistics to that subset (C75's no-eval-leakage rule); all docs are
+    still featurized and centered against it."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     ws = F.filter(F.split("text", " "), lambda w: w != F.lit(""))
     base = (
@@ -1135,7 +1151,8 @@ def _qc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias(f"m{j}")
         for j in range(1, _QC_DIM + 1)
     ]
-    mu = raws.agg(*mu_cols).select(
+    mu_src = raws.where(center_on) if center_on is not None else raws
+    mu = mu_src.agg(*mu_cols).select(
         F.array(
             *[F.col(f"m{j}") for j in range(1, _QC_DIM + 1)],
             F.lit(0).cast("long"),
@@ -1547,3 +1564,100 @@ def corpus_e2e_pipeline(
     ):
         out = out.unionByName(_e2e_stage(rel, i, nm))
     return out.unionByName(packed)
+
+
+# ---------------------------------------------------------------------------
+# C75. quality_classifier_eval — held-out evaluation of the C71 trainer
+# (the eval step every trained filter needs before it gates a corpus:
+# train on C16's 80% split, report the confusion matrix per split)
+
+_QCE_SPLIT_H = sql_hash64("'split-' || CAST(doc_id AS VARCHAR)")
+_QCE_TRAIN = f"{_QCE_SPLIT_H} % 100 < 80"
+
+
+@register(
+    "quality_classifier_eval",
+    oracle=f"""
+    WITH {_SQL_QC_FEATS},
+    {_sql_qc_iters(train_filter=_QCE_TRAIN)},
+    verdicts AS (
+        SELECT CASE WHEN {_QCE_SPLIT_H} % 100 < 80 THEN 'train'
+                    WHEN {_QCE_SPLIT_H} % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               y = 1000000 AS label, p >= 500000 AS pred
+        FROM sfin
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN label AND pred THEN 1 ELSE 0 END) AS BIGINT)
+               AS tp,
+           CAST(sum(CASE WHEN NOT label AND pred THEN 1 ELSE 0 END) AS BIGINT)
+               AS fp,
+           CAST(sum(CASE WHEN label AND NOT pred THEN 1 ELSE 0 END) AS BIGINT)
+               AS fn,
+           CAST(sum(CASE WHEN NOT label AND NOT pred THEN 1 ELSE 0 END)
+               AS BIGINT) AS tn,
+           CAST(sum(CASE WHEN label = pred THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS accuracy_ppm
+    FROM verdicts GROUP BY split
+    """,
+)
+def quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out evaluation of the trained quality classifier (C75): the
+    C71 trainer restricted to C16's 80% train split — centering
+    statistics AND gradients see ONLY train docs, the no-leakage rule —
+    then scored over the whole corpus and read out as a per-split
+    confusion matrix (n, tp/fp/fn/tn, accuracy ppm).  Train vs val/test
+    accuracy side by side is the generalization readout every
+    model-based filter publishes before it gates a corpus.
+
+    Same scale shape as C71 (zero-shuffle featurization, one partial-agg
+    exchange per step, one-job chained training); the split is C16's
+    portable doc_id hash, so the eval set is rerun- and growth-stable.
+    Integer-ppm accuracy via BIGINT floor division (identical both
+    engines)."""
+    tune(spark)
+    split_bucket = (
+        hash64(F.concat(F.lit("split-"), F.col("doc_id").cast("string"))) % 100
+    )
+    is_train = split_bucket < 80
+    feats = _qc_features(spark, sf_dir, center_on=is_train).localCheckpoint(
+        eager=True
+    )
+    w = train_quality_classifier(feats.where(is_train))
+    scored = _qc_score(feats, w)
+    verdicts = scored.select(
+        F.when(split_bucket < 80, "train")
+        .when(split_bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+        (F.col("y") == 1000000).alias("label"),
+        (F.col("p") >= 500000).alias("pred"),
+    )
+    agg = verdicts.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("label") & F.col("pred"), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(~F.col("label") & F.col("pred"), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(F.col("label") & ~F.col("pred"), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+        F.sum(F.when(~F.col("label") & ~F.col("pred"), 1).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+        F.sum(F.when(F.col("label") == F.col("pred"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+    )
+    return agg.selectExpr(
+        "split",
+        "n_docs",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        "(n_correct * 1000000L) div n_docs as accuracy_ppm",
+    )

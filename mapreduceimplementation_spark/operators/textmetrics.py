@@ -2335,11 +2335,14 @@ def _bpt_pair_counts(v: DataFrame) -> DataFrame:
     )
 
 
-def train_bpe(vocab: DataFrame, steps: int = _BPT_STEPS) -> DataFrame:
-    """Iterate count -> argmax -> re-tokenize for ``steps`` rounds over any
-    (w, freq, s) vocabulary table; returns the ordered merge table
-    (step, left, right, merged, cnt) — the model.  API twin of the
-    registered query (run it on your own corpus' word counts).
+def _bpt_train(
+    vocab: DataFrame, steps: int = _BPT_STEPS
+) -> tuple[DataFrame, DataFrame]:
+    """THE merge-training loop: count -> argmax -> re-tokenize for
+    ``steps`` rounds over a (w, freq, s) vocabulary table.  Returns
+    (merge table, final vocabulary state) — C72 ships the former, C74's
+    encoder is the latter; ONE loop so the trained merges and the
+    applied tokenization can never drift.
 
     Per round: ONE partial-agg exchange onto the symbol-pair key space
     (bounded by vocab², tiny), a 1-row TakeOrdered argmax with the total
@@ -2377,7 +2380,13 @@ def train_bpe(vocab: DataFrame, steps: int = _BPT_STEPS) -> DataFrame:
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
-    return out
+    return out, v
+
+
+def train_bpe(vocab: DataFrame, steps: int = _BPT_STEPS) -> DataFrame:
+    """The ordered merge table of ``_bpt_train`` — the model.  API twin
+    of the registered C72 query (run it on your own word counts)."""
+    return _bpt_train(vocab, steps)[0]
 
 
 @register(
@@ -2418,3 +2427,85 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     not T corpus passes."""
     tune(spark)
     return train_bpe(_bpt_vocab0(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# C74. bpe_tokenize — apply the C72-trained tokenizer corpus-wide
+# (the encode step: train_bpe's merge chain leaves every vocabulary word
+# in its final tokenized state; joining the corpus against that bounded
+# vocabulary table prices any tokenizer change in one pass)
+
+
+def bpe_tokenized_vocab(vocab: DataFrame, steps: int = _BPT_STEPS) -> DataFrame:
+    """The WORD table in its final tokenized state: (w, freq, n_bpe) with
+    n_bpe = symbols left after ``steps`` merges.  _bpt_train's state
+    evolution IS the encoder (applying merges in order = replaying the
+    chain), so there is exactly ONE tokenization definition — a drifted
+    standalone encoder would silently disagree with the trained merges."""
+    _, v = _bpt_train(vocab, steps)
+    sy = F.split(F.expr("substring(s, 2, length(s) - 2)"), "\\}\\{")
+    return v.select("w", "freq", F.size(sy).cast("long").alias("n_bpe"))
+
+
+@register(
+    "bpe_tokenize",
+    oracle=f"""
+    WITH {_sql_bpt_v0()},
+    {_sql_bpt_iters()},
+    tok AS (
+        SELECT w,
+               CAST(len(string_split(substr(s, 2, length(s) - 2), '}}{{'))
+                    AS BIGINT) AS n_bpe
+        FROM v{_BPT_STEPS}
+    ),
+    docw AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(t.n_bpe) AS BIGINT) AS n_bpe_tokens,
+           CAST((sum(t.n_bpe) * 1000000) // count(*) AS BIGINT)
+               AS fertility_ppm
+    FROM docw JOIN tok t USING (w)
+    GROUP BY doc_id
+    """,
+)
+def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the C72-trained BPE tokenizer corpus-wide (C74): per doc,
+    word count, post-merge BPE token count (incl. the end-of-word
+    symbol), and fertility (tokens per word, integer ppm) — the encode
+    pass that prices a tokenizer change over the whole corpus (C69
+    measures a FIXED regex tokenizer; this one measures the model C72
+    just trained, so train -> eval composes end-to-end).
+
+    Scale shape: training touches only the vocabulary relation (C72);
+    the final merge state doubles as the ENCODER — per-word token counts
+    on the bounded vocab table, broadcast-joined against one corpus word
+    stream, partial-agged onto doc_id.  The 100 TB corpus is scanned
+    once (twice including the vocab count build), and no per-occurrence
+    re-tokenization happens anywhere: each distinct word is encoded
+    exactly once."""
+    tune(spark)
+    tok = bpe_tokenized_vocab(_bpt_vocab0(spark, sf_dir)).select("w", "n_bpe")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docw = docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).alias(
+            "w"
+        ),
+    )
+    return (
+        docw.join(F.broadcast(tok), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_bpe").cast("long").alias("n_bpe_tokens"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_words",
+            "n_bpe_tokens",
+            "(n_bpe_tokens * 1000000L) div n_words as fertility_ppm",
+        )
+    )

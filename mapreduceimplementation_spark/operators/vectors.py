@@ -36,7 +36,7 @@ from pyspark.sql.window import Window
 from mapreduceimplementation_spark.functions.hashing import hash64, sql_hash64
 from mapreduceimplementation_spark.functions.hashing import py_hash64 as _h64_py
 from mapreduceimplementation_spark.functions.vectors import dot, l2_norm, round6, sql_round6
-from mapreduceimplementation_spark.registry import register
+from mapreduceimplementation_spark.registry import BASELINE_CLASS, register
 from mapreduceimplementation_spark.session import spread, tune
 from mapreduceimplementation_spark.sources.tables import load_table
 
@@ -225,6 +225,7 @@ def _exact_topk(n: DataFrame) -> DataFrame:
 
 @register(
     "ann_topk",
+    tags=(BASELINE_CLASS,),
     oracle=f"""
     WITH {_SQL_NORMED},
     {_SQL_TOPK_CTES}
@@ -559,6 +560,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ivf_recall_audit",
+    tags=(BASELINE_CLASS,),
     oracle=f"""
     WITH {_SQL_NORMED},
     {_SQL_IVF_CAND_CTES},

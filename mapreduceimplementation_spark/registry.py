@@ -12,10 +12,20 @@ from typing import Any
 
 QUERIES: dict[str, Callable[..., Any]] = {}
 ORACLES: dict[str, str] = {}
+TAGS: dict[str, frozenset[str]] = {}
+
+#: tag for exact-but-quadratic diagnostics (C6 posting-list Jaccard, C10
+#: brute-force ANN, C35 containment, and the recall audits whose ground
+#: truth embeds those shapes).  They exist as correctness baselines for the
+#: scale-safe paths (C7/C52, C11b/C62) — at 100 TB run them on a SAMPLE.
+#: bench.py and tools/scale_stress.py warn when one runs unsampled, so the
+#: guard is mechanical, not a docstring.
+BASELINE_CLASS = "baseline_class"
 
 
-def register(name: str, oracle: str | None = None):
-    """Decorator: register a query callable and (optionally) its SQL oracle."""
+def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Decorator: register a query callable, its optional SQL oracle, and
+    optional registry tags (e.g. BASELINE_CLASS)."""
 
     def deco(fn):
         if name in QUERIES:
@@ -23,6 +33,12 @@ def register(name: str, oracle: str | None = None):
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle.strip()
+        if tags:
+            TAGS[name] = frozenset(tags)
         return fn
 
     return deco
+
+
+def has_tag(name: str, tag: str) -> bool:
+    return tag in TAGS.get(name, frozenset())

@@ -82,5 +82,9 @@ def read_events_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("escape", '"')
         .option("multiLine", "true")
         .option("mode", "FAILFAST")
-        .csv(os.path.join(d, "events-*.csv"))
+        # read the DIRECTORY, not a glob: Spark's listing already skips
+        # underscore-prefixed files (the _SUCCESS marker), and a glob path
+        # makes FileStreamSink.hasMetadata log a spurious "Error while
+        # looking for metadata directory" WARN on every first read
+        .csv(d)
     )

@@ -72,5 +72,7 @@ def read_events_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.schema(EVENTS_SCHEMA)
         .option("timestampFormat", _TS_FMT)
         .option("mode", "FAILFAST")
-        .json(os.path.join(d, "events-*.jsonl"))
+        # directory, not glob: listing skips the _SUCCESS marker anyway,
+        # and a glob path trips FileStreamSink's metadata-probe WARN
+        .json(d)
     )

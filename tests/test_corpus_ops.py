@@ -831,3 +831,87 @@ def test_bpe_train_merge_table_shape(spark, sf_dir):
         assert r["left"] in known or all(c in known for c in r["left"])
         assert r["merged"] == r["left"] + r["right"]
         known.add(r["merged"])
+
+
+def test_bpe_tokenize_matches_reference_encoder(spark):
+    """C74: per-doc BPE token counts equal applying the reference
+    algorithm's merge list (the _sennrich_bpe twin) word by word."""
+    import tempfile
+    from collections import Counter
+
+    texts = {
+        1: "lower lower lowest newer newer newer wider wide wide",
+        2: "aaaa aaaa aab low low low new new era era",
+        3: "the the the thee thee there where were her her hers",
+    }
+    wf = Counter()
+    for t in texts.values():
+        for w in t.split():
+            wf[w] += 1
+    merges = _sennrich_bpe(dict(wf), 8)
+
+    def encode(word):
+        syms = list(word) + ["_"]
+        for _, l, r, _, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    expect = {
+        d: (
+            len(t.split()),
+            sum(encode(w) for w in t.split()),
+        )
+        for d, t in texts.items()
+    }
+    df = spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        rows = {
+            r["doc_id"]: r
+            for r in eng.QUERIES["bpe_tokenize"](spark, d).collect()
+        }
+    for doc_id, (n_words, n_bpe) in expect.items():
+        assert rows[doc_id]["n_words"] == n_words
+        assert rows[doc_id]["n_bpe_tokens"] == n_bpe, doc_id
+        assert (
+            rows[doc_id]["fertility_ppm"]
+            == n_bpe * 1_000_000 // n_words
+        )
+
+
+def test_bpe_tokenize_fertility_bounds(spark, sf_dir):
+    """C74 invariants on the real corpus: every word contributes at least
+    one token, fertility is consistent with the counts, and 8 merges
+    strictly compress vs the character baseline somewhere."""
+    rows = eng.QUERIES["bpe_tokenize"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_bpe_tokens"] >= r["n_words"]
+        assert r["fertility_ppm"] == r["n_bpe_tokens"] * 1_000_000 // r["n_words"]
+
+
+def test_quality_classifier_eval_confusion_consistency(spark, sf_dir):
+    """C75: per split, the confusion cells partition the docs, the split
+    sizes cover the whole featurized corpus in ~80/10/10, and accuracy
+    is exactly the integer-ppm of (tp+tn)/n."""
+    rows = {r["split"]: r for r in
+            eng.QUERIES["quality_classifier_eval"](spark, sf_dir).collect()}
+    assert set(rows) == {"train", "val", "test"}
+    total = sum(r["n_docs"] for r in rows.values())
+    base = eng.QUERIES["quality_classifier"](spark, sf_dir).count()
+    assert total == base
+    for r in rows.values():
+        assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == r["n_docs"]
+        assert r["accuracy_ppm"] == (r["tp"] + r["tn"]) * 1_000_000 // r["n_docs"]
+    assert rows["train"]["n_docs"] > rows["val"]["n_docs"]
+    assert rows["train"]["n_docs"] > rows["test"]["n_docs"]

@@ -116,3 +116,56 @@ def test_incident_join_is_equi_not_range(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_no_bare_window_over_unbounded_input(spark, sf_dir):
+    """VERDICT r6 item 9, mechanized: a partition-less WindowExec is a
+    single-partition sort at scale, so every one in the registered
+    surface must consume a provably BOUNDED relation (an aggregate,
+    limit, local/checkpointed, or broadcast subtree on every leaf path
+    — tools/plan_audit.bare_window_violations).  Today's bare windows
+    are all grid-bounded by design; this makes the class
+    regression-proof instead of hand-audited."""
+    from tools.plan_audit import bare_window_violations
+
+    offenders = {}
+    for name in sorted(eng.QUERIES):
+        if name.startswith("streaming_"):
+            continue
+        v = bare_window_violations(eng.QUERIES[name](spark, sf_dir))
+        if v:
+            offenders[name] = v
+    assert not offenders, f"bare windows over unbounded input: {offenders}"
+
+
+def test_bare_window_gate_catches_a_real_violation(spark, sf_dir):
+    """The gate itself must not be vacuous: a global row_number straight
+    over the fact scan is exactly the anti-pattern, and must be flagged."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from mapreduceimplementation_spark.sources.tables import load_table
+    from tools.plan_audit import bare_window_violations
+
+    ev = load_table(spark, sf_dir, "events")
+    bad = ev.withColumn("rn", F.row_number().over(Window.orderBy("ts")))
+    assert bare_window_violations(bad)
+
+
+def test_baseline_class_tags_present(spark):
+    """VERDICT r6 item 7: the exact-but-quadratic diagnostics are tagged
+    in the REGISTRY (mechanical guard consumed by bench.py /
+    tools/scale_stress.py warnings), not just in docstrings."""
+    from mapreduceimplementation_spark.registry import BASELINE_CLASS, TAGS, has_tag
+
+    expected = {
+        "dedup_ngram_jaccard",
+        "ann_topk",
+        "dedup_containment",
+        "minhash_recall_audit",
+        "ivf_recall_audit",
+    }
+    tagged = {n for n in TAGS if has_tag(n, BASELINE_CLASS)}
+    assert tagged == expected, tagged
+    # every tagged query really is registered
+    assert tagged <= set(eng.QUERIES)

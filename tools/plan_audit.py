@@ -52,6 +52,78 @@ def plan_counts(df) -> dict:
     }
 
 
+def _plan_children(node):
+    s = node.children()
+    return [s.apply(i) for i in range(s.size())]
+
+
+def _plan_simple_name(node) -> str:
+    return node.getClass().getSimpleName()
+
+
+#: physical nodes whose output is provably bounded (grid/model-sized), so a
+#: partition-less window over them is fine: aggregates collapse onto their
+#: key space, limits are literal, local/RDD scans are materialized
+#: checkpoints (the house localCheckpoint rule: only tiny multi-use
+#: relations are checkpointed upstream of bare windows), broadcasts passed
+#: the broadcast threshold by definition.
+_BOUNDED_MARKERS = (
+    "Aggregate",
+    "Limit",
+    "TakeOrderedAndProject",
+    "LocalTableScan",
+    "RDDScan",
+    "Range",
+    "BroadcastExchange",
+    "BroadcastQueryStage",
+    "ReusedExchange",
+)
+
+
+def _subtree_bounded(node) -> bool:
+    """True iff every leaf under ``node`` has a bounding operator (see
+    _BOUNDED_MARKERS) on its path — i.e. the relation cannot be
+    fact-sized.  A join/union is bounded only if ALL inputs are."""
+    name = _plan_simple_name(node)
+    if any(m in name for m in _BOUNDED_MARKERS):
+        return True
+    kids = _plan_children(node)
+    if not kids:
+        return False  # an un-aggregated source leaf (file scan)
+    return all(_subtree_bounded(k) for k in kids)
+
+
+def bare_window_violations(df) -> list[str]:
+    """VERDICT r6 item 9's mechanical gate: every partition-less
+    WindowExec (a single-partition sort at scale) must consume a provably
+    BOUNDED relation.  Returns one description per violating node; empty
+    means the plan is safe."""
+    plan = df._jdf.queryExecution().executedPlan()
+    if _plan_simple_name(plan) == "AdaptiveSparkPlanExec":
+        plan = plan.initialPlan()
+    bad: list[str] = []
+
+    def walk(node):
+        name = _plan_simple_name(node)
+        if name in ("WindowExec", "WindowGroupLimitExec"):
+            try:
+                partitionless = node.partitionSpec().isEmpty()
+            except Exception:
+                partitionless = False
+            if partitionless and not all(
+                _subtree_bounded(k) for k in _plan_children(node)
+            ):
+                bad.append(
+                    f"partition-less {name} over unbounded input: "
+                    + node.simpleStringWithNodeId()
+                )
+        for k in _plan_children(node):
+            walk(k)
+
+    walk(plan)
+    return bad
+
+
 def audit(sf_dir: str, only=()) -> dict[str, dict]:
     import mapreduceimplementation_spark as eng
     from mapreduceimplementation_spark.session import get_spark
