@@ -1103,7 +1103,11 @@ def _qc_features(
     ``center_on`` (a doc_id predicate Column) restricts the centering
     statistics to that subset (C75's no-eval-leakage rule); all docs are
     still featurized and centered against it."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # HOF-heavy stage (per-token md5 in an interpreted transform): never
+    # let the single-row-group test parquet serialize it onto one core
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), spark
+    )
     ws = F.filter(F.split("text", " "), lambda w: w != F.lit(""))
     base = (
         docs.where(F.col("text").isNotNull())
@@ -1139,7 +1143,9 @@ def _qc_features(
         .otherwise(F.lit(0))
         .cast("long")
         .alias("y"),
-    )
+    # raws feeds TWO consumers (the mean pass and the centering join);
+    # without materialization the per-token-md5 featurization runs twice
+    ).localCheckpoint(eager=True)
     # centering pass: one partial-agg exchange onto a 17-long mean row,
     # broadcast back — without it the bias direction dominates the feature
     # covariance and full-batch GD needs thousands of steps to separate
