@@ -91,6 +91,19 @@ _FUZZ_QUERIES = [
     # C70: the full C28 decimal-ln chain + distributed-rank tercile cut
     # under random corpora (short docs drop, sample may be empty)
     "quality_ccnet_buckets",
+    # r7: the fixed-point trainer's round()/clamp boundaries under random
+    # label mixes incl. the all-one-class and empty-featurization cases,
+    # and the split-restricted variant (empty train split degenerates to
+    # zero-gradient weights — both engines must agree).  bpe_train /
+    # bpe_tokenize are excluded like bpe_pair_counts: an all-punctuation
+    # corpus yields an EMPTY merge table and duckdb/pandas dtype inference
+    # on empty frames differs; their Sennrich-twin hand tests cover the
+    # algorithm.  corpus_e2e_pipeline: the full composed chain — stage
+    # relations may empty out (NULL token sums) and every downstream stage
+    # must degrade identically on both engines.
+    "quality_classifier",
+    "quality_classifier_eval",
+    "corpus_e2e_pipeline",
 ]
 
 
@@ -171,6 +184,9 @@ _EVENTS_FUZZ = [
     # B77: step order under same-second ties, 8-step truncation, and the
     # (count DESC, path) frontier under random session shapes
     "events_session_paths",
+    # B79: hash-derived persistence trace under tiny random event-id sets —
+    # sparse cell grids (missing epochs/indexes) must audit identically
+    "raft_persistence_audit",
 ]
 
 
