@@ -535,7 +535,18 @@ def run_transition_matrix(
     state is one struct per in-flight next-event (partial agg collapses
     candidates); the count state is the matrix itself — bounded by
     #types² x days, the mergeable-monoid shape.  At 100 TB/day none of
-    the three states grows with history."""
+    the three states grows with history.
+
+    Honest cost note (measured, SCALE_r07.json): the candidate-pair
+    VOLUME through the join is ∝ per-user activity within the horizon
+    SQUARED — the replica inflation (same users, 10x denser) drives
+    10x data to ~15.7x wall, the events_funnel_attribution class
+    (real growth adds users, which scales linearly; per-user density is
+    data-model-bounded).  Where per-user density is genuinely high,
+    shrink the declared horizon (volume ∝ density x horizon) or switch
+    to the applyInPandasWithState lag (linear, one event of state per
+    user — D2's Python-state tradeoff: ~2x slower per row than JVM
+    state, no batch-plan reuse)."""
     _size_stream_state(spark)
     _stop_query(spark, sink)
     prevs = (
