@@ -202,6 +202,7 @@ INVENTORY = [
     "streaming_transition_matrix",  # D18: B74 on a live stream (3 stateful ops)
     "bpe_tokenize",          # C74: apply the C72-trained tokenizer corpus-wide
     "quality_classifier_eval",  # C75: held-out confusion-matrix eval of C71
+    "streaming_transition_matrix_state",  # D19: linear custom-state lag (D18 pair)
 ]
 
 #: SURVEY rows not yet implemented — MUST shrink to empty; a key may not

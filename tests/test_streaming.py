@@ -1034,3 +1034,59 @@ def test_streaming_transition_matrix_multibatch_equals_batch(
     # the matrix is genuinely 2-D: several prev types transition to
     # several next types
     assert len({(r[1], r[2]) for r in a}) > 3
+
+
+def test_streaming_transition_state_multibatch_and_linearity(
+    spark, sf_dir, tmp_path
+):
+    """D19: the applyInPandasWithState lag under maxFilesPerTrigger=1 — a
+    user's last event in batch 1 must be the lag source for their first
+    event in batch 2 (the cross-batch state carry), and the result equals
+    the full batch lag-with-horizon matrix with NO cutoff (the state path
+    covers the trailing days D18 must exclude)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from mapreduceimplementation_spark.streaming.joins import (
+        _TRM_HORIZON_H,
+        run_transition_matrix_state,
+    )
+
+    path = _split_events(spark, sf_dir, tmp_path)
+    out = run_transition_matrix_state(
+        spark, path, sink="d19_multibatch_sink", maxFilesPerTrigger=1
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    batch = (
+        ev.select(
+            "ts",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.lag("ts").over(w).alias("prev_ts"),
+        )
+        .where(
+            F.col("prev_type").isNotNull()
+            & (
+                F.col("prev_ts")
+                >= F.col("ts") - F.expr(f"INTERVAL {_TRM_HORIZON_H} HOURS")
+            )
+        )
+        .groupBy(
+            F.window("ts", "24 hours").alias("w"),
+            "prev_type",
+            F.col("event_type").alias("next_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("day"), "prev_type", "next_type", "n")
+    )
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert a == b
+    assert len(a) > 0
+    # linearity evidence: total transitions == total in-horizon lag pairs
+    # (one per event with an in-horizon predecessor, never pair-expanded)
+    n_out = sum(r[3] for r in a)
+    n_lag = batch.agg(F.sum("n")).collect()[0][0]
+    assert n_out == n_lag
