@@ -144,6 +144,7 @@ HEADLINE = [
     "bpe_tokenize",
     "shardkv_gc_audit",
     "raft_persistence_audit",
+    "shardkv_availability_audit",
     "streaming_transition_matrix",
     "streaming_transition_matrix_state",
     "corpus_e2e_pipeline",

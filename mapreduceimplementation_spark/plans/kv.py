@@ -3493,3 +3493,260 @@ def raft_persistence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape, ``derive_persistence_trace`` for the per-cell injection
     recipe (the B63/B64 discipline)."""
     return audit_raft_persistence(derive_persistence_trace(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# B80. shardkv_availability_audit — migration-window availability audit
+# (reference src/shardkv/test_test.go:824 TestChallenge2Unaffected +
+# :894 TestChallenge2Partial: during a reconfiguration, ops on shards
+# that are NOT moving must keep being served, and a moved shard must be
+# served by its new owner AS SOON AS that shard's data is installed —
+# not only after the whole reconfiguration completes)
+
+_AV_OPS_PER_CELL = 1000  # op ordinals within a config window
+_AV_STALL_EVERY = 9  # 1/9 unmoved (num, shard) cells stall (Challenge2Unaffected bug)
+_AV_PREMATURE_EVERY = 7  # 1/7 moved cells serve before the install (stale reads)
+_AV_BLOCKED_EVERY = 8  # 1/8 moved cells never serve until the next config
+#: premature cells serve this many ordinals early
+_AV_EARLY = 150
+
+_AV_CELL = "CAST(num AS VARCHAR) || '/' || CAST(shard AS VARCHAR)"
+
+
+def audit_shard_availability(
+    ops: DataFrame, cfg: DataFrame, installs: DataFrame
+) -> DataFrame:
+    """Challenge-2 audit over a client-op trace.
+
+    ``ops``: (num, shard, t, served) — client operations during config
+    window ``num`` at in-window ordinal ``t`` with the serve outcome.
+    ``cfg``: the ctrler history (num, shard, gid).  ``installs``: per
+    MOVED (num, shard) the ordinal ``install_t`` at which the new owner
+    finished installing the shard's data.  Three verdicts per
+    (num, shard):
+
+    - STALLS (TestChallenge2Unaffected): an op on an UNMOVED shard that
+      was not served — unaffected shards must serve straight through a
+      reconfiguration.
+    - PREMATURE (install ordering): an op on a moved shard served
+      BEFORE the shard's data arrived — the new owner answered from
+      state it did not have (stale/empty reads).
+    - BLOCKED (TestChallenge2Partial): an op on a moved shard at or
+      after its install that was NOT served — the conservative-but-
+      wrong implementation that waits for the WHOLE reconfiguration.
+
+    Scale shape: cfg/diff/installs are control-plane-sized broadcasts;
+    the op trace (the huge side) streams through ONE broadcast join and
+    collapses onto the (num, shard) grid with map-side partials —
+    no fact-sized shuffle keyed on config."""
+    prev = cfg.select(
+        (F.col("num") + 1).alias("nnum"),
+        F.col("shard").alias("pshard"),
+        F.col("gid").alias("prev_gid"),
+    )
+    moved = (
+        cfg.join(
+            F.broadcast(prev),
+            (cfg["num"] == prev["nnum"]) & (cfg["shard"] == prev["pshard"]),
+        )
+        .select("num", "shard", (F.col("gid") != F.col("prev_gid")).alias("moved"))
+    )
+    enriched = ops.join(F.broadcast(moved), ["num", "shard"]).join(
+        F.broadcast(installs), ["num", "shard"], "left"
+    )
+    agg = enriched.groupBy("num", "shard").agg(
+        F.first("moved").alias("moved"),
+        F.count(F.lit(1)).alias("n_ops"),
+        F.sum(
+            F.when(~F.col("moved") & ~F.col("served"), 1).otherwise(0)
+        ).cast("long").alias("n_stalls"),
+        F.sum(
+            F.when(
+                F.col("moved")
+                & F.col("served")
+                & (F.col("t") < F.col("install_t")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_premature"),
+        F.sum(
+            F.when(
+                F.col("moved")
+                & ~F.col("served")
+                & (F.col("t") >= F.col("install_t")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_blocked"),
+    )
+    return agg.select(
+        "num",
+        "shard",
+        "moved",
+        "n_ops",
+        "n_stalls",
+        "n_premature",
+        "n_blocked",
+        (
+            (F.col("n_stalls") == 0)
+            & (F.col("n_premature") == 0)
+            & (F.col("n_blocked") == 0)
+        ).alias("available_ok"),
+    )
+
+
+def derive_availability_trace(
+    spark: SparkSession, sf_dir: str, cfg: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic (ops, installs) pair.  Each event is one client op:
+    config window, shard, and in-window ordinal hash-assigned.  Every
+    MOVED (num, shard) cell gets an install ordinal.  Compliant serving:
+    unmoved shards always serve; moved shards serve iff t >= install_t.
+    Injections (md5 over the bounded cell grid, scale-stable): 1/9 of
+    unmoved cells STALL some ops, 1/7 of moved cells serve {_AV_EARLY}
+    ordinals EARLY, 1/8 of moved cells never serve in the window."""
+    tune(spark)
+    prev = cfg.select(
+        (F.col("num") + 1).alias("nnum"),
+        F.col("shard").alias("pshard"),
+        F.col("gid").alias("prev_gid"),
+    )
+    cells = (
+        cfg.join(
+            F.broadcast(prev),
+            (cfg["num"] == prev["nnum"]) & (cfg["shard"] == prev["pshard"]),
+        )
+        .select("num", "shard", (F.col("gid") != F.col("prev_gid")).alias("moved"))
+        .localCheckpoint(eager=True)
+    )
+    cell = F.concat(
+        F.col("num").cast("string"), F.lit("/"), F.col("shard").cast("string")
+    )
+    installs = cells.where("moved").select(
+        "num",
+        "shard",
+        (hash64(cell, salt="av-i") % (_AV_OPS_PER_CELL // 2)
+         + _AV_OPS_PER_CELL // 10).alias("install_t"),
+    )
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    eid = F.col("event_id").cast("string")
+    # ops only land in config windows >= 1 (cfg 0 is the invalid config)
+    num = 1 + hash64(eid, salt="av-n") % _CTRL_LAST_CFG
+    shard = hash64(eid, salt="av-s") % N_CTRL_SHARDS
+    t = hash64(eid, salt="av-t") % _AV_OPS_PER_CELL
+    raw = ev.select(num.alias("num"), shard.alias("shard"), t.alias("t"))
+    opcell = F.concat(
+        F.col("num").cast("string"), F.lit("/"), F.col("shard").cast("string")
+    )
+    stall_cell = hash64(opcell, salt="av-x") % _AV_STALL_EVERY == 0
+    prem_cell = hash64(opcell, salt="av-q") % _AV_PREMATURE_EVERY == 0
+    block_cell = hash64(opcell, salt="av-b") % _AV_BLOCKED_EVERY == 0
+    opid = F.concat(
+        opcell, F.lit("#"), F.col("t").cast("string")
+    )
+    stall_this = hash64(opid, salt="av-z") % 3 == 0
+    ops = (
+        raw.join(F.broadcast(cells), ["num", "shard"])
+        .join(F.broadcast(installs), ["num", "shard"], "left")
+        .select(
+            "num",
+            "shard",
+            "t",
+            F.when(
+                ~F.col("moved"),
+                # unmoved: compliant serve, except stall-cell injections
+                ~(stall_cell & stall_this),
+            )
+            .otherwise(
+                # moved: blocked cells never serve; premature cells serve
+                # early; compliant cells serve from the install on
+                F.when(block_cell, F.lit(False))
+                .when(prem_cell, F.col("t") >= F.col("install_t") - _AV_EARLY)
+                .otherwise(F.col("t") >= F.col("install_t"))
+            )
+            .alias("served"),
+        )
+    )
+    return ops, installs
+
+
+_AV_OPCELL = "CAST(r.num AS VARCHAR) || '/' || CAST(r.shard AS VARCHAR)"
+_AV_OPID = f"{_AV_OPCELL} || '#' || CAST(r.t AS VARCHAR)"
+
+
+@register(
+    "shardkv_availability_audit",
+    oracle=f"""
+    WITH {_CTRL_CFG_CTES},
+    cells AS (
+        SELECT b.num, b.shard, a.gid <> b.gid AS moved
+        FROM cfg a JOIN cfg b ON b.num = a.num + 1 AND b.shard = a.shard
+    ),
+    installs AS (
+        SELECT num, shard,
+               ({sql_hash64(f"'av-i' || {_AV_CELL}")}
+                % {_AV_OPS_PER_CELL // 2}) + {_AV_OPS_PER_CELL // 10}
+                   AS install_t
+        FROM cells WHERE moved
+    ),
+    raw AS (
+        SELECT 1 + ({sql_hash64("'av-n' || CAST(event_id AS VARCHAR)")}
+                    % {_CTRL_LAST_CFG}) AS num,
+               ({sql_hash64("'av-s' || CAST(event_id AS VARCHAR)")}
+                % {N_CTRL_SHARDS}) AS shard,
+               ({sql_hash64("'av-t' || CAST(event_id AS VARCHAR)")}
+                % {_AV_OPS_PER_CELL}) AS t
+        FROM events
+    ),
+    ops AS (
+        SELECT r.num, r.shard, r.t,
+               CASE WHEN NOT c.moved THEN NOT (
+                        ({sql_hash64(f"'av-x' || {_AV_OPCELL}")}
+                         % {_AV_STALL_EVERY}) = 0
+                        AND ({sql_hash64(f"'av-z' || {_AV_OPID}")} % 3) = 0)
+                    WHEN ({sql_hash64(f"'av-b' || {_AV_OPCELL}")}
+                          % {_AV_BLOCKED_EVERY}) = 0 THEN false
+                    WHEN ({sql_hash64(f"'av-q' || {_AV_OPCELL}")}
+                          % {_AV_PREMATURE_EVERY}) = 0
+                        THEN r.t >= i.install_t - {_AV_EARLY}
+                    ELSE r.t >= i.install_t END AS served
+        FROM raw r
+        JOIN cells c ON c.num = r.num AND c.shard = r.shard
+        LEFT JOIN installs i ON i.num = r.num AND i.shard = r.shard
+    ),
+    agg AS (
+        SELECT o.num, o.shard, any_value(c.moved) AS moved,
+               CAST(count(*) AS BIGINT) AS n_ops,
+               CAST(sum(CASE WHEN NOT c.moved AND NOT served
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_stalls,
+               CAST(sum(CASE WHEN c.moved AND served AND o.t < i.install_t
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_premature,
+               CAST(sum(CASE WHEN c.moved AND NOT served
+                              AND o.t >= i.install_t
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked
+        FROM ops o
+        JOIN cells c ON c.num = o.num AND c.shard = o.shard
+        LEFT JOIN installs i ON i.num = o.num AND i.shard = o.shard
+        GROUP BY o.num, o.shard
+    )
+    SELECT num, shard, moved, n_ops, n_stalls, n_premature, n_blocked,
+           n_stalls = 0 AND n_premature = 0 AND n_blocked = 0
+               AS available_ok
+    FROM agg
+    """,
+)
+def shardkv_availability_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Migration-window availability audit (B80) — shardkv Challenge 2
+    (/root/reference/src/shardkv/test_test.go:824 Unaffected, :894
+    Partial) as a trace-audit query: per (config, shard), did unaffected
+    shards keep serving, did the new owner serve only AFTER its install,
+    and did it start serving AS SOON AS the install landed (not when the
+    whole reconfiguration finished)?  See ``audit_shard_availability``
+    for the verdicts and scale shape, ``derive_availability_trace`` for
+    the per-cell injection recipe (B78's discipline)."""
+    tune(spark)
+    cfg = (
+        config_log_replay(spark, sf_dir)
+        .select("num", "shard", "gid")
+        .localCheckpoint(eager=True)
+    )
+    ops, installs = derive_availability_trace(spark, sf_dir, cfg)
+    return audit_shard_availability(ops, cfg, installs)

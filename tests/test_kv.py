@@ -1240,3 +1240,68 @@ def test_raft_persistence_registered_query_mix(spark, sf_dir):
                 == r["n_resurrect_indexes"]
                 == 0
             )
+
+
+# ---------------------------------------------------------------------------
+# B80 shardkv_availability_audit
+
+
+def test_shard_availability_audit_hand_trace(spark):
+    """B80: a hand trace with (a) an unaffected shard serving straight
+    through (ok), (b) an unaffected shard that stalls (Challenge2Unaffected
+    violation), (c) a moved shard served exactly from its install on (ok —
+    the PARTIAL-progress behavior), (d) a moved shard answered before its
+    install (premature), (e) a moved shard that never serves after the
+    install (blocked)."""
+    from mapreduceimplementation_spark.plans.kv import audit_shard_availability
+
+    # configs 1 and 2; shards 0 (unmoved ok), 1 (unmoved stall),
+    # 2 (moved ok), 3 (moved premature), 4 (moved blocked)
+    cfg = spark.createDataFrame(
+        [(1, s, 1) for s in range(5)]
+        + [(2, 0, 1), (2, 1, 1), (2, 2, 2), (2, 3, 2), (2, 4, 2)],
+        "num long, shard long, gid long",
+    )
+    installs = spark.createDataFrame(
+        [(2, 2, 100), (2, 3, 100), (2, 4, 100)],
+        "num long, shard long, install_t long",
+    )
+    ops = spark.createDataFrame(
+        [
+            (2, 0, 10, True), (2, 0, 500, True),           # unaffected ok
+            (2, 1, 10, False), (2, 1, 500, True),          # stall at t=10
+            (2, 2, 50, False), (2, 2, 100, True), (2, 2, 900, True),  # partial ok
+            (2, 3, 50, True),                              # premature serve
+            (2, 4, 100, False), (2, 4, 900, False),        # blocked
+        ],
+        "num long, shard long, t long, served boolean",
+    )
+    out = {
+        (r["num"], r["shard"]): r
+        for r in audit_shard_availability(ops, cfg, installs).collect()
+    }
+    assert out[(2, 0)]["available_ok"] and not out[(2, 0)]["moved"]
+    assert out[(2, 1)]["n_stalls"] == 1 and not out[(2, 1)]["available_ok"]
+    r2 = out[(2, 2)]
+    assert r2["moved"] and r2["available_ok"]
+    assert r2["n_premature"] == 0 and r2["n_blocked"] == 0
+    assert out[(2, 3)]["n_premature"] == 1 and not out[(2, 3)]["available_ok"]
+    assert out[(2, 4)]["n_blocked"] == 2 and not out[(2, 4)]["available_ok"]
+
+
+def test_shard_availability_registered_query_mix(spark, sf_dir):
+    """B80 registered query: all three violation classes occur, both
+    verdicts occur on both moved and unmoved cells, and violations stay
+    in their lane (stalls only on unmoved, premature/blocked only on
+    moved)."""
+    rows = eng.QUERIES["shardkv_availability_audit"](spark, sf_dir).collect()
+    assert sum(r["n_stalls"] for r in rows) > 0
+    assert sum(r["n_premature"] for r in rows) > 0
+    assert sum(r["n_blocked"] for r in rows) > 0
+    for r in rows:
+        if r["moved"]:
+            assert r["n_stalls"] == 0
+        else:
+            assert r["n_premature"] == 0 and r["n_blocked"] == 0
+    verdicts = {(r["moved"], r["available_ok"]) for r in rows}
+    assert len(verdicts) == 4, verdicts

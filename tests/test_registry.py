@@ -203,6 +203,7 @@ INVENTORY = [
     "bpe_tokenize",          # C74: apply the C72-trained tokenizer corpus-wide
     "quality_classifier_eval",  # C75: held-out confusion-matrix eval of C71
     "streaming_transition_matrix_state",  # D19: linear custom-state lag (D18 pair)
+    "shardkv_availability_audit",  # B80: Challenge-2 migration availability
 ]
 
 #: SURVEY rows not yet implemented — MUST shrink to empty; a key may not
