@@ -698,8 +698,34 @@ def _transition_fn(key, pdfs, state):
         )
 
 
+def transition_state_stream(
+    spark: SparkSession, path: str, **source_options
+) -> DataFrame:
+    """The un-sunk D19 stateful stream (per-transition rows): the
+    registered query sinks it to memory; the checkpoint-recovery pytest
+    sinks it to an exactly-once FILE sink (the memory sink cannot
+    recover from a checkpoint — Spark rejects the combination)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = (
+        _events_stream(spark, path, **source_options)
+        .select("user_id", "ts", "event_id", "event_type")
+        .withWatermark("ts", "1 hour")
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _transition_fn,
+        outputStructType=_TRS_OUT_SCHEMA,
+        stateStructType=_TRS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_transition_matrix_state(
-    spark: SparkSession, path: str, sink: str = _TRS_SINK, **source_options
+    spark: SparkSession,
+    path: str,
+    sink: str = _TRS_SINK,
+    **source_options,
 ) -> DataFrame:
     """B74's Markov estimate as a CUSTOM STATEFUL operator: per-user
     GroupState holds exactly the last event, so every arriving event
@@ -722,20 +748,7 @@ def run_transition_matrix_state(
     rollup — or chain a windowed count after the stateful op)."""
     _size_stream_state(spark)
     _stop_query(spark, sink)
-    ev = (
-        _events_stream(spark, path, **source_options)
-        .select("user_id", "ts", "event_id", "event_type")
-        .withWatermark("ts", "1 hour")
-    )
-    from pyspark.sql.streaming.state import GroupStateTimeout
-
-    trans = ev.groupBy("user_id").applyInPandasWithState(
-        _transition_fn,
-        outputStructType=_TRS_OUT_SCHEMA,
-        stateStructType=_TRS_STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
+    trans = transition_state_stream(spark, path, **source_options)
     q = (
         trans.writeStream.format("memory")
         .queryName(sink)

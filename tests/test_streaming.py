@@ -1090,3 +1090,85 @@ def test_streaming_transition_state_multibatch_and_linearity(
     n_out = sum(r[3] for r in a)
     n_lag = batch.agg(F.sum("n")).collect()[0][0]
     assert n_out == n_lag
+
+
+def test_transition_state_checkpoint_recovery(spark, sf_dir, tmp_path):
+    """D19 + crash.go's property on CUSTOM Python state: kill the
+    applyInPandasWithState query mid-feed, restart from its checkpoint,
+    feed the rest — the restored GroupState (each user's last event,
+    pickled in the state store) must bridge the crash: a user's last
+    pre-crash event must still be the lag source for their first
+    post-crash event, and the union of both runs' emissions must equal
+    the one-shot batch lag matrix."""
+    import os
+    import shutil
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from mapreduceimplementation_spark.streaming.joins import (
+        _TRM_HORIZON_H,
+        run_transition_matrix_state,
+    )
+
+    from mapreduceimplementation_spark.streaming.joins import (
+        transition_state_stream,
+    )
+
+    src = _split_events(spark, sf_dir, tmp_path, n_files=4)
+    feed = tmp_path / "trs_feed"
+    feed.mkdir()
+    parts = sorted(os.listdir(src))
+    for p in parts[:2]:
+        shutil.copy2(os.path.join(src, p), feed / p)
+    ckpt = str(tmp_path / "trs_ckpt")
+    out_dir = str(tmp_path / "trs_out")
+
+    def run_once():
+        q = (
+            transition_state_stream(spark, str(feed), maxFilesPerTrigger="1")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # run 1: half the feed, then the query is gone
+    rows1 = [tuple(r) for r in spark.read.parquet(out_dir).collect()]
+    for p in parts[2:]:
+        shutil.copy2(os.path.join(src, p), feed / p)
+    run_once()  # run 2: restarts from the checkpoint (state + offsets)
+    rows_all = [tuple(r) for r in spark.read.parquet(out_dir).collect()]
+    rows2 = list((Counter(rows_all) - Counter(rows1)).elements())
+    got = Counter(rows_all)
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    batch = (
+        ev.select(
+            "ts",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.lag("ts").over(w).alias("prev_ts"),
+        )
+        .where(
+            F.col("prev_type").isNotNull()
+            & (
+                F.col("prev_ts")
+                >= F.col("ts") - F.expr(f"INTERVAL {_TRM_HORIZON_H} HOURS")
+            )
+        )
+        .select(
+            F.window("ts", "24 hours")["start"].alias("day"),
+            "prev_type",
+            F.col("event_type").alias("next_type"),
+        )
+    )
+    want = Counter(tuple(r) for r in batch.collect())
+    assert got == want
+    # both runs really emitted (the crash split work across them)
+    assert rows1 and rows2
