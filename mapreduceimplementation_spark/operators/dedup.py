@@ -268,15 +268,28 @@ def _with_pair_sizes(common: DataFrame, sz: DataFrame) -> DataFrame:
     {_SQL_VERIFY}
     """,
 )
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, sample_mod: int | None = None
+) -> DataFrame:
     """Exact word-3gram Jaccard near-dup pairs (j >= 0.8, _TAU).
 
     Candidate generation is the full shingle self-join — exact but
     quadratic in per-shingle document frequency.  This is the *baseline*
-    that verifies ``dedup_minhash_lsh``; at 100 TB run the LSH variant.
+    that verifies ``dedup_minhash_lsh``; at 100 TB run the LSH variant,
+    or run THIS on a sample: ``sample_mod=k`` keeps the deterministic
+    1/k doc_id-hash slice ('split-'-independent salt, so sampling never
+    correlates with the train/test split) — the mechanical escape the
+    BASELINE_CLASS registry tag points at (bench/scale warn when the
+    unsampled form runs; a recall audit only needs the sampled truth).
     """
     tune(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    if sample_mod:
+        docs = docs.where(
+            hash64(F.col("doc_id").cast("string"), salt="bsample-")
+            % sample_mod
+            == 0
+        )
     common, sz = _pair_overlap_sizes(docs, spark)
     j = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (

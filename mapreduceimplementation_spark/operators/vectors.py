@@ -232,7 +232,9 @@ def _exact_topk(n: DataFrame) -> DataFrame:
     SELECT q_id, neighbor_id, cos, rank FROM ex
     """,
 )
-def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_topk(
+    spark: SparkSession, sf_dir: str, sample_mod: int | None = None
+) -> DataFrame:
     """Brute-force cosine top-10 per query vector (the exact baseline;
     see _TOPK/_Q_MAX).
 
@@ -241,9 +243,24 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(|Q|*n) work that any executor count divides evenly.  Ranking uses the
     *rounded* cosine with neighbor_id tie-break so the top-k frontier is
     deterministic across engines and partitionings.
+
+    At 100 TB serve from C11b/C62 and run THIS on a corpus sample:
+    ``sample_mod=k`` keeps the deterministic 1/k vec_id-hash slice (query
+    vectors always kept, so every query still gets a full ranking over
+    the slice) — the mechanical escape the BASELINE_CLASS tag points at.
     """
     tune(spark)
-    return _exact_topk(_normed(spark, sf_dir))
+    n = _normed(spark, sf_dir)
+    if sample_mod:
+        n = n.where(
+            (F.col("vec_id") < _Q_MAX)
+            | (
+                hash64(F.col("vec_id").cast("string"), salt="bsample-")
+                % sample_mod
+                == 0
+            )
+        )
+    return _exact_topk(n)
 
 
 # ---------------------------------------------------------------------------

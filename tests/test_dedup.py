@@ -443,3 +443,39 @@ def test_incremental_equals_full_filtered(spark, sf_dir):
         for r in got
     )
     assert all(r["a_new"] or r["b_new"] for r in got)
+
+
+def test_baseline_class_sampled_mode(spark, sf_dir):
+    """The BASELINE_CLASS mechanical escape (VERDICT r6 item 7): the
+    quadratic diagnostics accept sample_mod=k — the sampled run's pairs
+    must be exactly the full run's pairs restricted to the kept slice
+    (same hash family, so the audit truth on the sample is the truth)."""
+    from mapreduceimplementation_spark.functions.hashing import py_hash64
+    from mapreduceimplementation_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+    )
+    from mapreduceimplementation_spark.operators.vectors import ann_topk
+
+    k = 2
+    kept = lambda i: py_hash64(str(i), salt="bsample-") % k == 0
+    full = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    sampled = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in dedup_ngram_jaccard(spark, sf_dir, sample_mod=k).collect()
+    }
+    want = {p: j for p, j in full.items() if kept(p[0]) and kept(p[1])}
+    assert sampled == want
+    assert 0 < len(sampled) < len(full)
+
+    # ann_topk: queries are always kept, every query still ranks top-10
+    # over the kept slice
+    out = ann_topk(spark, sf_dir, sample_mod=k).collect()
+    qids = {r["q_id"] for r in out}
+    full_qids = {r["q_id"] for r in ann_topk(spark, sf_dir).collect()}
+    assert qids == full_qids
+    for r in out:
+        assert r["q_id"] < 8
+        assert kept(r["neighbor_id"]) or r["neighbor_id"] < 8
