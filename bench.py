@@ -147,6 +147,7 @@ HEADLINE = [
     "shardkv_availability_audit",
     "streaming_transition_matrix",
     "streaming_transition_matrix_state",
+    "streaming_funnel",
     "corpus_e2e_pipeline",
     # round-7 widening: one representative per remaining untimed family
     # (VERDICT r6 item 8; the family -> representative map and the

@@ -247,3 +247,109 @@ def run_sessionize_native_stream(
         (F.col("win.end") - F.expr(f"INTERVAL {_NATIVE_GAP}")).alias("session_end"),
         "total_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# D20. streaming_funnel — B23's ordered funnel as a custom stateful operator
+
+_FUN_SINK = "d20_funnel_sink"
+
+_FUN_OUT_SCHEMA = "user_id bigint, stage string"
+#: first-completion timestamps in int microseconds; -1 = not yet reached
+_FUN_STATE_SCHEMA = "t_view bigint, t_click bigint, t_purchase bigint"
+
+_FUN_STAGES = ("1_view", "2_click", "3_purchase")
+
+
+def _funnel_fn(key, pdfs, state):
+    """Per-user ordered-funnel state machine: processing events in event
+    time, record the FIRST view, the first click strictly after it, and
+    the first purchase strictly after that — each stage emits exactly
+    once, the moment it completes (at most 3 rows per user, ever).
+    Equivalent to B23's chained min-over-window definition because
+    in-order processing makes 'first qualifying' = 'min qualifying'."""
+    import pandas as pd
+
+    (user_id,) = key
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    if len(batch) == 0:
+        return
+    batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+    tv, tc, tp = state.get if state.exists else (-1, -1, -1)
+
+    emitted = []
+    ts_us = batch["ts"].astype("int64") // (
+        1000 if batch["ts"].dtype == "datetime64[ns]" else 1
+    )
+    for t, etype in zip(ts_us, batch["event_type"]):
+        t = int(t)
+        if etype == "view" and tv < 0:
+            tv = t
+            emitted.append("1_view")
+        elif etype == "click" and tv >= 0 and t > tv and tc < 0:
+            tc = t
+            emitted.append("2_click")
+        elif etype == "purchase" and tc >= 0 and t > tc and tp < 0:
+            tp = t
+            emitted.append("3_purchase")
+    state.update((tv, tc, tp))
+    if emitted:
+        yield pd.DataFrame(
+            {"user_id": [user_id] * len(emitted), "stage": emitted}
+        )
+
+
+def run_funnel_stream(
+    spark: SparkSession, path: str, sink: str = _FUN_SINK, **source_options
+) -> DataFrame:
+    """Run the stateful funnel over `path` to completion; returns B23's
+    (stage, n_users) table.  State per user is three timestamps; each
+    stage emits exactly once per user in append mode, so the sink holds
+    at most 3·|users| rows and the rollup is sink-sized.  Cross-batch:
+    a view in batch 1 must gate a click in batch 3 — the multibatch
+    pytest pins it."""
+    _size_stream_state(spark)
+    _stop_query(spark, sink)
+    ev = (
+        _events_stream(spark, path, **source_options)
+        .select("user_id", "ts", "event_id", "event_type")
+        .withWatermark("ts", "1 hour")
+    )
+    stages = ev.groupBy("user_id").applyInPandasWithState(
+        _funnel_fn,
+        outputStructType=_FUN_OUT_SCHEMA,
+        stateStructType=_FUN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        stages.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    counts = (
+        spark.table(sink)
+        .groupBy("stage")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+    frame = spark.createDataFrame(
+        [(s,) for s in _FUN_STAGES], "stage string"
+    )
+    return frame.join(counts, "stage", "left").select(
+        "stage", F.coalesce("n_users", F.lit(0)).cast("long").alias("n_users")
+    )
+
+
+@register("streaming_funnel", oracle=ORACLES["events_funnel"])
+def streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B23's ordered view->click->purchase funnel maintained by a stream
+    (D20): per-user three-timestamp GroupState, each stage emitted
+    exactly once at completion — shares B23's oracle verbatim (full
+    rows+schema+hash gate), the D2 borrowed-oracle discipline.  See
+    run_funnel_stream."""
+    tune(spark)
+    # B23's oracle must be registered before we borrow it (import above)
+    return run_funnel_stream(spark, os.path.join(sf_dir, "events.parquet"))

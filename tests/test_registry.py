@@ -204,6 +204,7 @@ INVENTORY = [
     "quality_classifier_eval",  # C75: held-out confusion-matrix eval of C71
     "streaming_transition_matrix_state",  # D19: linear custom-state lag (D18 pair)
     "shardkv_availability_audit",  # B80: Challenge-2 migration availability
+    "streaming_funnel",      # D20: B23's ordered funnel as custom state
 ]
 
 #: SURVEY rows not yet implemented — MUST shrink to empty; a key may not

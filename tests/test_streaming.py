@@ -1172,3 +1172,37 @@ def test_transition_state_checkpoint_recovery(spark, sf_dir, tmp_path):
     assert got == want
     # both runs really emitted (the crash split work across them)
     assert rows1 and rows2
+
+
+def test_streaming_funnel_multibatch_cross_stage(spark, sf_dir, tmp_path):
+    """D20: under maxFilesPerTrigger=1, a view in an early batch must gate
+    a click arriving batches later (cross-batch three-timestamp state),
+    stages emit at most once per user, and the final counts equal the
+    batch funnel B23."""
+    from collections import Counter
+
+    from mapreduceimplementation_spark.streaming.sessionize import (
+        run_funnel_stream,
+    )
+
+    path = _split_events(spark, sf_dir, tmp_path)
+    out = {
+        r["stage"]: r["n_users"]
+        for r in run_funnel_stream(
+            spark, path, sink="d20_multibatch_sink", maxFilesPerTrigger=1
+        ).collect()
+    }
+    batch = {
+        r["stage"]: r["n_users"]
+        for r in eng.QUERIES["events_funnel"](spark, sf_dir).collect()
+    }
+    assert out == batch
+    assert out["1_view"] >= out["2_click"] >= out["3_purchase"]
+    assert out["3_purchase"] > 0
+    # exactly-once per (user, stage) in the raw sink
+    sink_rows = [
+        (r["user_id"], r["stage"])
+        for r in spark.table("d20_multibatch_sink").collect()
+    ]
+    dupes = [k for k, c in Counter(sink_rows).items() if c > 1]
+    assert not dupes, dupes
