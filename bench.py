@@ -148,6 +148,7 @@ HEADLINE = [
     "streaming_transition_matrix",
     "streaming_transition_matrix_state",
     "streaming_funnel",
+    "streaming_retention",
     "corpus_e2e_pipeline",
     # round-7 widening: one representative per remaining untimed family
     # (VERDICT r6 item 8; the family -> representative map and the

@@ -353,3 +353,100 @@ def streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     # B23's oracle must be registered before we borrow it (import above)
     return run_funnel_stream(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# D21. streaming_retention — B24's cohort retention as O(1) per-user state
+
+_RET_SINK = "d21_retention_sink"
+
+_RET_OUT_SCHEMA = "cohort_day timestamp, day timestamp"
+#: cohort day + last emitted day, int microseconds — O(1) state because
+#: event-time order makes a user's active days arrive non-decreasing, so
+#: "new day" is just day > last_day (no day-set needed)
+_RET_STATE_SCHEMA = "cohort bigint, last_day bigint"
+
+_RET_DAY_US = 24 * 3600 * 1_000_000
+
+
+def _retention_fn(key, pdfs, state):
+    """Per-user retention state machine: the first day seen is the
+    cohort; each strictly-later day emits ONE (cohort_day, day) row —
+    exactly-once per (user, day) via the monotone last_day bound."""
+    import pandas as pd
+
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    if len(batch) == 0:
+        return
+    ts_us = batch["ts"].astype("int64") // (
+        1000 if batch["ts"].dtype == "datetime64[ns]" else 1
+    )
+    days = sorted({(int(t) // _RET_DAY_US) * _RET_DAY_US for t in ts_us})
+    cohort, last = state.get if state.exists else (-1, -1)
+    out = []
+    for d in days:
+        if cohort < 0:
+            cohort = d
+        if d > last:
+            out.append(d)
+            last = d
+    state.update((cohort, last))
+    if out:
+        yield pd.DataFrame(
+            {
+                "cohort_day": pd.to_datetime([cohort] * len(out), unit="us"),
+                "day": pd.to_datetime(out, unit="us"),
+            }
+        )
+
+
+def run_retention_stream(
+    spark: SparkSession, path: str, sink: str = _RET_SINK, **source_options
+) -> DataFrame:
+    """Run the stateful retention stream over `path` to completion;
+    returns B24's (cohort_day, day_offset, n_users) table.  Per-user
+    state is TWO timestamps regardless of event volume or horizon; the
+    sink holds one row per (user, active day) — the same cardinality
+    B24's per-user day-dedup shuffles — and the retention matrix is the
+    sink-sized rollup."""
+    _size_stream_state(spark)
+    _stop_query(spark, sink)
+    ev = (
+        _events_stream(spark, path, **source_options)
+        .select("user_id", "ts")
+        .withWatermark("ts", "1 hour")
+    )
+    pairs = ev.groupBy("user_id").applyInPandasWithState(
+        _retention_fn,
+        outputStructType=_RET_OUT_SCHEMA,
+        stateStructType=_RET_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register("streaming_retention", oracle=ORACLES["events_retention"])
+def streaming_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B24's cohort retention maintained by a stream (D21): O(1) per-user
+    GroupState (cohort + last active day — event-time order makes the
+    day set unnecessary), one emission per (user, active day); shares
+    B24's oracle verbatim (full rows+schema+hash gate).  See
+    run_retention_stream."""
+    tune(spark)
+    return run_retention_stream(spark, os.path.join(sf_dir, "events.parquet"))

@@ -205,6 +205,7 @@ INVENTORY = [
     "streaming_transition_matrix_state",  # D19: linear custom-state lag (D18 pair)
     "shardkv_availability_audit",  # B80: Challenge-2 migration availability
     "streaming_funnel",      # D20: B23's ordered funnel as custom state
+    "streaming_retention",   # D21: B24's cohort retention, O(1) user state
 ]
 
 #: SURVEY rows not yet implemented — MUST shrink to empty; a key may not

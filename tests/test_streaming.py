@@ -1206,3 +1206,31 @@ def test_streaming_funnel_multibatch_cross_stage(spark, sf_dir, tmp_path):
     ]
     dupes = [k for k, c in Counter(sink_rows).items() if c > 1]
     assert not dupes, dupes
+
+
+def test_streaming_retention_multibatch_exactly_once(spark, sf_dir, tmp_path):
+    """D21: under maxFilesPerTrigger=1, a user's cohort fixed in batch 1
+    must label their activity rows in later batches, each (user, day)
+    emits exactly once across batches, and the rollup equals B24."""
+    from collections import Counter
+
+    from mapreduceimplementation_spark.streaming.sessionize import (
+        run_retention_stream,
+    )
+
+    path = _split_events(spark, sf_dir, tmp_path)
+    out = {
+        (r["cohort_day"], r["day_offset"]): r["n_users"]
+        for r in run_retention_stream(
+            spark, path, sink="d21_multibatch_sink", maxFilesPerTrigger=1
+        ).collect()
+    }
+    batch = {
+        (r["cohort_day"], r["day_offset"]): r["n_users"]
+        for r in eng.QUERIES["events_retention"](spark, sf_dir).collect()
+    }
+    assert out == batch
+    # day-0 cell of each cohort counts the whole cohort: it must be the
+    # max across that cohort's offsets
+    for (cd, off), n in out.items():
+        assert n <= out[(cd, 0)]
