@@ -1344,3 +1344,107 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_flag(F.col("a_id")).alias("a_new"),
         new_flag(F.col("b_id")).alias("b_new"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C76. dedup_priority — canonical-key dedup with a curated source-priority
+# survivor rule (the cross-source "keep the trusted copy" pass)
+
+#: canonical key = first _PRIO_PREFIX_W lowercase words.  A production
+#: pipeline keys this pass on a canonical URL or title line; this corpus
+#: carries neither, so the leading-words prefix plays that role (same
+#: trade-off as C27's shingle width: pick the cheapest key that actually
+#: collides on this corpus's duplication pattern).
+_PRIO_PREFIX_W = 6
+
+#: DuckDB twin of the canonical key below (kept adjacent so the two
+#: expressions are reviewed as one unit).
+_SQL_PRIO_KEY = (
+    "md5(array_to_string(list_filter(regexp_split_to_array(lower(text),"
+    " '[^a-z]+'), x -> x <> '')[1:%d], ' '))" % _PRIO_PREFIX_W
+)
+
+
+@register(
+    "dedup_priority",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               CAST(substr(source, 4) AS INTEGER) AS src_rank,
+               {_SQL_PRIO_KEY} AS canon_key
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, source, canon_key,
+           count(*) OVER w AS group_size,
+           first_value(doc_id) OVER (
+               PARTITION BY canon_key
+               ORDER BY src_rank, n_chars DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS survivor_id,
+           first_value(source) OVER (
+               PARTITION BY canon_key
+               ORDER BY src_rank, n_chars DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS survivor_source,
+           doc_id = first_value(doc_id) OVER (
+               PARTITION BY canon_key
+               ORDER BY src_rank, n_chars DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS kept
+    FROM keyed
+    WINDOW w AS (PARTITION BY canon_key)
+    """,
+)
+def dedup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source priority dedup: when the same canonical key appears in
+    several sources, keep the copy from the MOST TRUSTED source — the
+    survivor rule Dolma/RefinedWeb-style multi-source mixes actually run
+    (wiki beats books beats crawl), which C1's min-doc_id survivor cannot
+    express.  Priority here is the source's curated list position (the
+    numeric suffix of ``srcN`` stands in for the config file a production
+    pipeline ships); ties prefer the LONGER copy (more complete
+    extraction), then the smaller doc_id.
+
+    Emits every doc with its group's survivor, so downstream either
+    filters ``kept`` (the dedup) or joins ``survivor_id`` (the redirect
+    map — what a dedup pass must publish so citation/attribution joins
+    still resolve dropped doc_ids).
+
+    Scale shape: canonical key is a row-local md5 over the first
+    {_PRIO_PREFIX_W} words — text itself is never shuffled, only (doc_id,
+    source, n_chars, 128-bit key).  ONE exchange on the uniform hash key;
+    both window frames share it (same partition spec), so the plan has a
+    single shuffle and the survivor election is a per-group sort of
+    group_size rows (bounded by the duplication multiplicity, not the
+    corpus).  At 100 TB this is C1's exact shape plus a 4-byte rank
+    column."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", "text"
+    )
+    keyed = docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.substring("source", 4, 8).cast("int").alias("src_rank"),
+        F.md5(
+            F.array_join(
+                F.slice(word_array(F.lower(F.col("text"))), 1, _PRIO_PREFIX_W),
+                " ",
+            )
+        ).alias("canon_key"),
+    )
+    grp = Window.partitionBy("canon_key")
+    elect = grp.orderBy(
+        F.col("src_rank").asc(), F.col("n_chars").desc(), F.col("doc_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    survivor = F.first("doc_id").over(elect)
+    return keyed.select(
+        "doc_id",
+        "source",
+        "canon_key",
+        F.count(F.lit(1)).over(grp).alias("group_size"),
+        survivor.alias("survivor_id"),
+        F.first("source").over(elect).alias("survivor_source"),
+        (F.col("doc_id") == survivor).alias("kept"),
+    )

@@ -479,3 +479,54 @@ def test_baseline_class_sampled_mode(spark, sf_dir):
     for r in out:
         assert r["q_id"] < 8
         assert kept(r["neighbor_id"]) or r["neighbor_id"] < 8
+
+
+# ---------------------------------------------------------------------------
+# C76 dedup_priority
+
+
+def test_dedup_priority_survivor_rule(spark):
+    """Hand corpus pinning the full election order: source priority beats
+    length beats doc_id, and docs with distinct keys are their own
+    survivors."""
+    import tempfile
+
+    shared = "the quick brown fox jumps over"  # 6-word canonical key
+    rows = [
+        (1, "src5", shared + " tail one padded out", 40),
+        (2, "src2", shared + " other tail", 30),   # highest priority -> wins
+        (3, "src2", shared + " longer body than doc two", 99),  # same rank, longer
+        (4, "src0", "completely different opening words here now", 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = {r["doc_id"]: r for r in eng.QUERIES["dedup_priority"](spark, d).collect()}
+    # group {1,2,3}: src2 outranks src5; within src2, n_chars 99 beats 30
+    assert out[1]["survivor_id"] == 3 and not out[1]["kept"]
+    assert out[2]["survivor_id"] == 3 and not out[2]["kept"]
+    assert out[3]["kept"] and out[3]["survivor_source"] == "src2"
+    assert out[3]["group_size"] == 3
+    # singleton group keeps itself
+    assert out[4]["kept"] and out[4]["survivor_id"] == 4 and out[4]["group_size"] == 1
+
+
+def test_dedup_priority_one_survivor_per_group(spark, sf_dir):
+    """Corpus-wide invariants: exactly one kept doc per canonical key, the
+    survivor_id is that kept doc, and the redirect map is closed (every
+    survivor_id exists and is itself kept)."""
+    rows = eng.QUERIES["dedup_priority"](spark, sf_dir).collect()
+    by_key = {}
+    by_id = {r["doc_id"]: r for r in rows}
+    for r in rows:
+        by_key.setdefault(r["canon_key"], []).append(r)
+    assert any(len(g) > 1 for g in by_key.values())  # dup groups exist at sf0.01
+    for key, grp in by_key.items():
+        kept = [r for r in grp if r["kept"]]
+        assert len(kept) == 1
+        assert all(r["survivor_id"] == kept[0]["doc_id"] for r in grp)
+        assert all(r["group_size"] == len(grp) for r in grp)
+    for r in rows:
+        assert by_id[r["survivor_id"]]["kept"]
