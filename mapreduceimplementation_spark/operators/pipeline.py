@@ -1667,3 +1667,91 @@ def quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tn",
         "(n_correct * 1000000L) div n_docs as accuracy_ppm",
     )
+
+
+# ---------------------------------------------------------------------------
+# C77. corpus_shuffle_shards — deterministic training-order shuffle into
+# contiguous shards (the "global shuffle before training" step)
+
+#: shard count.  16 here so every shard has real mass at sf0.01; at 100 TB
+#: this is ~1e5 (pick shards ≈ corpus / target-file-size) — the machinery
+#: below is shard-count-independent.
+_SHUF_SHARDS = 16
+#: hash64 is 60 bits; the top log2(_SHUF_SHARDS) bits pick the shard, so a
+#: shard is a CONTIGUOUS key range — that is what makes the physical write
+#: a range partition + local sort instead of a global sort.
+_SHUF_SHIFT = 60 - 4
+
+
+@register(
+    "corpus_shuffle_shards",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               {sql_hash64("'shuf-' || CAST(doc_id AS VARCHAR)")} AS skey
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, n_chars,
+           skey >> {_SHUF_SHIFT} AS shard,
+           CAST(row_number() OVER w AS BIGINT) AS pos_in_shard,
+           CAST(coalesce(sum(n_chars) OVER (
+               PARTITION BY skey >> {_SHUF_SHIFT} ORDER BY skey, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS start_offset
+    FROM keyed
+    WINDOW w AS (PARTITION BY skey >> {_SHUF_SHIFT} ORDER BY skey, doc_id)
+    """,
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle into training shards: the last step of
+    a data pipeline randomizes document ORDER (breaking source/time
+    locality so consecutive training batches are i.i.d.-ish) and writes
+    fixed-size shard files each carrying (position, byte-offset) so a
+    data loader can seek.  The permutation is hash64('shuf-'||doc_id) —
+    a pure function of doc_id, so the shuffle order is rerun-stable and
+    fully oracle-checkable (no rand()), yet uniform over the corpus.
+
+    Output is the loader manifest row per doc: shard (top 4 bits of the
+    key — shard = contiguous key range), pos_in_shard, and start_offset
+    (sum of preceding docs' n_chars in shard order — the seek offset).
+
+    Scale shape: keys are row-local md5 arithmetic over the (doc_id,
+    n_chars) projection — text is never read or shuffled.  Because a
+    shard is a contiguous key range, the physical 100 TB write is
+    ``repartitionByRange(skey).sortWithinPartitions(skey)`` — Spark's
+    range-exchange sampler does the boundary estimation and there is NO
+    global sort; this registered query computes the same assignment with
+    one hash exchange on the bounded shard id (uniform by construction:
+    top bits of a uniform hash), and the per-shard window sorts only
+    corpus/shards rows — the shard count is the knob that keeps that
+    slice executor-sized."""
+    tune(spark)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "n_chars")
+    )
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        F.shiftright(
+            hash64(F.concat(F.lit("shuf-"), F.col("doc_id").cast("string"))),
+            _SHUF_SHIFT,
+        ).alias("shard"),
+        hash64(F.concat(F.lit("shuf-"), F.col("doc_id").cast("string"))).alias(
+            "skey"
+        ),
+    )
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "n_chars",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos_in_shard"),
+        F.coalesce(
+            F.sum("n_chars").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("start_offset"),
+    )

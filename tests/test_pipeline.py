@@ -662,3 +662,69 @@ def test_corpus_e2e_pipeline_single_corpus_scan(spark, sf_dir):
     raw = corpus_e2e_pipeline(spark, sf_dir, checkpoint=False)
     rawplan = raw._jdf.queryExecution().executedPlan().toString()
     assert rawplan.count("Scan parquet") > 1
+
+
+# ---------------------------------------------------------------------------
+# C77 corpus_shuffle_shards
+
+
+def test_shuffle_shards_manifest_invariants(spark, sf_dir):
+    """Loader-manifest contract: shards partition the corpus, positions are
+    contiguous 1..n per shard, start_offset is the exact prefix sum of
+    preceding docs' n_chars, and shards are contiguous key ranges (the
+    property that makes the physical write a range partition, not a
+    global sort)."""
+    from mapreduceimplementation_spark.functions.hashing import py_hash64
+
+    rows = eng.QUERIES["corpus_shuffle_shards"](spark, sf_dir).collect()
+    shards = {}
+    for r in rows:
+        shards.setdefault(r["shard"], []).append(r)
+    assert len(shards) == 16 and sum(len(v) for v in shards.values()) == len(rows)
+    key = lambda r: py_hash64(f"shuf-{r['doc_id']}")
+    maxmin = []
+    for s, grp in shards.items():
+        grp.sort(key=lambda r: r["pos_in_shard"])
+        assert [r["pos_in_shard"] for r in grp] == list(range(1, len(grp) + 1))
+        off = 0
+        for r in grp:
+            assert r["start_offset"] == off
+            off += r["n_chars"]
+        ks = [key(r) for r in grp]
+        assert ks == sorted(ks)  # pos order IS key order
+        assert all(k >> 56 == s for k in ks)
+        maxmin.append((s, min(ks), max(ks)))
+    maxmin.sort()
+    for (s1, _, hi), (s2, lo, _) in zip(maxmin, maxmin[1:]):
+        assert hi < lo  # contiguous, disjoint key ranges
+
+
+def test_shuffle_shards_rerun_and_growth_stable(spark, sf_dir):
+    """Appending a doc must not move any existing doc's shard or relative
+    order (pure-function permutation): recompute on a corpus minus one
+    doc and check survivors keep their shard and key order."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mapreduceimplementation_spark.sources.tables import load_table
+
+    full = {r["doc_id"]: r for r in
+            eng.QUERIES["corpus_shuffle_shards"](spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    victim = min(full)
+    with tempfile.TemporaryDirectory() as d:
+        docs.where(F.col("doc_id") != victim).write.mode("overwrite").parquet(
+            f"{d}/documents.parquet"
+        )
+        sub = {r["doc_id"]: r for r in
+               eng.QUERIES["corpus_shuffle_shards"](spark, d).collect()}
+    assert set(sub) == set(full) - {victim}
+    for did, r in sub.items():
+        assert r["shard"] == full[did]["shard"]
+    # relative order within each shard is preserved
+    for s in {r["shard"] for r in sub.values()}:
+        order_sub = [d_ for d_, r in sorted(sub.items(), key=lambda kv: kv[1]["pos_in_shard"]) if r["shard"] == s]
+        order_full = [d_ for d_, r in sorted(full.items(), key=lambda kv: kv[1]["pos_in_shard"])
+                      if r["shard"] == s and d_ != victim]
+        assert order_sub == order_full
