@@ -450,3 +450,129 @@ def streaming_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_retention_stream."""
     tune(spark)
     return run_retention_stream(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# D22. streaming_scd2 — B69's type-2 dimension maintained by a stream
+# (changelog upserts + deterministic compaction)
+
+_SCD_SINK = "d22_scd2_sink"
+
+_SCD_OUT_SCHEMA = (
+    "user_id bigint, version bigint, state string, valid_from timestamp, "
+    "valid_to timestamp, is_current boolean, n_events bigint"
+)
+#: the OPEN run only: (version counter, run state, run start us, run event
+#: count) — closed runs leave state the moment they emit, so per-user state
+#: is O(1) regardless of history length
+_SCD_STATE_SCHEMA = "version bigint, cur string, vfrom bigint, n bigint"
+
+
+def _scd2_fn(key, pdfs, state):
+    """Per-user SCD2 state machine: processing events in event-time order,
+    a changed event_type CLOSES the open run (emit final row, valid_to =
+    the changing event's ts) and opens the next version; the open run
+    emits a SNAPSHOT row (valid_to NULL, is_current) once per batch it
+    was touched in.  Closed rows are final and emitted exactly once;
+    open snapshots form an upsert changelog superseded by n_events —
+    the compaction in run_scd2_stream keeps one winner per version."""
+    import pandas as pd
+
+    (user_id,) = key
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    if len(batch) == 0:
+        return
+    batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+    ts_us = batch["ts"].astype("int64") // (
+        1000 if batch["ts"].dtype == "datetime64[ns]" else 1
+    )
+    ver, cur, vfrom, n = state.get if state.exists else (0, None, -1, 0)
+    rows = []
+    for t, etype in zip(ts_us, batch["event_type"]):
+        t = int(t)
+        if ver == 0 or etype != cur:
+            if ver > 0:
+                rows.append((ver, cur, vfrom, t, False, n))
+            ver, cur, vfrom, n = ver + 1, etype, t, 1
+        else:
+            n += 1
+    rows.append((ver, cur, vfrom, None, True, n))
+    state.update((ver, cur, vfrom, n))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id] * len(rows),
+            "version": [r[0] for r in rows],
+            "state": [r[1] for r in rows],
+            "valid_from": pd.to_datetime([r[2] for r in rows], unit="us"),
+            "valid_to": pd.to_datetime(
+                [r[3] for r in rows], unit="us", errors="coerce"
+            ),
+            "is_current": [r[4] for r in rows],
+            "n_events": [r[5] for r in rows],
+        }
+    )
+
+
+def run_scd2_stream(
+    spark: SparkSession, path: str, sink: str = _SCD_SINK, **source_options
+) -> DataFrame:
+    """Run the stateful SCD2 build over `path` to completion; returns
+    B69's versioned dimension.  The stream publishes a CHANGELOG (final
+    closed-run rows + open-run snapshots) and the reader compacts it —
+    exactly how a production streaming SCD2 feeds a lakehouse MERGE
+    (B71 is the batch compaction twin).  Compaction winner per (user,
+    version) = max n_events, closed beats open on ties: a closed row
+    carries the run's final count, every snapshot of the same version a
+    prefix count, and snapshots are strictly increasing in n_events, so
+    the winner is unique and deterministic — no emission sequence column
+    needed.  Sink size is runs + touched-versions-per-batch, dimension-
+    sized, never event-volume-sized."""
+    _size_stream_state(spark)
+    _stop_query(spark, sink)
+    ev = (
+        _events_stream(spark, path, **source_options)
+        .select("user_id", "ts", "event_id", "event_type")
+        .withWatermark("ts", "1 hour")
+    )
+    log = ev.groupBy("user_id").applyInPandasWithState(
+        _scd2_fn,
+        outputStructType=_SCD_OUT_SCHEMA,
+        stateStructType=_SCD_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        log.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    pick = PsWindow.partitionBy("user_id", "version").orderBy(
+        F.col("valid_to").isNull().asc(), F.col("n_events").desc()
+    )
+    return (
+        spark.table(sink)
+        .withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "version",
+            "state",
+            "valid_from",
+            "valid_to",
+            "is_current",
+            "n_events",
+        )
+    )
+
+
+@register("streaming_scd2", oracle=ORACLES["events_scd2_dimension"])
+def streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B69's type-2 slowly-changing dimension maintained by a stream
+    (D22): O(1) per-user GroupState (the open run only), changelog-upsert
+    emission compacted deterministically by the reader; shares B69's
+    oracle verbatim (full rows+schema+hash gate).  See run_scd2_stream."""
+    tune(spark)
+    return run_scd2_stream(spark, os.path.join(sf_dir, "events.parquet"))

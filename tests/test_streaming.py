@@ -1234,3 +1234,57 @@ def test_streaming_retention_multibatch_exactly_once(spark, sf_dir, tmp_path):
     # max across that cohort's offsets
     for (cd, off), n in out.items():
         assert n <= out[(cd, 0)]
+
+
+def test_streaming_scd2_multibatch_changelog_compaction(spark, sf_dir, tmp_path):
+    """D22: under maxFilesPerTrigger=1, runs spanning batch boundaries must
+    close with the NEXT batch's changing event, the raw sink must contain
+    superseded open-run snapshots (proving a real changelog across >1
+    microbatch), compaction must keep exactly one row per (user, version),
+    and the result must equal the batch dimension B69 exactly."""
+    from collections import Counter
+
+    from mapreduceimplementation_spark.streaming.sessionize import (
+        run_scd2_stream,
+    )
+
+    def keyed(df):
+        return sorted(
+            (
+                int(r["user_id"]),
+                int(r["version"]),
+                r["state"],
+                r["valid_from"],
+                r["valid_to"],
+                bool(r["is_current"]),
+                int(r["n_events"]),
+            )
+            for r in df.collect()
+        )
+
+    path = _split_events(spark, sf_dir, tmp_path)
+    out = run_scd2_stream(spark, path, sink="d22_multibatch_sink",
+                          maxFilesPerTrigger=1)
+    final = keyed(out)
+    batch = keyed(eng.QUERIES["events_scd2_dimension"](spark, sf_dir))
+    assert final == batch
+    # the raw changelog must be bigger than the compacted dimension
+    # (open-run snapshots re-emitted across batches) ...
+    raw = [
+        (r["user_id"], r["version"]) for r in
+        spark.table("d22_multibatch_sink").collect()
+    ]
+    assert len(raw) > len(final)
+    # ... and versions re-emitted across batches must compact to one row
+    assert max(Counter(raw).values()) > 1
+    # exactly one current version per user, and it's the max version
+    cur = {}
+    for uid, ver, _s, _vf, vt, is_cur, _n in final:
+        if is_cur:
+            assert uid not in cur
+            assert vt is None
+            cur[uid] = ver
+    top = {}
+    for uid, ver, *_ in final:
+        top[uid] = max(top.get(uid, 0), ver)
+    assert cur == top
