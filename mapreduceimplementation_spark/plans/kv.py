@@ -3750,3 +3750,174 @@ def shardkv_availability_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ops, installs = derive_availability_trace(spark, sf_dir, cfg)
     return audit_shard_availability(ops, cfg, installs)
+
+
+# ---------------------------------------------------------------------------
+# B81. kv_session_guarantees — session-guarantee audit (read-your-writes +
+# monotonic reads) over a derived client-session KV trace
+
+#: clients share keys 50-to-1 so sessions interleave on every key — the
+#: regime where session guarantees are distinct from linearizability
+_SG_KEYS = 50
+_SG_LAG_EVERY = 13  # 1/13 of reads observe a stale version (injected)
+_SG_LAG_MOD = 3  # injected staleness depth: 1..3 versions behind
+
+_SG_INJ = sql_hash64("'sgl-' || CAST(event_id AS VARCHAR)")
+_SG_LAG = sql_hash64("'sgn-' || CAST(event_id AS VARCHAR)")
+
+
+def audit_session_guarantees(trace: DataFrame) -> DataFrame:
+    """Session-guarantee audit of a versioned KV read trace (Terry et al.
+    PDIS'94): per client session, a read must observe a version at least
+    as new as (a) the session's own last write on the key — Read Your
+    Writes — and (b) anything the session already read — Monotonic Reads.
+    Staleness that violates neither is legal eventual consistency; the
+    audit separates the three cases instead of collapsing them into one
+    "stale" bit.
+
+    ``trace``: (session, key, ts, event_id, is_write, wver, obs) where
+    wver is the key's global version at-or-before the op and obs is the
+    version the read actually observed (writes carry obs = wver).
+    Returns one row per READ with both floors and both verdicts.
+
+    Scale shape: two exchanges total — version numbering partitions by
+    key, both session floors share the session partitioning (one window
+    spec, two frames); verdict columns are row-local comparisons.  At
+    100 TB both keys are uniform (client id, key id) and the shuffled
+    payload is fixed-width ids — text/values never move."""
+    ws = Window.partitionBy("session").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    own_w = F.coalesce(
+        F.max(F.when(F.col("is_write") == 1, F.col("wver"))).over(ws), F.lit(0)
+    )
+    read_f = F.coalesce(
+        F.max(F.when(F.col("is_write") == 0, F.col("obs"))).over(ws), F.lit(0)
+    )
+    flo = trace.select(
+        "session",
+        "key",
+        "event_id",
+        "is_write",
+        "wver",
+        "obs",
+        own_w.alias("own_write_floor"),
+        read_f.alias("read_floor"),
+    )
+    return (
+        flo.where(F.col("is_write") == 0)
+        .select(
+            F.col("event_id").alias("opid"),
+            "session",
+            "key",
+            F.col("obs").alias("obs_version"),
+            F.col("wver").alias("latest_version"),
+            "own_write_floor",
+            "read_floor",
+            (F.col("obs") >= F.col("own_write_floor")).alias("ryw_ok"),
+            (F.col("obs") >= F.col("read_floor")).alias("mr_ok"),
+            (F.col("obs") < F.col("wver")).alias("is_stale"),
+        )
+    )
+
+
+def derive_session_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic versioned session trace from events: session =
+    user_id, key = user_id % 50 (sessions interleave on shared keys),
+    writes = signup/purchase (the linearizability derivation's write
+    set), version = the key's running write count in (ts, event_id)
+    order.  Reads observe the latest version — except a hash-chosen
+    1/13, which observe 1..3 versions behind (clamped at 0): a stale
+    read that may or may not break a session guarantee depending on
+    what THIS session did before, which is exactly what the audit must
+    distinguish."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    is_write = (
+        F.col("event_type").isin("signup", "purchase").cast("int")
+    )
+    base = ev.select(
+        F.col("user_id").alias("session"),
+        (F.col("user_id") % _SG_KEYS).alias("key"),
+        "ts",
+        "event_id",
+        is_write.alias("is_write"),
+    )
+    wk = Window.partitionBy("key").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    vered = base.select("*", F.sum("is_write").over(wk).alias("wver"))
+    inject = (
+        hash64(F.col("event_id").cast("string"), salt="sgl-") % _SG_LAG_EVERY
+        == 0
+    )
+    lag = 1 + hash64(F.col("event_id").cast("string"), salt="sgn-") % _SG_LAG_MOD
+    obs = F.when(
+        (F.col("is_write") == 0) & inject,
+        F.greatest(F.col("wver") - lag, F.lit(0)),
+    ).otherwise(F.col("wver"))
+    return vered.select(
+        "session", "key", "ts", "event_id", "is_write", obs.alias("obs"), "wver"
+    )
+
+
+@register(
+    "kv_session_guarantees",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id AS session,
+               user_id % {_SG_KEYS} AS key,
+               ts, event_id,
+               CASE WHEN event_type IN ('signup', 'purchase')
+                    THEN 1 ELSE 0 END AS is_write
+        FROM events
+    ), vered AS (
+        SELECT *,
+               CAST(SUM(is_write) OVER (
+                   PARTITION BY key ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS wver
+        FROM base
+    ), traced AS (
+        SELECT *,
+               CASE WHEN is_write = 0 AND {_SG_INJ} % {_SG_LAG_EVERY} = 0
+                    THEN greatest(wver - (1 + {_SG_LAG} % {_SG_LAG_MOD}), 0)
+                    ELSE wver END AS obs
+        FROM vered
+    ), floored AS (
+        SELECT *,
+               coalesce(max(CASE WHEN is_write = 1 THEN wver END) OVER w,
+                        0) AS own_write_floor,
+               coalesce(max(CASE WHEN is_write = 0 THEN obs END) OVER w,
+                        0) AS read_floor
+        FROM traced
+        WINDOW w AS (PARTITION BY session ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id AS opid, session, key,
+           obs AS obs_version,
+           wver AS latest_version,
+           own_write_floor, read_floor,
+           obs >= own_write_floor AS ryw_ok,
+           obs >= read_floor AS mr_ok,
+           obs < wver AS is_stale
+    FROM floored WHERE is_write = 0
+    """,
+)
+def kv_session_guarantees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-guarantee audit (B81) — the client-visible consistency
+    contract BELOW linearizability: B51/B62 audit the whole history
+    against a single register; this audits each client SESSION against
+    Terry et al.'s Read-Your-Writes and Monotonic-Reads guarantees, the
+    checks an eventually-consistent deployment of the reference's KV
+    store (reads served by lagging replicas) actually owes its clients.
+    Distinguishes per read: fresh, stale-but-legal, RYW violation,
+    MR violation — injected staleness (1/13 of reads, 1..3 versions
+    behind) produces all four classes on this trace.
+
+    See audit_session_guarantees / derive_session_trace for the audit
+    contract and the scale story (two uniform-key exchanges, fixed-width
+    shuffle payload)."""
+    return audit_session_guarantees(derive_session_trace(spark, sf_dir))

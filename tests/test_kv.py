@@ -1305,3 +1305,67 @@ def test_shard_availability_registered_query_mix(spark, sf_dir):
             assert r["n_premature"] == 0 and r["n_blocked"] == 0
     verdicts = {(r["moved"], r["available_ok"]) for r in rows}
     assert len(verdicts) == 4, verdicts
+
+
+# ---------------------------------------------------------------------------
+# B81 kv_session_guarantees
+
+
+def test_session_guarantees_hand_trace(spark):
+    """Hand trace pinning all four read classes on one key: a fresh read,
+    a stale-but-legal read (session never saw newer), an RYW violation
+    (session's own write skipped), and an MR violation (session read
+    newer earlier).  trace columns: (session, key, ts, event_id,
+    is_write, obs, wver)."""
+    from datetime import datetime
+
+    from mapreduceimplementation_spark.plans.kv import (
+        audit_session_guarantees,
+    )
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # key 7's write history: v1 by session A (id 1), v2 by B (id 2)
+        (1, 7, t(1), 10, 1, 1, 1),   # A writes v1
+        (2, 7, t(2), 20, 1, 2, 2),   # B writes v2
+        (3, 7, t(3), 30, 0, 2, 2),   # C reads v2 -> fresh
+        (3, 7, t(4), 31, 0, 1, 2),   # C reads v1 after v2 -> MR violation
+        (1, 7, t(5), 12, 0, 0, 2),   # A reads v0, own write was v1 -> RYW
+        (4, 7, t(6), 40, 0, 1, 2),   # D reads v1, no prior session sight -> legal stale
+    ]
+    trace = spark.createDataFrame(
+        rows,
+        "session long, key long, ts timestamp, event_id long, "
+        "is_write int, obs long, wver long",
+    )
+    out = {r["opid"]: r for r in audit_session_guarantees(trace).collect()}
+    assert set(out) == {30, 31, 12, 40}
+    assert out[30]["ryw_ok"] and out[30]["mr_ok"] and not out[30]["is_stale"]
+    assert out[31]["ryw_ok"] and not out[31]["mr_ok"]  # read_floor 2 > obs 1
+    assert out[31]["read_floor"] == 2
+    assert not out[12]["ryw_ok"] and out[12]["own_write_floor"] == 1
+    assert out[12]["mr_ok"]  # A never read before
+    assert out[40]["ryw_ok"] and out[40]["mr_ok"] and out[40]["is_stale"]
+
+
+def test_session_guarantees_registered_query_mix(spark):
+    """B81 registered query: every read class occurs on the derived trace,
+    violations imply staleness, and non-injected reads are never stale
+    (the injection is the only staleness source).  Pinned to sf0.01: the
+    legal-stale class (stale read in a session that never saw newer)
+    needs multi-event sessions, which the ~600-event sf0.001 trace is
+    too sparse to produce (measured: 0 legal-stale there, 107 at
+    sf0.01)."""
+    rows = eng.QUERIES["kv_session_guarantees"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    fresh = [r for r in rows if not r["is_stale"]]
+    legal_stale = [r for r in rows if r["is_stale"] and r["ryw_ok"] and r["mr_ok"]]
+    ryw = [r for r in rows if not r["ryw_ok"]]
+    mr = [r for r in rows if not r["mr_ok"]]
+    assert fresh and legal_stale and ryw and mr
+    for r in rows:
+        if not (r["ryw_ok"] and r["mr_ok"]):
+            assert r["is_stale"]  # violations only via observed staleness
+        assert r["obs_version"] <= r["latest_version"]
+        assert r["own_write_floor"] <= r["latest_version"]
