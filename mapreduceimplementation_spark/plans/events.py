@@ -642,6 +642,15 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         F.date_trunc("day", "ts").alias("day"), "event_type"
     ).agg(F.count(F.lit(1)).alias("c"))
+    return anomaly_from_daily(daily)
+
+
+def anomaly_from_daily(daily: DataFrame) -> DataFrame:
+    """The z-score detector over a (day, event_type, c) daily-cell table —
+    factored out of events_anomaly so D23 runs the SAME detector over
+    cells maintained incrementally by a stream (one definition, no drift
+    channel between the batch and streaming twins).  Exact-integer-sum
+    determinism contract documented in events_anomaly."""
     w = Window.partitionBy("event_type")
     # the c*c product is cast to DECIMAL(38,0) BEFORE the sum — summing
     # long products would overflow at exactly the ~3e9-events-per-type

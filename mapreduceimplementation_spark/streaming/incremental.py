@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduceimplementation_spark.functions.stable import dsum, sql_dsum
-from mapreduceimplementation_spark.registry import register
+from mapreduceimplementation_spark.registry import ORACLES, register
 from mapreduceimplementation_spark.session import tune
 from mapreduceimplementation_spark.streaming.windowed import (
     _events_stream,
@@ -317,3 +317,89 @@ def _register_d17() -> None:
 
 
 _register_d17()
+
+
+# ---------------------------------------------------------------------------
+# D23. streaming_anomaly — B26's daily z-score detector over cells
+# maintained incrementally by the stream
+
+# one detector definition shared with the batch twin — no drift channel
+from mapreduceimplementation_spark.plans.events import (  # noqa: E402
+    anomaly_from_daily as _anomaly_from_daily,
+)
+
+
+def run_anomaly_stream(
+    spark: SparkSession, sf_dir: str, feed_dir: str | None = None
+) -> tuple[DataFrame, int]:
+    """Maintain the (day, event_type, c) daily-cell table by stream (D7's
+    update-mode + foreachBatch-upsert machinery, day-grain windows);
+    returns (final cell table, microbatches that carried updates).
+
+    The split of labor is the production streaming-anomaly shape: the
+    STREAM maintains the cell store incrementally (each batch touches
+    only the cells it changed — current-day cells, not the calendar),
+    and the DETECTOR is a query over the cell table, re-run per refresh.
+    The retrospective z-score (B26 normalizes each day against the whole
+    horizon's distribution) means late days change earlier days' scores
+    — scores cannot be emitted append-only by the stream, but the cell
+    table they derive from is exactly maintainable.  Cell cardinality is
+    days × types — calendar-bounded, never event-volume-bounded — so the
+    detector query is serving-table-sized at any corpus scale."""
+    tune(spark)
+    _size_stream_state(spark)
+    feed = feed_dir if feed_dir is not None else _chronological_feed(sf_dir)
+    ev = _events_stream(
+        spark, os.path.join(feed, "chunk-*.parquet"), maxFilesPerTrigger="1"
+    )
+    agg = (
+        ev.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.col("win.start").alias("day"), "event_type", "c")
+    )
+    work = tempfile.mkdtemp(prefix="mri_spark_d23_state_")
+    state = {"dir": None, "batches": 0}
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sp = batch_df.sparkSession
+        new_dir = os.path.join(work, f"state-{batch_id}")
+        if state["dir"] is None:
+            out = batch_df
+        else:
+            prev = sp.read.parquet(state["dir"])
+            kept = prev.join(
+                batch_df.select("day", "event_type"),
+                ["day", "event_type"],
+                "left_anti",
+            )
+            out = kept.unionByName(batch_df)
+        out.write.mode("overwrite").parquet(new_dir)
+        old = state["dir"]
+        state["dir"] = new_dir
+        state["batches"] += 1
+        if old is not None:
+            shutil.rmtree(old, ignore_errors=True)
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(_upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["dir"] is not None, "stream produced no updates"
+    return spark.read.parquet(state["dir"]), state["batches"]
+
+
+@register("streaming_anomaly", oracle=ORACLES["events_anomaly"])
+def streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B26's daily volume-anomaly z-scores with the daily cells maintained
+    by a LIVE stream (D23): update-mode day-grain rollup upserted into a
+    serving table per microbatch, the shared anomaly_from_daily detector
+    run over the final cells; shares B26's oracle verbatim (full
+    rows+schema+hash gate).  See run_anomaly_stream."""
+    daily, _ = run_anomaly_stream(spark, sf_dir)
+    return _anomaly_from_daily(daily)
