@@ -370,3 +370,115 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= _RRF_TOPK)
         .select("q_id", "rnk", "doc_id", "rrf_micro", "lex_rank", "sem_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# C78. phrase_search — exact phrase matching via positional postings
+
+#: phrase probes: the _PHR_PROBES lowest-doc_id docs long enough to donate
+#: a phrase; each donates the 3 words at positions _PHR_AT.._PHR_AT+2
+#: (query-by-example, the C56 probe discipline — every phrase has at
+#: least its donor as a guaranteed match)
+_PHR_PROBES = 4
+_PHR_AT = 10  # 1-based donor position of the phrase's first word
+_PHR_LEN = 3
+
+
+@register(
+    "phrase_search",
+    oracle=f"""
+    WITH ws AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '[^A-Za-z]+'),
+                           x -> x <> '') AS ws
+        FROM documents WHERE text IS NOT NULL
+    ), probes AS (
+        SELECT doc_id AS phrase_id,
+               ws[{_PHR_AT}] AS w1, ws[{_PHR_AT + 1}] AS w2,
+               ws[{_PHR_AT + 2}] AS w3
+        FROM ws WHERE len(ws) >= {_PHR_AT + _PHR_LEN - 1}
+        ORDER BY doc_id LIMIT {_PHR_PROBES}
+    ), matches AS (
+        SELECT p.phrase_id,
+               p.w1 || ' ' || p.w2 || ' ' || p.w3 AS phrase,
+               d.doc_id, i AS pos
+        FROM probes p, ws d, UNNEST(range(1, len(d.ws) - 1)) AS t(i)
+        WHERE d.ws[i] = p.w1 AND d.ws[i+1] = p.w2 AND d.ws[i+2] = p.w3
+    )
+    SELECT phrase_id, phrase, doc_id,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(min(pos) AS BIGINT) AS first_pos,
+           doc_id = phrase_id AS is_self
+    FROM matches GROUP BY 1, 2, 3
+    """,
+)
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search via a POSITIONAL inverted index — the IR
+    operator A2's document-level index cannot answer: find every doc
+    containing the words of a phrase CONSECUTIVELY.  Postings carry
+    (doc_id, term, position); a phrase of length L matches at start s
+    iff all L (term, offset) pairs land at s = pos - offset — the
+    classical positional-intersection, expressed as one equi-join and a
+    count-distinct-offsets group (no per-doc scan, no regex over text).
+
+    The oracle deliberately takes the NAIVE path (scan every doc's word
+    array for the phrase) — same semantics, opposite strategy — so a
+    green row certifies the postings-join against an implementation it
+    shares nothing with.
+
+    Scale shape: postings are one posexplode projection (row-local);
+    the phrase-term relation is broadcast (bounded by queries × L), so
+    candidate volume is the postings of the QUERIED terms only — never
+    a corpus scan per query; the (phrase, doc, start) group key is
+    uniform; text itself never joins or shuffles.  At 100 TB the
+    positional postings are the stored index (written once, queried
+    many), exactly how a search tier runs phrase queries."""
+    tune(spark)
+    from mapreduceimplementation_spark.functions.text import word_array
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", word_array("text").alias("ws")
+    )
+    probes = (
+        ws.where(F.size("ws") >= _PHR_AT + _PHR_LEN - 1)
+        .orderBy("doc_id")
+        .limit(_PHR_PROBES)
+        .select(
+            F.col("doc_id").alias("phrase_id"),
+            F.array(
+                *[F.element_at("ws", _PHR_AT + j) for j in range(_PHR_LEN)]
+            ).alias("terms"),
+        )
+        .select(
+            "phrase_id",
+            F.array_join("terms", " ").alias("phrase"),
+            F.posexplode("terms").alias("offset", "term"),
+        )
+    )
+    postings = ws.select(
+        "doc_id", F.posexplode("ws").alias("pos0", "term")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    cand = postings.join(F.broadcast(probes), "term").select(
+        "phrase_id",
+        "phrase",
+        "doc_id",
+        (F.col("pos") - F.col("offset")).alias("start"),
+        "offset",
+    )
+    starts = (
+        cand.groupBy("phrase_id", "phrase", "doc_id", "start")
+        .agg(F.countDistinct("offset").alias("n_off"))
+        .where(F.col("n_off") == _PHR_LEN)
+    )
+    return starts.groupBy("phrase_id", "phrase", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.min("start").cast("long").alias("first_pos"),
+    ).select(
+        "phrase_id",
+        "phrase",
+        "doc_id",
+        "n_occurrences",
+        "first_pos",
+        (F.col("doc_id") == F.col("phrase_id")).alias("is_self"),
+    )

@@ -74,3 +74,79 @@ def test_hybrid_search_rrf_fusion_properties(spark, sf_dir, duck):
     # at least one fused row exists that both modalities retrieved
     both = out.dropna(subset=["lex_rank", "sem_rank"])
     assert len(both) > 0
+
+
+# ---------------------------------------------------------------------------
+# C78 phrase_search
+
+
+def test_phrase_search_hand_corpus(spark):
+    """Hand corpus pinning positional semantics: multiple occurrences in
+    one doc counted with the right first position, a doc with the words
+    present but NOT consecutive must not match, and an overlapping
+    self-repeating phrase counts each start."""
+    import tempfile
+
+    from mapreduceimplementation_spark.operators.retrieval import (
+        _PHR_AT,
+    )
+
+    pad = " ".join(f"pad{i}" for i in range(_PHR_AT - 1))
+    # donor doc 1: phrase at positions 10-12 is "alpha beta gamma"
+    donor = pad + " alpha beta gamma tail1 alpha beta gamma"
+    hit = "alpha beta gamma starts this document"
+    scrambled = "alpha beta delta gamma beta alpha"  # words, not consecutive
+    rows = [
+        (1, donor),
+        (2, hit),
+        (3, scrambled),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = {
+            (r["phrase_id"], r["doc_id"]): r
+            for r in eng.QUERIES["phrase_search"](spark, d).collect()
+        }
+    # only doc 1 is long enough to donate; its phrase is "alpha beta gamma"
+    assert set(out) == {(1, 1), (1, 2)}
+    assert out[(1, 1)]["phrase"] == "alpha beta gamma"
+    assert out[(1, 1)]["n_occurrences"] == 2 and out[(1, 1)]["first_pos"] == _PHR_AT
+    assert out[(1, 1)]["is_self"]
+    assert out[(1, 2)]["n_occurrences"] == 1 and out[(1, 2)]["first_pos"] == 1
+    assert not out[(1, 2)]["is_self"]
+
+
+def test_phrase_search_probe_self_match(spark, sf_dir):
+    """Every probe phrase must match its donor doc at exactly _PHR_AT
+    (query-by-example guarantee), and every reported occurrence must be
+    verifiable against the raw word array."""
+    from mapreduceimplementation_spark.functions.text import word_array
+    from mapreduceimplementation_spark.operators.retrieval import (
+        _PHR_AT,
+        _PHR_LEN,
+        _PHR_PROBES,
+    )
+    from mapreduceimplementation_spark.sources.tables import load_table
+
+    rows = eng.QUERIES["phrase_search"](spark, sf_dir).collect()
+    selfs = [r for r in rows if r["is_self"]]
+    assert len(selfs) == _PHR_PROBES
+    assert all(r["first_pos"] <= _PHR_AT for r in selfs)
+    arrs = {
+        r["doc_id"]: r["ws"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", word_array("text").alias("ws"))
+        .collect()
+    }
+    for r in rows:
+        words = r["phrase"].split(" ")
+        ws = arrs[r["doc_id"]]
+        s = r["first_pos"] - 1
+        assert ws[s : s + _PHR_LEN] == words
+        n = sum(
+            1
+            for i in range(len(ws) - _PHR_LEN + 1)
+            if ws[i : i + _PHR_LEN] == words
+        )
+        assert n == r["n_occurrences"]
