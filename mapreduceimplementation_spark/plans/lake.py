@@ -273,3 +273,139 @@ def table_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(both & s_diff, "status"),
         ).alias("changed_cols"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B82. table_compaction_plan — small-file compaction planning (the
+# OPTIMIZE / rewrite_data_files job every parquet lake schedules)
+
+from pyspark.sql.window import Window  # noqa: E402
+
+from mapreduceimplementation_spark.functions.hashing import (  # noqa: E402
+    hash64,
+    sql_hash64,
+)
+
+#: compaction target file size (bytes).  Files at or above it are left
+#: alone ('keep'); smaller files are packed into output groups.
+_CMP_TARGET = 16_384
+#: synthetic manifest byte factor: a "file" is one (day, event_type)
+#: ingestion cell — one small file per type per day is exactly what
+#: per-type streaming writers produce — and its size is rows × a
+#: hash-jittered row width (64..255 bytes), so the manifest has both
+#: under- and over-target files at sf0.01.
+_CMP_W_BASE = 64
+_CMP_W_MOD = 192
+
+_CMP_H = sql_hash64(
+    "'fsz-' || strftime(day, '%Y-%m-%d') || '/' || event_type"
+)
+
+
+@register(
+    "table_compaction_plan",
+    oracle=f"""
+    WITH files AS (
+        SELECT date_trunc('day', ts) AS day, event_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) * ({_CMP_W_BASE} + {_CMP_H} % {_CMP_W_MOD})
+                    AS BIGINT) AS file_bytes
+        FROM events GROUP BY 1, 2
+    ), classed AS (
+        SELECT *,
+               CASE WHEN file_bytes >= {_CMP_TARGET}
+                    THEN 'keep' ELSE 'compact' END AS action
+        FROM files
+    ), packed AS (
+        SELECT *,
+               CASE WHEN action = 'keep' THEN -1
+                    ELSE CAST(floor(
+                        CAST(coalesce(sum(CASE WHEN action = 'compact'
+                                              THEN file_bytes END) OVER (
+                            PARTITION BY day ORDER BY event_type
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS DOUBLE)
+                        / {_CMP_TARGET}) AS BIGINT) END AS out_group
+        FROM classed
+    )
+    SELECT day, event_type, n_rows, file_bytes, action, out_group,
+           CAST(count(*) OVER g AS BIGINT) AS group_files,
+           CAST(sum(file_bytes) OVER g AS BIGINT) AS group_bytes
+    FROM packed
+    WINDOW g AS (PARTITION BY day, action, out_group)
+    """,
+)
+def table_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (B82) — the maintenance job behind
+    Delta OPTIMIZE / Iceberg rewrite_data_files: given a partitioned
+    table's file manifest, leave files already at target size alone and
+    bin-pack the small ones (in deterministic manifest order) into
+    output groups of ~target bytes, NEVER packing across partitions.
+    Packing rule: a small file joins group floor(preceding-small-bytes /
+    target) — offset-bucketed first-fit, the shuffle-free approximation
+    whose groups straddle target by at most one file (what the
+    byte-budgeted rewrites actually do, since splitting a file defeats
+    the point).
+
+    The manifest is derived (B-family discipline): one file per (day,
+    event_type) ingestion cell, bytes = rows × hash-jittered width, so
+    both actions and multi-file groups occur at sf0.01 and the whole
+    plan is full-value oracle-checked.
+
+    Scale shape: the manifest build is ONE partial-agg exchange over the
+    log (at a real deployment it is a metadata-table scan, corpus-free);
+    packing is two window frames over the same (day) partitioning — a
+    manifest is files-count-sized, millions of rows at 100 TB, trivially
+    windowable; nothing about the DATA volume enters the plan."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    width = _CMP_W_BASE + hash64(
+        F.concat(
+            F.lit("fsz-"),
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"),
+            F.lit("/"),
+            F.col("event_type"),
+        )
+    ) % _CMP_W_MOD
+    files = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.count(F.lit(1)) * F.first(width)).cast("long").alias("file_bytes"),
+    )
+    classed = files.select(
+        "*",
+        F.when(F.col("file_bytes") >= _CMP_TARGET, "keep")
+        .otherwise("compact")
+        .alias("action"),
+    )
+    wp = (
+        Window.partitionBy("day")
+        .orderBy("event_type")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prec = F.coalesce(
+        F.sum(
+            F.when(F.col("action") == "compact", F.col("file_bytes"))
+        ).over(wp),
+        F.lit(0),
+    )
+    packed = classed.select(
+        "*",
+        F.when(F.col("action") == "keep", F.lit(-1))
+        .otherwise(
+            F.floor(prec.cast("double") / _CMP_TARGET).cast("long")
+        )
+        .alias("out_group"),
+    )
+    g = Window.partitionBy("day", "action", "out_group")
+    return packed.select(
+        "day",
+        "event_type",
+        "n_rows",
+        "file_bytes",
+        "action",
+        "out_group",
+        F.count(F.lit(1)).over(g).cast("long").alias("group_files"),
+        F.sum("file_bytes").over(g).cast("long").alias("group_bytes"),
+    )

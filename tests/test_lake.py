@@ -113,3 +113,47 @@ def test_lake_ops_single_exchange(spark, sf_dir, name):
     assert plan.count("Scan parquet") == 1, plan
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# B82 table_compaction_plan
+
+
+def test_compaction_plan_invariants(spark):
+    """B82 packing contract at sf0.01 (both actions occur there): keeps
+    are exactly the at-or-over-target files and stay ungrouped; compact
+    groups never straddle a partition, are numbered contiguously from 0
+    within it, straddle target by at most their last file, and group
+    rollups equal the member sums."""
+    from mapreduceimplementation_spark.plans.lake import _CMP_TARGET
+
+    rows = eng.QUERIES["table_compaction_plan"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    keeps = [r for r in rows if r["action"] == "keep"]
+    comps = [r for r in rows if r["action"] == "compact"]
+    assert keeps and comps
+    for r in keeps:
+        assert r["file_bytes"] >= _CMP_TARGET and r["out_group"] == -1
+    groups = {}
+    for r in comps:
+        assert r["file_bytes"] < _CMP_TARGET and r["out_group"] >= 0
+        groups.setdefault((r["day"], r["out_group"]), []).append(r)
+    assert any(len(g) > 1 for g in groups.values())
+    days = {}
+    for (day, gid), members in groups.items():
+        days.setdefault(day, set()).add(gid)
+        total = sum(m["file_bytes"] for m in members)
+        assert all(m["group_bytes"] == total for m in members)
+        assert all(m["group_files"] == len(members) for m in members)
+        # overflow bounded by one member file
+        assert total < _CMP_TARGET + max(m["file_bytes"] for m in members)
+    for day, gids in days.items():
+        assert gids == set(range(len(gids)))  # contiguous from 0
+        # packing order: groups are filled in event_type order — every
+        # file in group g precedes every file of g+1 alphabetically
+        order = sorted(
+            (r["event_type"], r["out_group"]) for r in comps if r["day"] == day
+        )
+        gseq = [g for _, g in order]
+        assert gseq == sorted(gseq)
