@@ -1755,3 +1755,135 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("start_offset"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C79. source_kl_divergence — per-source domain shift vs the corpus
+# (Moore-Lewis-style distributional diagnostic over hashed unigrams)
+
+#: add-one smoothing over the same hashed-unigram space as C64 (DSIR) —
+#: bucket-bounded state is what makes the sketch scale-free
+_KL_B = _DSIR_B
+#: per-(source, bucket) KL contribution quantization (decimal places).
+#: p ~ 1e-5 at this bucket count, so 12dp keeps ~7 significant digits
+#: while making the per-source sum an EXACT decimal fold (C64's rule:
+#: never sum raw doubles across a shuffle).
+_KL_DP = 12
+
+#: the per-(source, bucket) KL contribution p*ln(p/q) — ONE definition
+#: formatted into the oracle; the Spark twin mirrors it expression-for-
+#: expression (p, q smoothed add-one over the bucket space)
+_KL_CONTRIB_SQL = (
+    f"((c + 1.0) / (n_tokens + {float(_KL_B)}))"
+    f" * ln(((c + 1.0) / (n_tokens + {float(_KL_B)}))"
+    f"      / ((cc + 1.0) / (n + {float(_KL_B)})))"
+)
+
+
+@register(
+    "source_kl_divergence",
+    oracle=f"""
+    WITH feats AS (
+        SELECT source,
+               {sql_hash64("'dsir-' || w")} % {_KL_B} AS b
+        FROM (SELECT source,
+                     unnest(list_filter(regexp_split_to_array(lower(text),
+                                                              '[^a-z]+'),
+                                        x -> x <> '')) AS w
+              FROM documents WHERE text IS NOT NULL)
+    ), sb AS (
+        SELECT source, b, CAST(count(*) AS BIGINT) AS c
+        FROM feats GROUP BY 1, 2
+    ), ns AS (
+        SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens
+        FROM sb GROUP BY 1
+    ), cb AS (
+        SELECT b, CAST(sum(c) AS BIGINT) AS cc FROM sb GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(cc) AS BIGINT) AS n FROM cb
+    ), grid AS (
+        SELECT ns.source, ns.n_tokens, t.b,
+               coalesce(sb.c, 0) AS c,
+               coalesce(cb.cc, 0) AS cc
+        FROM ns
+        CROSS JOIN (SELECT unnest(range(0, {_KL_B})) AS b) t
+        LEFT JOIN sb ON sb.source = ns.source AND sb.b = t.b
+        LEFT JOIN cb ON cb.b = t.b
+    ), contrib AS (
+        SELECT source, n_tokens,
+               CAST({sql_half_away(_KL_CONTRIB_SQL, _KL_DP)}
+                    AS DECIMAL(24,{_KL_DP})) AS v
+        FROM grid, tot
+    )
+    SELECT source, n_tokens,
+           CAST(sum(v) AS DOUBLE) AS kl_nats
+    FROM contrib GROUP BY 1, 2
+    """,
+)
+def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution shift: KL(P_source || P_corpus) over the
+    C64 hashed-unigram bucket space with add-one smoothing — the
+    corpus-composition diagnostic behind Moore-Lewis-style domain
+    selection (a source with high KL is lexically far from the mix;
+    near-zero means it IS the mix).  C64 scores each DOCUMENT against a
+    target; this profiles each SOURCE against the whole corpus — the
+    table a data-mixing decision (C23/C20) reads first.
+
+    Determinism: every (source, bucket) contribution p·ln(p/q) is
+    half-away-quantized to {_KL_DP}dp DECIMAL before the per-source sum
+    (an exact decimal fold — C64's rule), so the result is bit-stable
+    across engines and partitionings despite ln().
+
+    Scale shape: ONE corpus scan folds word occurrences into the
+    (source, bucket) table — a partial-agg exchange bounded by
+    sources × {_KL_B}, never vocab or corpus size — localCheckpoint'ed
+    before fan-out (three consumers; SURVEY §6 rule); everything after
+    is arithmetic over that bounded grid (sources × buckets rows) with
+    single-row/512-row broadcasts.  The model-sized-state shape that
+    runs unchanged at 100 TB."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    ws = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != F.lit("")
+    )
+    feats = (
+        docs.where(F.col("text").isNotNull())
+        .select("source", F.explode(ws).alias("w"))
+        .select(
+            "source",
+            (hash64(F.concat(F.lit("dsir-"), F.col("w"))) % _KL_B).alias("b"),
+        )
+    )
+    sb = (
+        feats.groupBy("source", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    ns = sb.groupBy("source").agg(F.sum("c").cast("long").alias("n_tokens"))
+    cb = sb.groupBy("b").agg(F.sum("c").cast("long").alias("cc"))
+    tot = cb.agg(F.sum("cc").cast("long").alias("n"))
+    buckets = spark.range(_KL_B).select(F.col("id").alias("b"))
+    grid = (
+        ns.crossJoin(F.broadcast(buckets))
+        .join(sb, ["source", "b"], "left")
+        .join(F.broadcast(cb), ["b"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            F.coalesce("c", F.lit(0)).alias("c"),
+            F.coalesce("cc", F.lit(0)).alias("cc"),
+            "n",
+        )
+    )
+    p = (F.col("c") + 1.0) / (F.col("n_tokens") + F.lit(float(_KL_B)))
+    q = (F.col("cc") + 1.0) / (F.col("n") + F.lit(float(_KL_B)))
+    contrib = half_away(p * F.log(p / q), _KL_DP).cast(
+        f"decimal(24,{_KL_DP})"
+    )
+    return (
+        grid.select("source", "n_tokens", contrib.alias("v"))
+        .groupBy("source", "n_tokens")
+        .agg(F.sum("v").cast("double").alias("kl_nats"))
+        .select("source", "n_tokens", "kl_nats")
+    )

@@ -728,3 +728,57 @@ def test_shuffle_shards_rerun_and_growth_stable(spark, sf_dir):
         order_full = [d_ for d_, r in sorted(full.items(), key=lambda kv: kv[1]["pos_in_shard"])
                       if r["shard"] == s and d_ != victim]
         assert order_sub == order_full
+
+
+# ---------------------------------------------------------------------------
+# C79 source_kl_divergence
+
+
+def test_source_kl_matches_python_twin(spark, sf_dir):
+    """Brute-force Python twin: recompute each source's smoothed
+    hashed-unigram KL with the same 12dp per-bucket quantization — the
+    decimal fold must make Spark's result exactly equal (1e-12 slack for
+    the final double cast only), and every KL must be non-negative
+    (Gibbs) with at least one source measurably off the mix."""
+    import math
+    import re
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from mapreduceimplementation_spark.functions.hashing import py_hash64
+    from mapreduceimplementation_spark.operators.pipeline import _KL_B, _KL_DP
+    from mapreduceimplementation_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text").collect()
+    sb, ns, cb = {}, {}, {}
+    for r in docs:
+        if r["text"] is None:
+            continue
+        for w in re.split("[^a-z]+", r["text"].lower()):
+            if not w:
+                continue
+            b = py_hash64("dsir-" + w) % _KL_B
+            sb[(r["source"], b)] = sb.get((r["source"], b), 0) + 1
+            ns[r["source"]] = ns.get(r["source"], 0) + 1
+            cb[b] = cb.get(b, 0) + 1
+    n = sum(cb.values())
+    grain = Decimal(1).scaleb(-_KL_DP)
+    want = {}
+    for s, nt in ns.items():
+        acc = Decimal(0)
+        for b in range(_KL_B):
+            p = (sb.get((s, b), 0) + 1.0) / (nt + float(_KL_B))
+            q = (cb.get(b, 0) + 1.0) / (n + float(_KL_B))
+            acc += Decimal(p * math.log(p / q)).quantize(
+                grain, rounding=ROUND_HALF_UP
+            )
+        want[s] = (nt, float(acc))
+    got = {
+        r["source"]: (r["n_tokens"], r["kl_nats"])
+        for r in eng.QUERIES["source_kl_divergence"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for s in want:
+        assert got[s][0] == want[s][0]
+        assert abs(got[s][1] - want[s][1]) < 1e-12, (s, got[s], want[s])
+        assert got[s][1] >= 0.0
+    assert max(v[1] for v in got.values()) > 0.001
