@@ -150,6 +150,14 @@ HEADLINE = [
     "streaming_funnel",
     "streaming_retention",
     "corpus_e2e_pipeline",
+    # round-7 continuation: the four NEW perf shapes (positional postings
+    # join, bucket-grid KL fold, changelog-upsert stateful stream, global
+    # shuffle-shard window); the other four additions are family-covered
+    # (BENCH_COVERAGE.md)
+    "phrase_search",
+    "source_kl_divergence",
+    "streaming_scd2",
+    "corpus_shuffle_shards",
     # round-7 widening: one representative per remaining untimed family
     # (VERDICT r6 item 8; the family -> representative map and the
     # justification for what stays untimed live in BENCH_COVERAGE.md)

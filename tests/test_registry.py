@@ -206,6 +206,14 @@ INVENTORY = [
     "shardkv_availability_audit",  # B80: Challenge-2 migration availability
     "streaming_funnel",      # D20: B23's ordered funnel as custom state
     "streaming_retention",   # D21: B24's cohort retention, O(1) user state
+    "dedup_priority",        # C76: cross-source priority dedup (trusted copy)
+    "corpus_shuffle_shards",  # C77: deterministic training-shard shuffle
+    "phrase_search",         # C78: positional-postings exact phrase match
+    "source_kl_divergence",  # C79: per-source domain-shift KL profile
+    "kv_session_guarantees",  # B81: RYW + monotonic-reads session audit
+    "table_compaction_plan",  # B82: small-file compaction bin-packing
+    "streaming_scd2",        # D22: B69's SCD2 as changelog + compaction
+    "streaming_anomaly",     # D23: B26 over stream-maintained daily cells
 ]
 
 #: SURVEY rows not yet implemented — MUST shrink to empty; a key may not
