@@ -2258,3 +2258,94 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(_PATH_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# B83. events_ewma_daily — exponentially-weighted daily volume smoothing
+# (the ops forecast/spike baseline), exact by integer dyadic arithmetic
+
+#: EWMA taps: alpha = 1/2, K-tap FIR.  For horizons <= K this IS the
+#: zero-init recurrence ewma_t = (c_t + ewma_(t-1))/2 exactly; beyond K
+#: the tail weight (< 2^-K of any count) is truncated — that truncation
+#: is the DEFINITION here, which is what bounds both the window frame
+#: and the integer width at any calendar horizon.
+_EWMA_K = 32
+
+
+def _ewma_fir_spark(c: str, w) -> "Column":
+    """S = sum_j lag(c, j) << (K-1-j): the K-tap dyadic FIR as ONE
+    integer expression over a shared window frame — exact (S < 2^53 for
+    daily counts < 2^21), order-free, engine-identical."""
+    return sum(
+        F.shiftleft(F.coalesce(F.lag(c, j).over(w), F.lit(0)), _EWMA_K - 1 - j)
+        for j in range(_EWMA_K)
+    )
+
+
+def _ewma_fir_sql(c: str) -> str:
+    terms = " + ".join(
+        f"(coalesce(lag({c}, {j}) OVER w, 0) << {_EWMA_K - 1 - j})"
+        for j in range(_EWMA_K)
+    )
+    return f"({terms})"
+
+
+@register(
+    "events_ewma_daily",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day, event_type,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), fir AS (
+        SELECT day, event_type, c,
+               {_ewma_fir_sql('c')} AS s
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT day, event_type, c,
+           CAST(s AS DOUBLE) / {float(1 << _EWMA_K)} AS ewma,
+           CASE WHEN lag(s) OVER v IS NULL THEN false
+                ELSE (c << {_EWMA_K - 1}) > lag(s) OVER v END AS spike
+    FROM fir
+    WINDOW v AS (PARTITION BY event_type ORDER BY day)
+    """,
+)
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted daily volume per event type (α = 1/2) with
+    a spike flag — the ops smoothing/one-step-forecast baseline B26's
+    retrospective z-score complements: ewma_t is also the forecast for
+    day t+1, and spike marks days whose count exceeds 2× the forecast.
+
+    Exactness is the design: with α = 1/2 every tap weight is dyadic, so
+    the whole FIR is ONE integer sum S = Σ lag(c, j)·2^(K-1-j) (exact,
+    order-free, no float fold across the window) and ewma = S / 2^K is
+    a single exact power-of-two scaling — bit-identical on any engine or
+    partitioning with no quantization step at all.  The spike test is a
+    pure integer comparison (c·2^(K-1) > S_(t-1)) — no float boundary.
+
+    Scale shape: ONE scan + one partial-agg exchange build the daily
+    cells; the FIR and the spike lag share one event_type partitioning
+    (Spark plans a single window stage over the calendar-bounded cell
+    table).  The {_EWMA_K}-tap truncation is what keeps the frame and
+    the integer width bounded at ANY horizon — the same reason a
+    production EWMA job is windowed (see module constant)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    fir = daily.select(
+        "day", "event_type", "c", _ewma_fir_spark("c", w).alias("s")
+    )
+    prev_s = F.lag("s").over(w)
+    return fir.select(
+        "day",
+        "event_type",
+        "c",
+        (F.col("s").cast("double") / F.lit(float(1 << _EWMA_K))).alias("ewma"),
+        F.when(prev_s.isNull(), F.lit(False))
+        .otherwise(F.shiftleft(F.col("c"), _EWMA_K - 1) > prev_s)
+        .alias("spike"),
+    )

@@ -403,3 +403,155 @@ def streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows+schema+hash gate).  See run_anomaly_stream."""
     daily, _ = run_anomaly_stream(spark, sf_dir)
     return _anomaly_from_daily(daily)
+
+
+# ---------------------------------------------------------------------------
+# D24. streaming_ewma — B83's dyadic EWMA maintained by a stream
+# (per-type O(K) GroupState, changelog + deterministic compaction)
+
+from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: E402
+from pyspark.sql.window import Window as _PsWindow  # noqa: E402
+
+from mapreduceimplementation_spark.plans.events import (  # noqa: E402
+    _EWMA_K as _D24_K,
+)
+
+_D24_SINK = "d24_ewma_sink"
+_D24_OUT_SCHEMA = (
+    "day timestamp, event_type string, c bigint, ewma double, "
+    "spike boolean, closed boolean"
+)
+#: rolling buffer of the last K-1 COMPLETED day counts plus the open
+#: day — O(K) per type regardless of horizon, the streaming twin of
+#: B83's K-tap truncation
+_D24_STATE_SCHEMA = "buf array<bigint>, cur_day bigint, cur_c bigint"
+
+_D24_DAY_US = 24 * 3600 * 1_000_000
+
+
+def _d24_fir(buf, c):
+    """Integer dyadic FIR over (completed buffer ++ current count): the
+    exact twin of B83's Σ lag(c, j)·2^(K-1-j) — Python ints, no float
+    fold; returns (S, S_prev) where S_prev is the FIR of the buffer
+    alone (the spike comparison's forecast state)."""
+    seq = list(buf) + [int(c)]
+    s = sum(
+        seq[-1 - j] << (_D24_K - 1 - j)
+        for j in range(min(_D24_K, len(seq)))
+    )
+    s_prev = sum(
+        buf[-1 - j] << (_D24_K - 1 - j)
+        for j in range(min(_D24_K, len(buf)))
+    )
+    return s, s_prev
+
+
+def _d24_row(day_us, etype, c, buf):
+    import pandas as pd
+
+    s, s_prev = _d24_fir(buf, c)
+    spike = bool(buf) and (int(c) << (_D24_K - 1)) > s_prev
+    return (
+        pd.Timestamp(day_us, unit="us"),
+        etype,
+        int(c),
+        s / float(1 << _D24_K),
+        spike,
+    )
+
+
+def _ewma_fn(key, pdfs, state):
+    """Per-type EWMA state machine: event-time order makes days arrive
+    non-decreasing (D21's monotonicity), so a strictly-later day CLOSES
+    the open day — its row is final and emitted exactly once; the open
+    day emits a superseded-by-growing-c snapshot per batch (D22's
+    changelog discipline, compacted by the reader)."""
+    import pandas as pd
+
+    (etype,) = key
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    if len(batch) == 0:
+        return
+    ts_us = batch["ts"].astype("int64") // (
+        1000 if batch["ts"].dtype == "datetime64[ns]" else 1
+    )
+    days = sorted(
+        ((int(t) // _D24_DAY_US) * _D24_DAY_US for t in ts_us),
+    )
+    counts: dict[int, int] = {}
+    for d in days:
+        counts[d] = counts.get(d, 0) + 1
+    buf, cur_day, cur_c = (
+        state.get if state.exists else ([], -1, 0)
+    )
+    buf = list(buf)
+    out = []
+    for d in sorted(counts):
+        if cur_day < 0:
+            cur_day, cur_c = d, counts[d]
+        elif d == cur_day:
+            cur_c += counts[d]
+        else:
+            out.append(_d24_row(cur_day, etype, cur_c, buf) + (True,))
+            buf = (buf + [cur_c])[-(_D24_K - 1):]
+            cur_day, cur_c = d, counts[d]
+    out.append(_d24_row(cur_day, etype, cur_c, buf) + (False,))
+    state.update((buf, cur_day, cur_c))
+    yield pd.DataFrame(
+        out,
+        columns=["day", "event_type", "c", "ewma", "spike", "closed"],
+    )
+
+
+def run_ewma_stream(
+    spark: SparkSession, path: str, sink: str = _D24_SINK, **source_options
+) -> DataFrame:
+    """Run the stateful EWMA over `path` to completion; returns B83's
+    (day, event_type, c, ewma, spike) table.  Compaction winner per
+    (type, day) = closed row if any, else the max-c snapshot — unique
+    and deterministic by the D22 argument (every batch touching a type
+    either grows the open day's count or closes it)."""
+    from mapreduceimplementation_spark.streaming.windowed import _stop_query
+
+    _size_stream_state(spark)
+    _stop_query(spark, sink)
+    ev = (
+        _events_stream(spark, path, **source_options)
+        .select("ts", "event_type")
+        .withWatermark("ts", "1 hour")
+    )
+    log = ev.groupBy("event_type").applyInPandasWithState(
+        _ewma_fn,
+        outputStructType=_D24_OUT_SCHEMA,
+        stateStructType=_D24_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        log.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    pick = _PsWindow.partitionBy("event_type", "day").orderBy(
+        F.col("closed").desc(), F.col("c").desc()
+    )
+    return (
+        spark.table(sink)
+        .withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select("day", "event_type", "c", "ewma", "spike")
+    )
+
+
+@register("streaming_ewma", oracle=ORACLES["events_ewma_daily"])
+def streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B83's dyadic daily EWMA maintained by a LIVE stream (D24): O(K)
+    per-type GroupState (rolling completed-day buffer + the open day),
+    exact integer FIR shared bit-for-bit with the batch twin, changelog
+    emission compacted deterministically; shares B83's oracle verbatim.
+    See run_ewma_stream."""
+    tune(spark)
+    return run_ewma_stream(spark, os.path.join(sf_dir, "events.parquet"))

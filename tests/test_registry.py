@@ -214,6 +214,8 @@ INVENTORY = [
     "table_compaction_plan",  # B82: small-file compaction bin-packing
     "streaming_scd2",        # D22: B69's SCD2 as changelog + compaction
     "streaming_anomaly",     # D23: B26 over stream-maintained daily cells
+    "events_ewma_daily",     # B83: exact dyadic EWMA smoothing + spikes
+    "streaming_ewma",        # D24: B83 as O(K) per-type custom state
 ]
 
 #: SURVEY rows not yet implemented — MUST shrink to empty; a key may not

@@ -1320,3 +1320,31 @@ def test_streaming_anomaly_multibatch_equals_batch(spark, sf_dir):
     ]
     straddled = set.union(*(a & b for a, b in zip(days_per_chunk, days_per_chunk[1:])))
     assert straddled, "feed must cut at least one day across chunks"
+
+
+def test_streaming_ewma_multibatch_equals_batch(spark, sf_dir, tmp_path):
+    """D24: under maxFilesPerTrigger=1, day closure must cross batch
+    boundaries (a day open in batch 1 closed by batch 2's first later
+    day), the raw changelog must contain superseded open-day snapshots,
+    and the compacted result must equal B83 exactly — including the
+    bit-exact dyadic ewma doubles."""
+    from mapreduceimplementation_spark.streaming.incremental import (
+        run_ewma_stream,
+    )
+
+    path = _split_events(spark, sf_dir, tmp_path)
+    out = run_ewma_stream(spark, path, sink="d24_multibatch_sink",
+                          maxFilesPerTrigger=1)
+    key = lambda r: (r["event_type"], r["day"])
+    final = sorted(
+        (key(r), int(r["c"]), float(r["ewma"]), bool(r["spike"]))
+        for r in out.collect()
+    )
+    batch = sorted(
+        (key(r), int(r["c"]), float(r["ewma"]), bool(r["spike"]))
+        for r in eng.QUERIES["events_ewma_daily"](spark, sf_dir).collect()
+    )
+    assert final == batch and len(final) > 0
+    raw = spark.table("d24_multibatch_sink").collect()
+    assert len(raw) > len(final)  # superseded snapshots existed
+    assert any(not r["closed"] for r in raw) and any(r["closed"] for r in raw)

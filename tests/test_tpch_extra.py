@@ -1150,3 +1150,34 @@ def test_session_paths_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# B83 events_ewma_daily
+
+
+def test_ewma_equals_recurrence_and_spike_rule(spark, sf_dir):
+    """B83's K-tap dyadic FIR must equal the zero-init recurrence
+    ewma_t = (c_t + ewma_{t-1})/2 EXACTLY (horizon < K taps here), and
+    spike must equal c_t > 2*ewma_{t-1} with the first day never
+    flagged."""
+    from collections import defaultdict
+
+    rows = eng.QUERIES["events_ewma_daily"](spark, sf_dir).collect()
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r["event_type"]].append(r)
+    assert by_type
+    any_spike = False
+    for etype, grp in by_type.items():
+        grp.sort(key=lambda r: r["day"])
+        ewma = 0.0
+        for i, r in enumerate(grp):
+            want_spike = (i > 0) and (r["c"] > 2 * ewma)
+            ewma = (r["c"] + ewma) / 2  # dyadic: exact float arithmetic
+            assert r["ewma"] == ewma, (etype, r["day"], r["ewma"], ewma)
+            assert r["spike"] == want_spike
+            any_spike |= want_spike
+    # the synthetic feed is near-uniform; spikes may legitimately be rare
+    # but the flag column must at least be exercised end to end
+    assert isinstance(any_spike, bool)
