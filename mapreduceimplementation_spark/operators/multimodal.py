@@ -32,6 +32,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from mapreduceimplementation_spark.registry import register
 from mapreduceimplementation_spark.session import tune
@@ -273,3 +274,80 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.concat(F.lit("video:"), F.col("text")), "UTF-8").alias("payload"),
     )
     return media.mapInPandas(_framesample_batches, schema=_FS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# C80. multimodal_phash_dedup — perceptual-hash-bucket duplicate grouping
+# over the binary media column (the image-dedup pass of a multimodal
+# pipeline), via the SAME batch-decode plumbing as C12
+
+#: the stub's 16-char checksum (mod 997) plays the perceptual hash: a
+#: real deployment swaps _decode_media for pHash/aHash over decoded
+#: pixels — same UDF signature, same bucket-grouping plan; the stub
+#: keeps the whole pass SQL-oracle-checkable (C12's discipline).
+
+
+@register(
+    "multimodal_phash_dedup",
+    oracle="""
+    WITH meta AS (
+        SELECT doc_id, kind,
+               CAST(list_sum(list_transform(range(1, 17),
+                    i -> ascii(substr(kind || ':' || text, CAST(i AS INT), 1))))
+                    % 997 AS BIGINT) AS phash
+        FROM (
+            SELECT doc_id, text,
+                   CASE doc_id % 3 WHEN 0 THEN 'image'
+                                   WHEN 1 THEN 'audio'
+                                   ELSE 'video' END AS kind
+            FROM documents WHERE text IS NOT NULL
+        )
+    )
+    SELECT doc_id, kind, phash,
+           min(doc_id) OVER w AS canonical_id,
+           CAST(count(*) OVER w AS BIGINT) AS group_size,
+           doc_id <> min(doc_id) OVER w AS is_candidate_dup
+    FROM meta
+    WINDOW w AS (PARTITION BY kind, phash)
+    """,
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash duplicate grouping over BINARY media (C80): decode
+    each payload in Arrow batches (the C12 mapInPandas plumbing), take
+    its perceptual fingerprint, and group same-kind media sharing it —
+    C1's exact-dedup shape applied to media, with the fingerprint
+    replacing the text hash.  Groups are CANDIDATE duplicates (a pHash
+    bucket is a blocking key, like C7's LSH bands): survivors = min
+    doc_id, the rest flagged for the verify/review stage.
+
+    The stub's 16-char checksum stands in for pHash (module note); the
+    Spark side still runs the REAL pipeline shape — binary column →
+    Pandas-UDF feature extraction → ONE exchange on the bounded
+    (kind, fingerprint) key.  At 100 TB: payload bytes never shuffle
+    (only doc_id + 8-byte fingerprint move), decode parallelism is
+    scan-partition-wide, and bucket sizes are fingerprint-uniform."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    media = docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.encode(F.concat(kind, F.lit(":"), F.col("text")), "UTF-8").alias(
+            "payload"
+        ),
+    )
+    meta = media.mapInPandas(_decode_batches, schema=_OUT_SCHEMA).select(
+        "doc_id", "kind", F.col("checksum").alias("phash")
+    )
+    w = Window.partitionBy("kind", "phash")
+    return meta.select(
+        "doc_id",
+        "kind",
+        "phash",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).cast("long").alias("group_size"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_candidate_dup"),
+    )

@@ -112,3 +112,31 @@ def test_real_codec_refuses_without_pil():
     assert payload.startswith(b"\x89PNG")
     with pytest.raises(NotImplementedError):
         mm._decode_media(payload)
+
+
+# ---------------------------------------------------------------------------
+# C80 multimodal_phash_dedup
+
+
+def test_phash_dedup_groups_consistent_with_meta(spark, sf_dir):
+    """C80 invariants: fingerprints equal C12's checksum per doc, groups
+    never mix kinds, exactly one survivor per (kind, phash) bucket, and
+    candidate-dup buckets exist at sf0.001 (birthday collisions in the
+    997-bucket space)."""
+    rows = eng.QUERIES["multimodal_phash_dedup"](spark, sf_dir).collect()
+    meta = {
+        r["doc_id"]: (r["kind"], r["checksum"])
+        for r in eng.QUERIES["multimodal_meta"](spark, sf_dir).collect()
+    }
+    assert {r["doc_id"] for r in rows} == set(meta)
+    groups = {}
+    for r in rows:
+        assert (r["kind"], r["phash"]) == meta[r["doc_id"]]
+        groups.setdefault((r["kind"], r["phash"]), []).append(r)
+    assert any(len(g) > 1 for g in groups.values())
+    for (kind, _), grp in groups.items():
+        survivors = [r for r in grp if not r["is_candidate_dup"]]
+        assert len(survivors) == 1
+        assert survivors[0]["doc_id"] == min(r["doc_id"] for r in grp)
+        assert all(r["canonical_id"] == survivors[0]["doc_id"] for r in grp)
+        assert all(r["group_size"] == len(grp) for r in grp)

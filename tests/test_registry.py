@@ -216,6 +216,7 @@ INVENTORY = [
     "streaming_anomaly",     # D23: B26 over stream-maintained daily cells
     "events_ewma_daily",     # B83: exact dyadic EWMA smoothing + spikes
     "streaming_ewma",        # D24: B83 as O(K) per-type custom state
+    "multimodal_phash_dedup",  # C80: pHash-bucket dedup over binary media
 ]
 
 #: SURVEY rows not yet implemented — MUST shrink to empty; a key may not
