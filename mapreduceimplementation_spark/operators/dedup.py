@@ -370,13 +370,12 @@ _SQL_MH_CAND = f"""
 """
 
 
-def _mh_bands(shd: DataFrame) -> DataFrame:
-    """(doc_id, band, bkey) LSH band table of a shingled (doc_id, sh_arr)
-    relation — the row-local MinHash signature pass shared by C7/C48
-    (full in-bucket pair expansion) and C57 (incremental new-vs-all band
-    join).  ONE signature definition: a drifted copy would bucket the
-    same corpus differently between the full and incremental paths."""
-    sig = (
+def _mh_sigs(shd: DataFrame) -> DataFrame:
+    """(doc_id, m0..m{K-1}) MinHash signature table of a shingled
+    (doc_id, sh_arr) relation — row-local, ONE definition shared by the
+    band builder below and C81's b-bit audit (a drifted copy would
+    produce signatures that disagree between consumers)."""
+    return (
         shd  # already filtered to >=1 shingle — do NOT re-filter
         .select("doc_id", F.transform("sh_arr", lambda s: hash64(s)).alias("hs"))
         .select(
@@ -394,6 +393,15 @@ def _mh_bands(shd: DataFrame) -> DataFrame:
             ],
         )
     )
+
+
+def _mh_bands(shd: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey) LSH band table of a shingled (doc_id, sh_arr)
+    relation — the row-local MinHash signature pass shared by C7/C48
+    (full in-bucket pair expansion) and C57 (incremental new-vs-all band
+    join).  ONE signature definition: a drifted copy would bucket the
+    same corpus differently between the full and incremental paths."""
+    sig = _mh_sigs(shd)
     return sig.select(
         "doc_id",
         F.explode(
@@ -1447,4 +1455,135 @@ def dedup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         survivor.alias("survivor_id"),
         F.first("source").over(elect).alias("survivor_source"),
         (F.col("doc_id") == survivor).alias("kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C81. minhash_bbit_audit — b-bit minwise hashing accuracy audit
+# (Li & Koenig, WWW 2010: store only the lowest b bits of each minimum)
+
+#: bits kept per permutation.  b=2 cuts signature storage 30x (2 bits vs
+#: a 61-bit minimum) at the cost of 1-in-2^b accidental agreements; the
+#: audit below measures what that costs in estimation error on real
+#: candidate pairs.
+_BBIT_B = 2
+_BBIT_MASK = (1 << _BBIT_B) - 1
+#: accidental-agreement probability for b bits (the Li-Koenig C term,
+#: large-universe form) — the estimator debiases with it
+_BBIT_C = 1.0 / (1 << _BBIT_B)
+
+
+@register(
+    "minhash_bbit_audit",
+    oracle=f"""
+    WITH ws AS ({sql_word_ngrams(_SHINGLE_N)}),
+    {_SQL_MH_CAND},
+    sized AS (SELECT doc_id, count(*) AS n FROM ws GROUP BY 1),
+    inter AS (
+        SELECT c.a_id, c.b_id, count(*) AS i
+        FROM cand c
+        JOIN ws wa ON wa.doc_id = c.a_id
+        JOIN ws wb ON wb.doc_id = c.b_id AND wb.sh = wa.sh
+        GROUP BY 1, 2
+    ),
+    agree AS (
+        SELECT c.a_id, c.b_id,
+               {" + ".join(f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(_MH_K))} AS full_m,
+               {" + ".join(f"CASE WHEN (sa.m{i} & {_BBIT_MASK}) = (sb.m{i} & {_BBIT_MASK}) THEN 1 ELSE 0 END" for i in range(_MH_K))} AS bbit_m
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.a_id
+        JOIN sig sb ON sb.doc_id = c.b_id
+    )
+    SELECT a.a_id, a.b_id,
+           {sql_round6(f"CAST(coalesce(i.i, 0) AS DOUBLE) / CAST(na.n + nb.n - coalesce(i.i, 0) AS DOUBLE)")} AS j_exact,
+           {sql_round6(f"CAST(full_m AS DOUBLE) / {float(_MH_K)}")} AS j_full,
+           {sql_round6(f"(CAST(bbit_m AS DOUBLE) / {float(_MH_K)} - {_BBIT_C}) / {1.0 - _BBIT_C}")} AS j_bbit
+    FROM agree a
+    JOIN sized na ON na.doc_id = a.a_id
+    JOIN sized nb ON nb.doc_id = a.b_id
+    LEFT JOIN inter i ON i.a_id = a.a_id AND i.b_id = a.b_id
+    """,
+)
+def minhash_bbit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit minwise hashing audit (C81) — Li & Koenig's storage
+    compression for MinHash at corpus scale: keep only the lowest
+    {_BBIT_B} bits of each permutation minimum (30x smaller signatures)
+    and debias the agreement rate by the 1/2^b accidental-collision
+    term.  For every C7 LSH candidate pair this reports the exact
+    Jaccard (posting intersection, candidate-restricted — C48's
+    ground-truth discipline), the full-signature estimate matches/K,
+    and the b-bit estimate (m_b/K − C)/(1 − C) side by side — the table
+    that justifies (or vetoes) shipping compressed signatures for a
+    given corpus.
+
+    Scale shape: signatures are the SAME row-local _mh_sigs pass C7
+    banding uses (one definition); candidates come from C7's band
+    buckets, never all-pairs; agreement counting is row-local over two
+    24-long signature structs joined by doc_id (uniform keys); the
+    exact-J side is df-bounded posting intersection restricted to
+    candidates.  At 100 TB the b-bit table is the one you can afford to
+    keep resident — 6 bytes per doc vs 183."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shd = _shingled(docs, spark).localCheckpoint()
+    sigs = _mh_sigs(shd).localCheckpoint(eager=True)
+    bands = _mh_bands(shd)
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "bkey"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sh = shd.select("doc_id", F.explode("sh_arr").alias("sh"))
+    sized = shd.select("doc_id", F.size("sh_arr").alias("n"))
+    sh_a = sh.select(F.col("doc_id").alias("a_id"), "sh")
+    sh_b = sh.select(F.col("doc_id").alias("b_id"), "sh")
+    inter = (
+        cand.join(sh_a, "a_id")
+        .join(sh_b, ["b_id", "sh"])  # equi-join on (b_id, shingle)
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    full_m = sum(
+        F.when(F.col(f"sa.m{i}") == F.col(f"sb.m{i}"), 1).otherwise(0)
+        for i in range(_MH_K)
+    )
+    bbit_m = sum(
+        F.when(
+            F.col(f"sa.m{i}").bitwiseAND(F.lit(_BBIT_MASK))
+            == F.col(f"sb.m{i}").bitwiseAND(F.lit(_BBIT_MASK)),
+            1,
+        ).otherwise(0)
+        for i in range(_MH_K)
+    )
+    agree = (
+        cand.join(sigs.alias("sa"), F.col("sa.doc_id") == F.col("a_id"))
+        .join(sigs.alias("sb"), F.col("sb.doc_id") == F.col("b_id"))
+        .select("a_id", "b_id", full_m.alias("full_m"), bbit_m.alias("bbit_m"))
+    )
+    na = sized.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na")
+    nb = sized.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb")
+    ii = F.coalesce(F.col("i"), F.lit(0))
+    return (
+        agree.join(na, "a_id")
+        .join(nb, "b_id")
+        .join(inter, ["a_id", "b_id"], "left")
+        .select(
+            "a_id",
+            "b_id",
+            round6(
+                ii.cast("double") / (F.col("na") + F.col("nb") - ii).cast("double")
+            ).alias("j_exact"),
+            round6(F.col("full_m").cast("double") / F.lit(float(_MH_K))).alias(
+                "j_full"
+            ),
+            round6(
+                (F.col("bbit_m").cast("double") / F.lit(float(_MH_K)) - _BBIT_C)
+                / F.lit(1.0 - _BBIT_C)
+            ).alias("j_bbit"),
+        )
     )

@@ -530,3 +530,81 @@ def test_dedup_priority_one_survivor_per_group(spark, sf_dir):
         assert all(r["group_size"] == len(grp) for r in grp)
     for r in rows:
         assert by_id[r["survivor_id"]]["kept"]
+
+
+# ---------------------------------------------------------------------------
+# C81 minhash_bbit_audit
+
+
+def test_bbit_audit_python_twin_and_bounds(spark, sf_dir):
+    """Python twin: recompute both agreement counts from raw shingles with
+    the same permutation family — j_full and j_bbit must match exactly
+    (round6 grain); structurally, low-bit agreement dominates full
+    agreement on RAW counts (a matching minimum matches its low bits) —
+    checked after undoing the debias; and on LSH candidates (near-dups)
+    the debiased b-bit estimate stays close to exact."""
+    import re
+
+    from mapreduceimplementation_spark.functions.hashing import (
+        MERSENNE_61,
+        py_hash64,
+    )
+    from mapreduceimplementation_spark.operators.dedup import (
+        _BBIT_C,
+        _BBIT_MASK,
+        _MH_A,
+        _MH_B,
+        _MH_C,
+        _MH_K,
+        _MH_MASK30,
+        _MH_R_,
+        _SHINGLE_N,
+    )
+    from mapreduceimplementation_spark.sources.tables import load_table
+
+    def shingles(text):
+        ws = [w for w in re.split("[^A-Za-z]+", text) if w]
+        return {
+            " ".join(ws[i : i + _SHINGLE_N])
+            for i in range(len(ws) - _SHINGLE_N + 1)
+        }
+
+    def sig(sh_set):
+        hs = [py_hash64(s) for s in sh_set]
+        out = []
+        for i in range(_MH_K):
+            a, b, c, r = _MH_A[i], _MH_B[i], _MH_C[i], _MH_R_[i]
+            out.append(
+                min(
+                    (a * ((h ^ r) >> 30) + b * ((h ^ r) & _MH_MASK30) + c)
+                    % MERSENNE_61
+                    for h in hs
+                )
+            )
+        return out
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+        if r["text"] is not None
+    }
+    rows = eng.QUERIES["minhash_bbit_audit"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        sa, sb = shingles(texts[r["a_id"]]), shingles(texts[r["b_id"]])
+        j_exact = len(sa & sb) / len(sa | sb)
+        ga, gb = sig(sa), sig(sb)
+        full_m = sum(x == y for x, y in zip(ga, gb))
+        bbit_m = sum(
+            (x & _BBIT_MASK) == (y & _BBIT_MASK) for x, y in zip(ga, gb)
+        )
+        assert abs(r["j_exact"] - j_exact) < 1e-6
+        assert abs(r["j_full"] - full_m / _MH_K) < 1e-6
+        want_bbit = (bbit_m / _MH_K - _BBIT_C) / (1 - _BBIT_C)
+        assert abs(r["j_bbit"] - want_bbit) < 1e-6
+        # raw-count dominance: a matching minimum matches its low bits,
+        # so m_b >= m_f — undo the debias before comparing
+        assert r["j_bbit"] * (1 - _BBIT_C) + _BBIT_C >= r["j_full"] - 1e-6
+        assert abs(r["j_bbit"] - r["j_exact"]) < 0.25  # debiased, near-dup pairs

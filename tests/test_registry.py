@@ -217,6 +217,7 @@ INVENTORY = [
     "events_ewma_daily",     # B83: exact dyadic EWMA smoothing + spikes
     "streaming_ewma",        # D24: B83 as O(K) per-type custom state
     "multimodal_phash_dedup",  # C80: pHash-bucket dedup over binary media
+    "minhash_bbit_audit",    # C81: b-bit minwise compression audit
 ]
 
 #: SURVEY rows not yet implemented — MUST shrink to empty; a key may not
