@@ -576,3 +576,146 @@ def streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle verbatim (full rows+schema+hash gate).  See run_scd2_stream."""
     tune(spark)
     return run_scd2_stream(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# D25. streaming_session_paths — B77's top-paths flow report maintained by
+# a stream (per-user open-session state + changelog compaction)
+
+_PTH_SINK = "d25_paths_sink"
+_PTH_OUT_SCHEMA = (
+    "user_id bigint, session_seq bigint, path string, n_events bigint, "
+    "closed boolean"
+)
+#: the OPEN session only: counter, last event time, the first
+#: _PTH_STEPS event types, event count — O(steps) per user
+_PTH_STATE_SCHEMA = (
+    "seq bigint, last_us bigint, path array<string>, n bigint"
+)
+
+_PTH_GAP_US = 30 * 60 * 1_000_000
+
+from mapreduceimplementation_spark.plans.events import (  # noqa: E402
+    _PATH_STEPS as _PTH_STEPS,
+    _PATH_TOPK as _PTH_TOPK,
+)
+
+
+def _paths_fn(key, pdfs, state):
+    """Per-user session-path state machine: a >30-min gap CLOSES the open
+    session (its truncated path is final — emitted exactly once) and
+    starts the next; the open session emits a per-batch snapshot
+    superseded by growing n_events (D22's changelog discipline).  In-
+    order processing makes 'first {_PTH_STEPS} events' well-defined
+    across batch boundaries — the same event-time monotonicity D2's
+    sessionization relies on."""
+    import pandas as pd
+
+    (user_id,) = key
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    if len(batch) == 0:
+        return
+    batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+    ts_us = batch["ts"].astype("int64") // (
+        1000 if batch["ts"].dtype == "datetime64[ns]" else 1
+    )
+    seq, last_us, path, n = (
+        state.get if state.exists else (0, -1, [], 0)
+    )
+    path = list(path)
+    rows = []
+    for t, etype in zip(ts_us, batch["event_type"]):
+        t = int(t)
+        if last_us < 0 or t - last_us > _PTH_GAP_US:
+            if seq > 0:
+                rows.append((seq, ">".join(path), n, True))
+            seq, path, n = seq + 1, [etype], 1
+        else:
+            n += 1
+            if len(path) < _PTH_STEPS:
+                path.append(etype)
+        last_us = t
+    rows.append((seq, ">".join(path), n, False))
+    state.update((seq, last_us, path, n))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id] * len(rows),
+            "session_seq": [r[0] for r in rows],
+            "path": [r[1] for r in rows],
+            "n_events": [r[2] for r in rows],
+            "closed": [r[3] for r in rows],
+        }
+    )
+
+
+def run_session_paths_stream(
+    spark: SparkSession, path: str, sink: str = _PTH_SINK, **source_options
+) -> DataFrame:
+    """Run the stateful path miner over `path` to completion; returns
+    B77's top-{_PTH_TOPK} (path, n_sessions, n_users, share_ppm) report.
+    The sink holds one changelog row per (user, session) per touching
+    batch — session-count-sized; compaction (closed beats open, then max
+    n_events — unique by the D22 argument) yields the session table, and
+    the report is its bounded rollup mirroring B77's exact frontier
+    (n_sessions DESC, path; integer-ppm share)."""
+    _size_stream_state(spark)
+    _stop_query(spark, sink)
+    ev = (
+        _events_stream(spark, path, **source_options)
+        .select("user_id", "ts", "event_id", "event_type")
+        .withWatermark("ts", "1 hour")
+    )
+    log = ev.groupBy("user_id").applyInPandasWithState(
+        _paths_fn,
+        outputStructType=_PTH_OUT_SCHEMA,
+        stateStructType=_PTH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        log.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    pick = PsWindow.partitionBy("user_id", "session_seq").orderBy(
+        F.col("closed").desc(), F.col("n_events").desc()
+    )
+    sessions = (
+        spark.table(sink)
+        .withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select("user_id", "path")
+    )
+    path_counts = sessions.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+    ).localCheckpoint(eager=False)
+    total = path_counts.agg(F.sum("n_sessions").cast("long").alias("n_total"))
+    return (
+        path_counts.crossJoin(F.broadcast(total))
+        .select(
+            "path",
+            "n_sessions",
+            "n_users",
+            F.expr("(n_sessions * 1000000L) div n_total").alias("share_ppm"),
+        )
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(_PTH_TOPK)
+    )
+
+
+@register("streaming_session_paths", oracle=ORACLES["events_session_paths"])
+def streaming_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B77's top session paths maintained by a LIVE stream (D25): per-user
+    GroupState = the open session only (counter, last ts, first
+    {_PTH_STEPS} types, count), gap-closure emits each session's final
+    path exactly once, open-session snapshots ride the D22 changelog +
+    compaction discipline; shares B77's oracle verbatim.  See
+    run_session_paths_stream."""
+    tune(spark)
+    return run_session_paths_stream(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )

@@ -218,6 +218,7 @@ INVENTORY = [
     "streaming_ewma",        # D24: B83 as O(K) per-type custom state
     "multimodal_phash_dedup",  # C80: pHash-bucket dedup over binary media
     "minhash_bbit_audit",    # C81: b-bit minwise compression audit
+    "streaming_session_paths",  # D25: B77's flow report as open-session state
 ]
 
 #: SURVEY rows not yet implemented — MUST shrink to empty; a key may not

@@ -1348,3 +1348,31 @@ def test_streaming_ewma_multibatch_equals_batch(spark, sf_dir, tmp_path):
     raw = spark.table("d24_multibatch_sink").collect()
     assert len(raw) > len(final)  # superseded snapshots existed
     assert any(not r["closed"] for r in raw) and any(r["closed"] for r in raw)
+
+
+def test_streaming_session_paths_multibatch_equals_batch(spark, sf_dir, tmp_path):
+    """D25: under maxFilesPerTrigger=1, a session spanning a batch
+    boundary must keep ONE path (its first events fixed in the earlier
+    batch), the raw changelog must contain superseded open-session
+    snapshots, and the compacted top-paths report must equal B77
+    exactly (counts, users, ppm shares, frontier order)."""
+    from mapreduceimplementation_spark.streaming.sessionize import (
+        run_session_paths_stream,
+    )
+
+    path = _split_events(spark, sf_dir, tmp_path)
+    out = [
+        (r["path"], r["n_sessions"], r["n_users"], r["share_ppm"])
+        for r in run_session_paths_stream(
+            spark, path, sink="d25_multibatch_sink", maxFilesPerTrigger=1
+        ).collect()
+    ]
+    batch = [
+        (r["path"], r["n_sessions"], r["n_users"], r["share_ppm"])
+        for r in eng.QUERIES["events_session_paths"](spark, sf_dir).collect()
+    ]
+    assert out == batch and len(out) > 0
+    raw = spark.table("d25_multibatch_sink").collect()
+    compacted = {(r["user_id"], r["session_seq"]) for r in raw}
+    assert len(raw) > len(compacted)  # superseded snapshots existed
+    assert any(not r["closed"] for r in raw) and any(r["closed"] for r in raw)
