@@ -2502,3 +2502,78 @@ def corpus_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.col("cos") >= _SD_TAU).alias("contaminated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C82. embedding_label_recall — label-agreement eval of the embedding
+# space (the precision@k readout an embedding model ships with)
+
+
+@register(
+    "embedding_label_recall",
+    tags=(BASELINE_CLASS,),
+    oracle=f"""
+    WITH {_SQL_NORMED},
+    {_SQL_TOPK_CTES}
+    SELECT e.q_id, ql.label AS label,
+           CAST(sum(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CAST((sum(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END)
+                 * 1000000) // {_TOPK} AS BIGINT) AS precision_ppm,
+           bool_or(e.rank = 1 AND nl.label = ql.label) AS top1_hit
+    FROM ex e
+    JOIN embeddings ql ON ql.vec_id = e.q_id
+    JOIN embeddings nl ON nl.vec_id = e.neighbor_id
+    GROUP BY 1, 2
+    """,
+)
+def embedding_label_recall(
+    spark: SparkSession, sf_dir: str, sample_mod: int | None = None
+) -> DataFrame:
+    """Label-agreement evaluation of the embedding space (C82): for each
+    probe vector, how many of its exact cosine top-{_TOPK} neighbors
+    share its class label — precision@k, the intrinsic-quality readout
+    every embedding model publishes (C53 asks "does the INDEX find the
+    true neighbors"; this asks "are the true neighbors actually
+    RELEVANT").  Per probe: hit count, integer-ppm precision, and
+    whether the single nearest neighbor already matches (top1_hit, the
+    1-NN classifier accuracy cell).
+
+    Ground truth rides C10's exact brute-force top-k (_exact_topk /
+    _SQL_TOPK_CTES — one definition with ann_topk and C53, no drift
+    channel), hence BASELINE_CLASS: at 100 TB run it on the same
+    ``sample_mod`` slice ann_topk documents; labels join by vec_id
+    (uniform key, broadcast-sized probe side)."""
+    tune(spark)
+    n = _normed(spark, sf_dir)
+    if sample_mod:
+        n = n.where(
+            (F.col("vec_id") < _Q_MAX)
+            | (
+                hash64(F.col("vec_id").cast("string"), salt="bsample-")
+                % sample_mod
+                == 0
+            )
+        )
+    topk = _exact_topk(n)
+    labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    ql = labels.select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("label")
+    )
+    nl = labels.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    hit = F.when(F.col("n_label") == F.col("label"), 1).otherwise(0)
+    return (
+        topk.join(F.broadcast(ql), "q_id")
+        .join(nl, "neighbor_id")
+        .groupBy("q_id", "label")
+        .agg(
+            F.sum(hit).cast("long").alias("n_hits"),
+            F.expr(f"CAST((sum(CASE WHEN n_label = label THEN 1 ELSE 0 END)"
+                   f" * 1000000) div {_TOPK} AS BIGINT)").alias(
+                "precision_ppm"
+            ),
+            F.max((F.col("rank") == 1) & (hit == 1)).alias("top1_hit"),
+        )
+    )

@@ -219,6 +219,7 @@ INVENTORY = [
     "multimodal_phash_dedup",  # C80: pHash-bucket dedup over binary media
     "minhash_bbit_audit",    # C81: b-bit minwise compression audit
     "streaming_session_paths",  # D25: B77's flow report as open-session state
+    "embedding_label_recall",  # C82: precision@k label-agreement eval
 ]
 
 #: SURVEY rows not yet implemented — MUST shrink to empty; a key may not

@@ -748,3 +748,50 @@ def test_semantic_decontaminate_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# C82 embedding_label_recall
+
+
+def test_label_recall_consistent_with_ann_topk(spark, sf_dir):
+    """C82 must be exactly the label rollup of C10's top-k table: same
+    probes, n_hits = count of label-matching neighbors, ppm by integer
+    floor division, top1_hit = rank-1 match; sample_mod keeps every
+    probe while shrinking the corpus side."""
+    from mapreduceimplementation_spark.operators.vectors import _TOPK
+    from mapreduceimplementation_spark.sources.tables import load_table
+
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    topk = eng.QUERIES["ann_topk"](spark, sf_dir).collect()
+    want = {}
+    for r in topk:
+        q = r["q_id"]
+        hit = labels[r["neighbor_id"]] == labels[q]
+        h, t1 = want.get(q, (0, False))
+        want[q] = (h + hit, t1 or (r["rank"] == 1 and hit))
+    got = {
+        r["q_id"]: r
+        for r in eng.QUERIES["embedding_label_recall"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for q, (h, t1) in want.items():
+        assert got[q]["n_hits"] == h
+        assert got[q]["precision_ppm"] == (h * 1_000_000) // _TOPK
+        assert got[q]["top1_hit"] == t1
+        assert got[q]["label"] == labels[q]
+    # sampled run (the BASELINE_CLASS escape): probes all present
+    from mapreduceimplementation_spark.operators.vectors import (
+        embedding_label_recall,
+    )
+
+    samp = {
+        r["q_id"]: r["n_hits"]
+        for r in embedding_label_recall(spark, sf_dir, sample_mod=4).collect()
+    }
+    assert set(samp) == set(want)
