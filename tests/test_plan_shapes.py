@@ -164,6 +164,7 @@ def test_baseline_class_tags_present(spark):
         "dedup_containment",
         "minhash_recall_audit",
         "ivf_recall_audit",
+        "embedding_label_recall",  # C82 rides C10's exact top-k ground truth
     }
     tagged = {n for n in TAGS if has_tag(n, BASELINE_CLASS)}
     assert tagged == expected, tagged
