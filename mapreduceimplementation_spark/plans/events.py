@@ -2349,3 +2349,92 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.shiftleft(F.col("c"), _EWMA_K - 1) > prev_s)
         .alias("spike"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B84. events_forecast_backtest — rolling-origin evaluation of the B83
+# forecaster (every model in this repo ships with its eval: C71→C75,
+# C11b→C53, C7→C48 — this is B83's)
+
+
+@register(
+    "events_forecast_backtest",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day, event_type,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), fir AS (
+        SELECT day, event_type, c,
+               {_ewma_fir_sql('c')} AS s,
+               lag(c) OVER w AS prev_c
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ), scored AS (
+        SELECT event_type, c,
+               CAST(lag(s) OVER v AS DOUBLE) / {float(1 << _EWMA_K)}
+                   AS forecast,
+               prev_c
+        FROM fir
+        WINDOW v AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           {sql_round6(f"sum(abs(c - forecast)) / count(*)")} AS mae_ewma,
+           {sql_round6(f"sum(abs(c - prev_c)) / count(*)")} AS mae_naive,
+           {sql_round6(f"sum(c - forecast) / count(*)")} AS bias_ewma,
+           sum(abs(c - forecast)) < sum(abs(c - prev_c)) AS ewma_wins
+    FROM scored WHERE forecast IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest of the B83 EWMA forecaster (B84): for each
+    day t ≥ 2 the one-step forecast is ewma_(t-1); report per type the
+    mean absolute error, the MAE of the naive persistence forecast
+    (yesterday's count — THE baseline any forecaster must beat), the
+    signed bias, and the verdict ewma_wins.  This is the evaluation
+    table that justifies (or vetoes) alerting on B83's spike flag.
+
+    Determinism: forecasts and counts are exact dyadic doubles (B83's
+    integer-FIR argument), so every |error| term and both error SUMS are
+    exact; only the final mean/bias quotients are rounded (round6, the
+    shared half-away grain).  The sum-comparison verdict is
+    exact-vs-exact — no float boundary.
+
+    Scale shape: identical to B83 — one scan, one partial-agg exchange,
+    one event_type window partitioning shared by the FIR, both lags and
+    the final per-type rollup; the backtest relation is calendar-bounded
+    (days × types), never event-volume-sized."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    fir = daily.select(
+        "day",
+        "event_type",
+        "c",
+        _ewma_fir_spark("c", w).alias("s"),
+        F.lag("c").over(w).alias("prev_c"),
+    )
+    scored = fir.select(
+        "event_type",
+        "c",
+        (F.lag("s").over(w).cast("double") / F.lit(float(1 << _EWMA_K))).alias(
+            "forecast"
+        ),
+        "prev_c",
+    ).where(F.col("forecast").isNotNull())
+    err = F.abs(F.col("c") - F.col("forecast"))
+    nerr = F.abs((F.col("c") - F.col("prev_c")).cast("double"))
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        round6(F.sum(err) / F.count(F.lit(1))).alias("mae_ewma"),
+        round6(F.sum(nerr) / F.count(F.lit(1))).alias("mae_naive"),
+        round6(
+            F.sum(F.col("c") - F.col("forecast")) / F.count(F.lit(1))
+        ).alias("bias_ewma"),
+        (F.sum(err) < F.sum(nerr)).alias("ewma_wins"),
+    )

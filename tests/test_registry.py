@@ -220,6 +220,7 @@ INVENTORY = [
     "minhash_bbit_audit",    # C81: b-bit minwise compression audit
     "streaming_session_paths",  # D25: B77's flow report as open-session state
     "embedding_label_recall",  # C82: precision@k label-agreement eval
+    "events_forecast_backtest",  # B84: rolling-origin eval of B83 (MAE vs naive)
 ]
 
 #: SURVEY rows not yet implemented — MUST shrink to empty; a key may not

@@ -1181,3 +1181,33 @@ def test_ewma_equals_recurrence_and_spike_rule(spark, sf_dir):
     # the synthetic feed is near-uniform; spikes may legitimately be rare
     # but the flag column must at least be exercised end to end
     assert isinstance(any_spike, bool)
+
+
+def test_forecast_backtest_consistent_with_ewma(spark, sf_dir):
+    """B84 must be exactly the error rollup of B83's table: recompute
+    MAE/bias/verdict from the per-day (c, ewma) pairs in Python —
+    forecasts are exact dyadic doubles, so sums match to the round6
+    grain and the ewma_wins verdict matches exactly."""
+    from collections import defaultdict
+
+    daily = defaultdict(list)
+    for r in eng.QUERIES["events_ewma_daily"](spark, sf_dir).collect():
+        daily[r["event_type"]].append((r["day"], r["c"], r["ewma"]))
+    got = {
+        r["event_type"]: r
+        for r in eng.QUERIES["events_forecast_backtest"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(daily)
+    for etype, rows in daily.items():
+        rows.sort()
+        errs, nerrs, biases = [], [], []
+        for (d0, c0, e0), (d1, c1, _e1) in zip(rows, rows[1:]):
+            errs.append(abs(c1 - e0))
+            nerrs.append(abs(c1 - c0))
+            biases.append(c1 - e0)
+        r = got[etype]
+        assert r["n_days"] == len(errs)
+        assert abs(r["mae_ewma"] - sum(errs) / len(errs)) < 1e-6
+        assert abs(r["mae_naive"] - sum(nerrs) / len(nerrs)) < 1e-6
+        assert abs(r["bias_ewma"] - sum(biases) / len(biases)) < 1e-6
+        assert r["ewma_wins"] == (sum(errs) < sum(nerrs))
