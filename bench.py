@@ -192,20 +192,46 @@ QUIET_FACTOR = 1.25  # accept a window only if canary/quiet < this
 MAX_PASSES = 3
 
 
-def run_pass(spark, qs, sf_dir: str, F) -> dict[str, float]:
-    from mapreduceimplementation_spark.registry import BASELINE_CLASS, has_tag
+def tag_warnings(name: str) -> list[str]:
+    """Mechanical registry-tag warnings for one query — shared by every
+    harness that times queries (bench passes, tools/scale_stress.py via
+    run_pass) so a scale-hazardous plan can't run silently."""
+    from mapreduceimplementation_spark.registry import (
+        BASELINE_CLASS,
+        DENSITY_QUADRATIC,
+        LINEAR_TWIN,
+        has_tag,
+    )
 
+    out = []
+    if has_tag(name, BASELINE_CLASS):
+        out.append(
+            f"# WARNING: {name} is {BASELINE_CLASS} (exact-but-quadratic"
+            " diagnostic) running UNSAMPLED — its timing is a"
+            " ground-truth cost, not a serving-path number"
+        )
+    if has_tag(name, DENSITY_QUADRATIC):
+        twin = LINEAR_TWIN.get(name)
+        out.append(
+            f"# WARNING: {name} is {DENSITY_QUADRATIC} (candidate volume"
+            " grows with per-key density SQUARED) — on high-density data"
+            + (
+                f" route to its linear twin {twin}"
+                if twin
+                else " use a linear decomposition"
+            )
+            + " (see the operator docstring's routing rule)"
+        )
+    return out
+
+
+def run_pass(spark, qs, sf_dir: str, F) -> dict[str, float]:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
-        if has_tag(name, BASELINE_CLASS):
-            print(
-                f"# WARNING: {name} is {BASELINE_CLASS} (exact-but-quadratic"
-                " diagnostic) running UNSAMPLED — its timing is a"
-                " ground-truth cost, not a serving-path number",
-                file=sys.stderr,
-            )
+        for w in tag_warnings(name):
+            print(w, file=sys.stderr)
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         row = df.agg(
@@ -267,6 +293,7 @@ def main() -> None:
         )
 
     total = round(sum(best.values()), 3)
+    quiet = factor < QUIET_FACTOR if factor is not None else None
     print(
         json.dumps(
             {
@@ -281,9 +308,37 @@ def main() -> None:
                 "bench_passes": passes,
                 # None = the canary only calibrates at sf0.1, so noise
                 # was NOT assessed for this run — never claim "quiet"
-                "quiet_window": (
-                    factor < QUIET_FACTOR if factor is not None else None
-                ),
+                "quiet_window": quiet,
+            }
+        )
+    )
+    # The driver archives only the LAST ~2000 chars of stdout, which
+    # truncates the full record above (BENCH_r07.json `parsed` was null
+    # and the canary/total never made it into the artifact).  Emit a
+    # compact window-normalizable summary as the FINAL line: total,
+    # canary factor, quiet flag, query count, and the 10 slowest
+    # per-query times — guaranteed to fit the tail whole.
+    slowest = dict(
+        sorted(best.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "sf": float(sf) if sf else None,
+                "n_queries": len(best),
+                "canary_sec": best.get(CANARY),
+                "host_factor_vs_quiet_canary": factor,
+                "quiet_window": quiet,
+                "bench_passes": passes,
+                "n_skipped": len(skipped),
+                # 10 slowest only — the full per-query map is the
+                # previous line; flagged so no reader mistakes this
+                # for the whole surface
+                "queries": slowest,
+                "queries_truncated_to_slowest10": True,
             }
         )
     )

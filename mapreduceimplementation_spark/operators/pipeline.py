@@ -1679,8 +1679,11 @@ def quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHUF_SHARDS = 16
 #: hash64 is 60 bits; the top log2(_SHUF_SHARDS) bits pick the shard, so a
 #: shard is a CONTIGUOUS key range — that is what makes the physical write
-#: a range partition + local sort instead of a global sort.
-_SHUF_SHIFT = 60 - 4
+#: a range partition + local sort instead of a global sort.  Derived from
+#: _SHUF_SHARDS (which must be a power of two) so changing the shard count
+#: cannot silently desynchronize the shift (ADVICE r7).
+_SHUF_SHIFT = 60 - (_SHUF_SHARDS.bit_length() - 1)
+assert 1 << (60 - _SHUF_SHIFT) == _SHUF_SHARDS, "_SHUF_SHARDS must be 2^k"
 
 
 @register(

@@ -2371,20 +2371,27 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM daily
         WINDOW w AS (PARTITION BY event_type ORDER BY day)
     ), scored AS (
-        SELECT event_type, c,
-               CAST(lag(s) OVER v AS DOUBLE) / {float(1 << _EWMA_K)}
-                   AS forecast,
-               prev_c
+        SELECT event_type, c, prev_c,
+               lag(s) OVER v AS prev_s
         FROM fir
         WINDOW v AS (PARTITION BY event_type ORDER BY day)
     )
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_days,
-           {sql_round6(f"sum(abs(c - forecast)) / count(*)")} AS mae_ewma,
-           {sql_round6(f"sum(abs(c - prev_c)) / count(*)")} AS mae_naive,
-           {sql_round6(f"sum(c - forecast) / count(*)")} AS bias_ewma,
-           sum(abs(c - forecast)) < sum(abs(c - prev_c)) AS ewma_wins
-    FROM scored WHERE forecast IS NOT NULL
+           {sql_round6(
+               "CAST(sum(abs((c << " + str(_EWMA_K) + ") - prev_s)) AS DOUBLE)"
+               " / (CAST(count(*) AS DOUBLE) * " + str(float(1 << _EWMA_K)) + ")"
+           )} AS mae_ewma,
+           {sql_round6(
+               "CAST(sum(abs(c - prev_c)) AS DOUBLE) / CAST(count(*) AS DOUBLE)"
+           )} AS mae_naive,
+           {sql_round6(
+               "CAST(sum((c << " + str(_EWMA_K) + ") - prev_s) AS DOUBLE)"
+               " / (CAST(count(*) AS DOUBLE) * " + str(float(1 << _EWMA_K)) + ")"
+           )} AS bias_ewma,
+           sum(abs((c << {_EWMA_K}) - prev_s))
+               < sum(abs(c - prev_c)) * {1 << _EWMA_K} AS ewma_wins
+    FROM scored WHERE prev_s IS NOT NULL
     GROUP BY 1
     """,
 )
@@ -2396,11 +2403,16 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     signed bias, and the verdict ewma_wins.  This is the evaluation
     table that justifies (or vetoes) alerting on B83's spike flag.
 
-    Determinism: forecasts and counts are exact dyadic doubles (B83's
-    integer-FIR argument), so every |error| term and both error SUMS are
-    exact; only the final mean/bias quotients are rounded (round6, the
-    shared half-away grain).  The sum-comparison verdict is
-    exact-vs-exact — no float boundary.
+    Determinism: every error term is the INTEGER numerator
+    |c·2^K − lag(S)| (the forecast is lag(S)/2^K, so c − forecast =
+    (c·2^K − lag(S))/2^K exactly), summed as exact DECIMAL(38,0) —
+    order-free at any horizon, unlike a raw-double Σ|err| whose 32
+    fractional bits start truncating once a type's error total crosses
+    2^21 (ADVICE r7; the repo's quantize-or-integerize-before-
+    shuffle-sum rule, cf. C79).  Only the final mean/bias quotients
+    are rounded (round6, the shared half-away grain); ewma_wins
+    compares the two integer sums on one 2^K-scaled grain —
+    exact-vs-exact, no float boundary.
 
     Scale shape: identical to B83 — one scan, one partial-agg exchange,
     one event_type window partitioning shared by the FIR, both lags and
@@ -2422,19 +2434,25 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = fir.select(
         "event_type",
         "c",
-        (F.lag("s").over(w).cast("double") / F.lit(float(1 << _EWMA_K))).alias(
-            "forecast"
-        ),
         "prev_c",
-    ).where(F.col("forecast").isNotNull())
-    err = F.abs(F.col("c") - F.col("forecast"))
-    nerr = F.abs((F.col("c") - F.col("prev_c")).cast("double"))
+        F.lag("s").over(w).alias("prev_s"),
+    ).where(F.col("prev_s").isNotNull())
+    # integer error numerators on the 2^K grain: |err|·2^K and the
+    # signed bias numerator (both < 2^53 per B83's width bound), summed
+    # as exact DECIMAL(38,0) so no horizon can overflow or truncate
+    _dec = "decimal(38,0)"
+    inum = F.abs(
+        F.shiftleft(F.col("c"), _EWMA_K) - F.col("prev_s")
+    ).cast(_dec)
+    bnum = (F.shiftleft(F.col("c"), _EWMA_K) - F.col("prev_s")).cast(_dec)
+    nnum = F.abs(F.col("c") - F.col("prev_c")).cast(_dec)
+    denom_k = F.count(F.lit(1)).cast("double") * F.lit(float(1 << _EWMA_K))
     return scored.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_days"),
-        round6(F.sum(err) / F.count(F.lit(1))).alias("mae_ewma"),
-        round6(F.sum(nerr) / F.count(F.lit(1))).alias("mae_naive"),
+        round6(F.sum(inum).cast("double") / denom_k).alias("mae_ewma"),
         round6(
-            F.sum(F.col("c") - F.col("forecast")) / F.count(F.lit(1))
-        ).alias("bias_ewma"),
-        (F.sum(err) < F.sum(nerr)).alias("ewma_wins"),
+            F.sum(nnum).cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("mae_naive"),
+        round6(F.sum(bnum).cast("double") / denom_k).alias("bias_ewma"),
+        (F.sum(inum) < F.sum(nnum) * F.lit(1 << _EWMA_K)).alias("ewma_wins"),
     )

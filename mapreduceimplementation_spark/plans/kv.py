@@ -3781,13 +3781,20 @@ def audit_session_guarantees(trace: DataFrame) -> DataFrame:
     Returns one row per READ with both floors and both verdicts.
 
     Scale shape: two exchanges total — version numbering partitions by
-    key, both session floors share the session partitioning (one window
-    spec, two frames); verdict columns are row-local comparisons.  At
-    100 TB both keys are uniform (client id, key id) and the shuffled
-    payload is fixed-width ids — text/values never move."""
-    ws = Window.partitionBy("session").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
+    key, both session floors share the (session, key) partitioning (one
+    window spec, two frames); verdict columns are row-local comparisons.
+    At 100 TB both keys are uniform (client id, key id) and the shuffled
+    payload is fixed-width ids — text/values never move.
+
+    The floor windows partition by (session, key), NOT session alone
+    (ADVICE r7): wver/obs are PER-KEY version counters, so a session
+    that touches multiple keys must never compare a read on key A
+    against a floor established on key B — per-key floors are the only
+    comparison Terry et al.'s version-vector framing licenses when the
+    trace carries per-key scalar versions."""
+    ws = Window.partitionBy("session", "key").orderBy(
+        "ts", "event_id"
+    ).rowsBetween(Window.unboundedPreceding, -1)
     own_w = F.coalesce(
         F.max(F.when(F.col("is_write") == 1, F.col("wver"))).over(ws), F.lit(0)
     )
@@ -3893,7 +3900,7 @@ def derive_session_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
                coalesce(max(CASE WHEN is_write = 0 THEN obs END) OVER w,
                         0) AS read_floor
         FROM traced
-        WINDOW w AS (PARTITION BY session ORDER BY ts, event_id
+        WINDOW w AS (PARTITION BY session, key ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
     )
     SELECT event_id AS opid, session, key,

@@ -22,6 +22,24 @@ TAGS: dict[str, frozenset[str]] = {}
 #: guard is mechanical, not a docstring.
 BASELINE_CLASS = "baseline_class"
 
+#: tag for plans whose intermediate volume grows QUADRATICALLY in per-key
+#: density (e.g. D18 streaming_transition_matrix: the interval-self-join
+#: candidate set is ∝ per-user in-horizon events²).  Distinct from
+#: BASELINE_CLASS (quadratic in duplicate/output mass by design): a
+#: density-quadratic plan is correct and fine at low density but becomes
+#: a scale-killer on hot keys — each carries a registered LINEAR twin and
+#: a routing rule (see the operator's docstring / router API).  bench.py
+#: and tools/scale_stress.py (via bench.run_pass) warn when one runs, so
+#: the guard is mechanical, not a docstring.
+DENSITY_QUADRATIC = "density_quadratic"
+
+#: linear twin per DENSITY_QUADRATIC query — the plan to route to when
+#: expected per-key in-horizon density exceeds the operator's documented
+#: threshold; consumed by the warning text and the routing APIs.
+LINEAR_TWIN: dict[str, str] = {
+    "streaming_transition_matrix": "streaming_transition_matrix_state",
+}
+
 
 def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     """Decorator: register a query callable, its optional SQL oracle, and

@@ -421,9 +421,9 @@ _D24_OUT_SCHEMA = (
     "day timestamp, event_type string, c bigint, ewma double, "
     "spike boolean, closed boolean"
 )
-#: rolling buffer of the last K-1 COMPLETED day counts plus the open
+#: rolling buffer of the last K COMPLETED day counts plus the open
 #: day — O(K) per type regardless of horizon, the streaming twin of
-#: B83's K-tap truncation
+#: B83's K-tap truncation (K, not K-1: s_prev needs the 2^0 tap)
 _D24_STATE_SCHEMA = "buf array<bigint>, cur_day bigint, cur_c bigint"
 
 _D24_DAY_US = 24 * 3600 * 1_000_000
@@ -493,7 +493,14 @@ def _ewma_fn(key, pdfs, state):
             cur_c += counts[d]
         else:
             out.append(_d24_row(cur_day, etype, cur_c, buf) + (True,))
-            buf = (buf + [cur_c])[-(_D24_K - 1):]
+            # Retain K completed days, not K-1: _d24_fir's s_prev (the
+            # spike forecast) spans up to K taps of buf with the oldest
+            # at weight 2^0, exactly matching batch B83's lag(S) 32-tap
+            # FIR — keeping only K-1 would drop the c_{t-K}·2^0 term and
+            # flip near-threshold spike verdicts once a type has ≥K+1
+            # event-days.  s is unaffected (it reads the last K taps of
+            # buf ++ [c]).
+            buf = (buf + [cur_c])[-_D24_K:]
             cur_day, cur_c = d, counts[d]
     out.append(_d24_row(cur_day, etype, cur_c, buf) + (False,))
     state.update((buf, cur_day, cur_c))

@@ -27,7 +27,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduceimplementation_spark.registry import register
+from mapreduceimplementation_spark.registry import DENSITY_QUADRATIC, register
 from mapreduceimplementation_spark.session import tune
 from mapreduceimplementation_spark.streaming.windowed import (
     _events_stream,
@@ -633,12 +633,21 @@ def run_transition_matrix(
       AND prev_ts >= ts - INTERVAL {_TRM_HORIZON_H} HOURS
     GROUP BY 1, 2, 3
     """,
+    tags=(DENSITY_QUADRATIC,),
 )
 def streaming_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming Markov transition matrix (D18) — B74 on a live stream
     via interval-self-join -> windowed argmax -> chained windowed count
     (three stateful operators, one query); availableNow equals the batch
-    lag-with-horizon twin exactly.  See run_transition_matrix."""
+    lag-with-horizon twin exactly.  See run_transition_matrix.
+
+    DENSITY_QUADRATIC (VERDICT r7): the interval self-join's candidate
+    volume is ∝ per-user in-horizon events² (measured 19.25x wall at 10x
+    replica inflation, SCALE_r07.json), so on hot users this plan is a
+    scale-killer.  It stays registered as the JVM-state-only alternative
+    (no Python workers in the hot path); route by density via
+    ``pick_transition_matrix_impl`` — D19 (streaming_transition_matrix_
+    state) is the linear twin (1.81x at 10x, faster at 1x too)."""
     tune(spark)
     return run_transition_matrix(
         spark, os.path.join(sf_dir, "events.parquet")
@@ -796,3 +805,36 @@ def streaming_transition_matrix_state(
     return run_transition_matrix_state(
         spark, os.path.join(sf_dir, "events.parquet")
     )
+
+
+# ---------------------------------------------------------------------------
+# D18 vs D19 routing rule (VERDICT r7 item 2): the density threshold as
+# an API, not folklore.
+
+#: Expected per-user in-horizon event count above which D18's interval
+#: self-join loses to D19's per-event state path.  Why ~8: D18's join
+#: emits ~d²/2 candidate pairs per user per horizon vs D19's d state
+#: transitions, but D19 pays the Python-worker toll (Arrow transfer +
+#: pickled state, measured ~2x a JVM stage on this box at sf0.1 density
+#: d≈3 where the two paths roughly tie: D18 7.5s vs D19 4.1s includes
+#: D19's fixed worker spin-up).  Candidate volume parity d²/2 ≈ 2·d
+#: gives d ≈ 4; doubling for the JVM's per-row advantage lands at 8 —
+#: and the 10x-replica measurement (d≈30: D18 19.25x vs D19 1.81x)
+#: confirms the crossover sits well below that density.
+D18_MAX_EVENTS_PER_USER_IN_HORIZON = 8.0
+
+
+def pick_transition_matrix_impl(expected_events_per_user_in_horizon: float):
+    """Route between the two registered streaming transition-matrix
+    plans by expected per-user density within the lag horizon
+    (_TRM_HORIZON_H hours): at or below
+    ``D18_MAX_EVENTS_PER_USER_IN_HORIZON`` the JVM-state-only D18
+    (interval join + argmax; no Python workers) is acceptable; above it
+    its ∝ d² candidate volume makes the linear custom-state D19
+    mandatory.  Estimate d from the feed's own history, e.g.
+    ``events_in_last_horizon / distinct_users_in_last_horizon``.
+
+    Returns the registered (spark, sf_dir) -> DataFrame callable."""
+    if expected_events_per_user_in_horizon <= D18_MAX_EVENTS_PER_USER_IN_HORIZON:
+        return streaming_transition_matrix
+    return streaming_transition_matrix_state

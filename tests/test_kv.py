@@ -1348,6 +1348,41 @@ def test_session_guarantees_hand_trace(spark):
     assert out[40]["ryw_ok"] and out[40]["mr_ok"] and out[40]["is_stale"]
 
 
+def test_session_guarantees_multi_key_session(spark):
+    """ADVICE r7 regression pin: the floor windows partition by
+    (session, key), so a session touching MULTIPLE keys never compares
+    a read on key A against a floor established on key B.  Session 1
+    writes v5 on key 1 (high per-key version), then reads key 2 at its
+    true latest v1 — under a session-only floor window the key-1 write
+    floor (5) would bleed into key 2 and flag a bogus RYW violation."""
+    from datetime import datetime
+
+    from mapreduceimplementation_spark.plans.kv import (
+        audit_session_guarantees,
+    )
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        (1, 1, t(1), 10, 1, 5, 5),   # S1 writes key1 -> key1 at v5
+        (1, 2, t(2), 11, 0, 1, 1),   # S1 reads key2 latest v1: fresh
+        (1, 1, t(3), 12, 0, 5, 5),   # S1 re-reads key1 v5: fresh
+        (1, 2, t(4), 13, 0, 0, 1),   # S1 reads key2 v0 after seeing v1: MR
+    ]
+    trace = spark.createDataFrame(
+        rows,
+        "session long, key long, ts timestamp, event_id long, "
+        "is_write int, obs long, wver long",
+    )
+    out = {r["opid"]: r for r in audit_session_guarantees(trace).collect()}
+    assert set(out) == {11, 12, 13}
+    # the key-2 read must NOT inherit key 1's write floor of 5
+    assert out[11]["own_write_floor"] == 0 and out[11]["read_floor"] == 0
+    assert out[11]["ryw_ok"] and out[11]["mr_ok"] and not out[11]["is_stale"]
+    assert out[12]["ryw_ok"] and out[12]["own_write_floor"] == 5
+    # true MR violation stays caught per-key: key2 floor is 1, obs 0
+    assert out[13]["read_floor"] == 1 and not out[13]["mr_ok"]
+
+
 def test_session_guarantees_registered_query_mix(spark):
     """B81 registered query: every read class occurs on the derived trace,
     violations imply staleness, and non-injected reads are never stale

@@ -170,3 +170,47 @@ def test_baseline_class_tags_present(spark):
     assert tagged == expected, tagged
     # every tagged query really is registered
     assert tagged <= set(eng.QUERIES)
+
+
+def test_density_quadratic_tag_and_warning(spark):
+    """VERDICT r7 item 2: D18's interval-join decomposition is quadratic
+    in per-user density — the registry tag, the bench/scale mechanical
+    warning (naming the linear twin), and the routing API must all
+    exist, so the hazard can't run silently or be re-introduced."""
+    import bench
+    from mapreduceimplementation_spark.registry import (
+        DENSITY_QUADRATIC,
+        LINEAR_TWIN,
+        TAGS,
+        has_tag,
+    )
+
+    tagged = {n for n in TAGS if has_tag(n, DENSITY_QUADRATIC)}
+    assert tagged == {"streaming_transition_matrix"}, tagged
+    # every tagged query names a registered linear twin
+    for n in tagged:
+        assert LINEAR_TWIN[n] in eng.QUERIES
+    # the warning fires and points at the twin (bench.run_pass and
+    # tools/scale_stress.py both emit via this helper)
+    ws = bench.tag_warnings("streaming_transition_matrix")
+    assert any(
+        DENSITY_QUADRATIC in w and "streaming_transition_matrix_state" in w
+        for w in ws
+    ), ws
+    # untagged queries stay silent on this class
+    assert not any(
+        DENSITY_QUADRATIC in w for w in bench.tag_warnings("events_minutely")
+    )
+    # the routing rule is an API: low density -> D18, high -> D19
+    from mapreduceimplementation_spark.streaming.joins import (
+        D18_MAX_EVENTS_PER_USER_IN_HORIZON as thresh,
+        pick_transition_matrix_impl,
+        streaming_transition_matrix,
+        streaming_transition_matrix_state,
+    )
+
+    assert pick_transition_matrix_impl(1.0) is streaming_transition_matrix
+    assert (
+        pick_transition_matrix_impl(thresh + 1)
+        is streaming_transition_matrix_state
+    )

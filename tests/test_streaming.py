@@ -1350,6 +1350,44 @@ def test_streaming_ewma_multibatch_equals_batch(spark, sf_dir, tmp_path):
     assert any(not r["closed"] for r in raw) and any(r["closed"] for r in raw)
 
 
+def test_d24_fir_full_k_tap_buffer_at_33_plus_days():
+    """D24 regression pin (ADVICE r7): the state buffer must retain K
+    completed days, not K-1 — _d24_fir's s_prev (the spike forecast)
+    spans K taps with the oldest at weight 2^0, exactly batch B83's
+    lag(S).  Replays >=33 event-days through the retention rule and
+    checks s_prev against the batch FIR (coalesce-0 semantics), then a
+    crafted near-threshold day where the K-1 buffer provably flips the
+    spike verdict."""
+    from mapreduceimplementation_spark.streaming.incremental import (
+        _D24_K as K,
+        _d24_fir,
+    )
+
+    # 40 closed days; the last K are crafted so the 32-tap forecast sum
+    # lands exactly on a multiple of 2^(K-1): oldest-in-window count 2
+    # (weight 2^0), then thirty 1s (weights 2^1..2^30), newest 0
+    # (weight 2^31) -> s_prev = 2 + (2^31 - 2) = 2^31.
+    counts = [5] * 8 + [2] + [1] * 30 + [0]
+    assert len(counts) == 40 >= K + 1
+    buf: list[int] = []
+    for c in counts:
+        buf = (buf + [c])[-K:]  # the fixed retention rule
+    assert buf == counts[-K:]
+    # batch twin: lag(S) = sum_j coalesce(lag(c, j), 0) << (K-1-j)
+    ref_prev = sum(counts[-1 - j] << (K - 1 - j) for j in range(K))
+    s, s_prev = _d24_fir(buf, 7)
+    assert s_prev == ref_prev == 1 << (K - 1)
+    assert s == sum((counts + [7])[-1 - j] << (K - 1 - j) for j in range(K))
+    # near-threshold probe: c = 1 gives c << (K-1) == s_prev exactly ->
+    # spike False on the full buffer; the old K-1 retention drops the
+    # 2^0 tap (worth 2 here), yielding s_prev - 2 and flipping it True
+    _, s_prev_buggy = _d24_fir(buf[-(K - 1):], 7)
+    assert s_prev_buggy == s_prev - 2
+    c_probe = 1
+    assert not ((c_probe << (K - 1)) > s_prev)       # correct verdict
+    assert (c_probe << (K - 1)) > s_prev_buggy       # K-1 buffer flips
+
+
 def test_streaming_session_paths_multibatch_equals_batch(spark, sf_dir, tmp_path):
     """D25: under maxFilesPerTrigger=1, a session spanning a batch
     boundary must keep ONE path (its first events fixed in the earlier
