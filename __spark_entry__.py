@@ -8,16 +8,29 @@ Certification rotation: the driver's correctness gate checks the first ~50
 entries of ``queries()`` in dict-iteration order (observed: CORRECTNESS_r03
 holds exactly registry positions 0-49).  With >50 registered queries, a
 fixed order would leave the tail permanently uncertified, so ``queries()``
-orders the surface by certification recency — never-certified queries first,
-then oldest-certified first — computed from the committed CORRECTNESS_r*.json
-files.  Over rounds this round-robins every query through the driver's
-window with no manual list to maintain (policy documented in BASELINE.md).
+orders the surface in three buckets (VERDICT r7 item 8):
+
+1. never-driver-certified queries (a new operator must certify first);
+2. queries whose DEFINING MODULE changed (git) since the round that last
+   certified them — a code change must not hide behind the round-robin
+   for 3 rounds while the window cycles the untouched tail;
+3. everything else, oldest certification first (the original rotation).
+
+Buckets 2 and 3 are each ordered oldest-certified-first, so even when a
+wide refactor overflows bucket 2 past the ~50-slot window, the overflow
+drains in oldest-first order over subsequent rounds.  Change detection
+compares the module's last git commit time (plus any uncommitted edits)
+against the commit that ADDED the certifying CORRECTNESS_r{N}.json; any
+git failure degrades to the plain recency rotation (policy documented in
+BASELINE.md).
 """
 
 from __future__ import annotations
 
+import inspect
 import json
 import re
+import subprocess
 from collections.abc import Callable
 from pathlib import Path
 
@@ -60,12 +73,81 @@ def _last_certified_round() -> dict[str, int]:
     return last
 
 
+def _git(*args: str) -> str:
+    return subprocess.run(
+        ["git", *args],
+        cwd=_REPO,
+        capture_output=True,
+        text=True,
+        timeout=30,
+        check=True,
+    ).stdout.strip()
+
+
+def _changed_since_cert(last: dict[str, int]) -> frozenset[str]:
+    """Names whose defining module's last git change postdates the commit
+    that added their certifying CORRECTNESS file (plus anything with
+    uncommitted edits).  Empty set on any git failure — the rotation
+    then degrades to plain recency, never breaks."""
+    try:
+        dirty = {
+            line[3:].strip()
+            for line in _git("status", "--porcelain").splitlines()
+            if line.strip()
+        }
+        cert_time: dict[int, int] = {}
+        file_time: dict[str, int] = {}
+        changed = set()
+        for name in eng.QUERIES:
+            rnd = last.get(name)
+            if rnd is None:
+                continue  # never certified: already bucket 0
+            src = inspect.getfile(eng.QUERIES[name])
+            rel = str(Path(src).resolve().relative_to(_REPO))
+            if rel in dirty:
+                changed.add(name)
+                continue
+            if rel not in file_time:
+                out = _git("log", "-1", "--format=%ct", "--", rel)
+                file_time[rel] = int(out) if out else 0
+            if rnd not in cert_time:
+                out = _git(
+                    "log",
+                    "--diff-filter=A",
+                    "-1",
+                    "--format=%ct",
+                    "--",
+                    f"CORRECTNESS_r{rnd:02d}.json",
+                )
+                cert_time[rnd] = int(out) if out else 0
+            if file_time[rel] > cert_time[rnd] > 0:
+                changed.add(name)
+        return frozenset(changed)
+    except Exception:
+        return frozenset()
+
+
+def _order(
+    names: list[str], last: dict[str, int], changed: frozenset[str]
+) -> list[str]:
+    """The pure rotation policy (pytest-pinned): bucket 0 = never
+    certified, bucket 1 = changed since certification, bucket 2 = rest;
+    buckets 1-2 oldest-certified first; stable within ties (registry
+    module-load order)."""
+
+    def key(n: str):
+        rnd = last.get(n, -1)
+        if rnd < 0:
+            return (0, rnd)
+        return (1 if n in changed else 2, rnd)
+
+    return sorted(names, key=key)
+
+
 def _rotation_order() -> list[str]:
-    """Registry keys, least-recently-driver-certified first (stable)."""
+    """Registry keys in certification-priority order (see module doc)."""
     last = _last_certified_round()
-    names = list(eng.QUERIES)
-    # Sort is stable: ties keep registry (module-load) order.
-    return sorted(names, key=lambda n: last.get(n, -1))
+    return _order(list(eng.QUERIES), last, _changed_since_cert(last))
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -161,6 +161,16 @@ HEADLINE = [
     # round-7 widening: one representative per remaining untimed family
     # (VERDICT r6 item 8; the family -> representative map and the
     # justification for what stays untimed live in BENCH_COVERAGE.md)
+    # round-8 addition: the generic linearizability engine's lock-model
+    # instantiation — a NEW perf shape (state-matching joins + the
+    # O(log chain) pointer-doubling ancestor propagation)
+    "lock_linearizability",
+    # round-8 widening (VERDICT r7 item 6): the rest of the r7 changelog
+    # streaming family gets recorded floors + 10x scale rows (D22
+    # streaming_scd2 was already timed; these complete D22-D25)
+    "streaming_anomaly",        # D23: stream-maintained daily cells + z-scores
+    "streaming_ewma",           # D24: O(K) per-type dyadic EWMA state
+    "streaming_session_paths",  # D25: open-session path state + compaction
     "mr_distributed_sort",       # mr range-partition total sort
     "mr_generic_wc",             # the Arrow-batched generic MR engine path
     "q9_product_profit",         # widest TPC-H multi-join star

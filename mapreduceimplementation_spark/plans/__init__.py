@@ -1,3 +1,9 @@
 """Relational / event analytics plans (SURVEY.md §2 B*)."""
 
-from mapreduceimplementation_spark.plans import events, kv, lake, tpch  # noqa: F401
+from mapreduceimplementation_spark.plans import (  # noqa: F401
+    events,
+    kv,
+    lake,
+    linz,
+    tpch,
+)

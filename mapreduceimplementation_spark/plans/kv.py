@@ -809,6 +809,73 @@ def derive_kv_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cluster_crossings(blocks: DataFrame, id_col: str = "val") -> DataFrame:
+    """Pair-free interval-crossing detector — the shared core of every
+    linearizability audit in this repo (B51 write_order_cycle, B62
+    cross, B85's generic engine; reference src/porcupine/checker.go:1
+    is the sequential-search equivalent).
+
+    ``blocks``: (key, <id_col>, x, y) where a block is a set of ops that
+    must serialize CONTIGUOUSLY, x = min return over its ops (pin
+    _LIN_XMIN for an initial-state block) and y = max invoke.  Block u
+    precedes v iff x_u < y_v (some u-op returns before some v-op
+    invokes); for interval-threshold relations of this shape any
+    precedence cycle implies a 2-cycle — u and v CROSS (x_u < y_v AND
+    x_v < y_u) — so the history serializes iff no pair crosses.
+
+    Detection without pair expansion (the B51 derivation): a crossing
+    partner d of any block c satisfies x_d < y_c ∧ y_d > x_c; a normal
+    block (x ≥ y — its ops share a common instant) can never partner a
+    normal block, so flag c iff it crosses a lexicographically
+    ((x, id)) EARLIER block — backward c (x < y) needs only a running
+    max of y over earlier blocks (x_d ≤ x_c < y_c implies the first
+    bound), normal c needs one interleave probe (entries = backward
+    blocks at t = x_d, probes at t = y_c, probes first on ties for the
+    strict bound).  Two windows over the block-count-sized relation,
+    zero pair joins.
+
+    Returns one row per flagged-or-backward/normal-probe block:
+    (key, crossed bool) — aggregate with a per-key sum."""
+    w_lex = (
+        Window.partitionBy("key")
+        .orderBy("x", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cross_b = (
+        blocks.withColumn("pm", F.max("y").over(w_lex))
+        .where(F.col("x") < F.col("y"))
+        .select("key", (F.col("pm") > F.col("x")).alias("crossed"))
+    )
+    entries = blocks.where(F.col("x") < F.col("y")).select(
+        "key",
+        F.col("x").alias("t"),
+        F.col("y").alias("ey"),
+        F.lit(0).alias("is_probe"),
+        id_col,
+        F.lit(None).cast("long").alias("px"),
+    )
+    probes = blocks.where(F.col("x") >= F.col("y")).select(
+        "key",
+        F.col("y").alias("t"),
+        F.lit(None).cast("long").alias("ey"),
+        F.lit(1).alias("is_probe"),
+        id_col,
+        F.col("x").alias("px"),
+    )
+    w_cyc = (
+        Window.partitionBy("key")
+        .orderBy(F.col("t").asc(), F.col("is_probe").desc(), id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cross_n = (
+        entries.unionByName(probes)
+        .withColumn("pm", F.max("ey").over(w_cyc))
+        .where(F.col("is_probe") == 1)
+        .select("key", (F.col("pm") > F.col("px")).alias("crossed"))
+    )
+    return cross_b.unionByName(cross_n)
+
+
 def linearizability_audit(history: DataFrame) -> DataFrame:
     """Per-key linearizability audit of a concurrent register history.
 
@@ -988,43 +1055,7 @@ def linearizability_audit(history: DataFrame) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    w_lex = (
-        Window.partitionBy("key")
-        .orderBy("x", "val")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cycle_backward = (
-        clusters.withColumn("pm", F.max("y").over(w_lex))
-        .where(F.col("x") < F.col("y"))
-        .select("key", (F.col("pm") > F.col("x")).alias("crossed"))
-    )
-    cyc_entries = clusters.where(F.col("x") < F.col("y")).select(
-        "key",
-        F.col("x").alias("t"),
-        F.col("y").alias("ey"),
-        F.lit(0).alias("is_probe"),
-        "val",
-        F.lit(None).cast("long").alias("px"),
-    )
-    cyc_probes = clusters.where(F.col("x") >= F.col("y")).select(
-        "key",
-        F.col("y").alias("t"),
-        F.lit(None).cast("long").alias("ey"),
-        F.lit(1).alias("is_probe"),
-        "val",
-        F.col("x").alias("px"),
-    )
-    w_cyc = (
-        Window.partitionBy("key")
-        .orderBy(F.col("t").asc(), F.col("is_probe").desc(), "val")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cycle_normal = (
-        cyc_entries.unionByName(cyc_probes)
-        .withColumn("pm", F.max("ey").over(w_cyc))
-        .where(F.col("is_probe") == 1)
-        .select("key", (F.col("pm") > F.col("px")).alias("crossed"))
-    )
+    cluster_crossed = cluster_crossings(clusters, id_col="val")
 
     ops = history.groupBy("key").agg(
         F.count(F.lit(1)).alias("n_ops"),
@@ -1041,12 +1072,8 @@ def linearizability_audit(history: DataFrame) -> DataFrame:
     reorder_agg = reorder_flags.groupBy("key").agg(
         F.sum(F.when(F.col("reorder"), 1).otherwise(0)).alias("n_reorder")
     )
-    cycle_agg = (
-        cycle_backward.unionByName(cycle_normal)
-        .groupBy("key")
-        .agg(
-            F.sum(F.when(F.col("crossed"), 1).otherwise(0)).alias("n_cycle")
-        )
+    cycle_agg = cluster_crossed.groupBy("key").agg(
+        F.sum(F.when(F.col("crossed"), 1).otherwise(0)).alias("n_cycle")
     )
     out = (
         ops.join(base_flags, "key", "left")
@@ -1864,48 +1891,11 @@ def append_linearizability_audit(history: DataFrame) -> DataFrame:
         )
     )
     blocks = ep.unionByName(free).localCheckpoint(eager=False)
-    # rule: cross — B51's lex-orientation crossing detection verbatim
-    # (backward blocks via prefix-max, normal blocks via the interleave
-    # probe; see linearizability_audit for the family derivation)
-    w_lex = (
-        Window.partitionBy("key")
-        .orderBy("x", "blkid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cross_b = (
-        blocks.withColumn("pm", F.max("y").over(w_lex))
-        .where(F.col("x") < F.col("y"))
-        .select("key", (F.col("pm") > F.col("x")).alias("crossed"))
-    )
-    entries = blocks.where(F.col("x") < F.col("y")).select(
-        "key",
-        F.col("x").alias("t"),
-        F.col("y").alias("ey"),
-        F.lit(0).alias("is_probe"),
-        "blkid",
-        F.lit(None).cast("long").alias("px"),
-    )
-    probes = blocks.where(F.col("x") >= F.col("y")).select(
-        "key",
-        F.col("y").alias("t"),
-        F.lit(None).cast("long").alias("ey"),
-        F.lit(1).alias("is_probe"),
-        "blkid",
-        F.col("x").alias("px"),
-    )
-    w_cyc = (
-        Window.partitionBy("key")
-        .orderBy(F.col("t").asc(), F.col("is_probe").desc(), "blkid")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cross_n = (
-        entries.unionByName(probes)
-        .withColumn("pm", F.max("ey").over(w_cyc))
-        .where(F.col("is_probe") == 1)
-        .select("key", (F.col("pm") > F.col("px")).alias("crossed"))
-    )
+    # rule: cross — the shared lex-orientation crossing detector
+    # (cluster_crossings; backward blocks via prefix-max, normal blocks
+    # via the interleave probe — the B51 family derivation)
     cross = (
-        cross_b.unionByName(cross_n)
+        cluster_crossings(blocks, id_col="blkid")
         .groupBy("key")
         .agg(
             F.sum(F.when(F.col("crossed"), 1).otherwise(0)).alias("n_cross")

@@ -221,6 +221,8 @@ INVENTORY = [
     "streaming_session_paths",  # D25: B77's flow report as open-session state
     "embedding_label_recall",  # C82: precision@k label-agreement eval
     "events_forecast_backtest",  # B84: rolling-origin eval of B83 (MAE vs naive)
+    # round 8
+    "lock_linearizability",  # B85: generic porcupine-style engine, lock model
 ]
 
 #: SURVEY rows not yet implemented — MUST shrink to empty; a key may not
@@ -269,8 +271,10 @@ def test_certification_rotation():
     """The driver's correctness gate only records the first ~50 entries of
     queries() (see BASELINE.md).  The entry-file rotation must (a) expose
     the FULL registry — nothing dropped, (b) order never-driver-certified
-    queries before ever-certified ones so the uncovered tail rotates into
-    the driver's window each round."""
+    queries first, then (VERDICT r7 item 8) queries whose defining module
+    changed since their last certification, then the plain oldest-first
+    round-robin — so neither a new operator nor a touched one can hide
+    outside the driver's window."""
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
@@ -278,8 +282,32 @@ def test_certification_rotation():
     assert list(entrymod.oracle_sql()) == [k for k in qs if k in eng.ORACLES]
 
     last = entrymod._last_certified_round()
-    recency = [last.get(n, -1) for n in qs]
-    assert recency == sorted(recency), "queries() not ordered by cert recency"
+    changed = entrymod._changed_since_cert(last)
+
+    def bucket(n):
+        if last.get(n, -1) < 0:
+            return 0
+        return 1 if n in changed else 2
+
+    keys = [(bucket(n), last.get(n, -1)) for n in qs]
+    assert keys == sorted(keys), "queries() not in rotation-policy order"
+
+
+def test_rotation_policy_pure_order():
+    """The pure _order policy, pinned on synthetic inputs: never-certified
+    first, changed-since-cert next (oldest cert first), stale round-robin
+    last (oldest cert first), stable within ties."""
+    import __spark_entry__ as entrymod
+
+    names = ["a", "b", "c", "d", "e", "f"]
+    last = {"a": 5, "b": 3, "c": 7, "d": 3, "f": 1}
+    # e never certified -> bucket 0; a and d changed -> bucket 1 by cert
+    # round (d:3 before a:5); rest oldest first (f:1, b:3, c:7)
+    got = entrymod._order(names, last, frozenset({"a", "d"}))
+    assert got == ["e", "d", "a", "f", "b", "c"]
+    # no change info -> degrades to the original recency rotation
+    got = entrymod._order(names, last, frozenset())
+    assert got == ["e", "f", "b", "d", "a", "c"]
 
 def test_bench_coverage_note_maps_every_untimed_query():
     """VERDICT r6 item 8's contract: every registered query is either in

@@ -325,3 +325,125 @@ def test_bucketed_write_joins_without_shuffle(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_compaction_plan_roundtrip_executes(spark, tmp_path):
+    """VERDICT r7 item 5: B82's compaction PLAN tied to EXECUTION.
+    Materialize the plan's manifest as a physical small-file lake (one
+    parquet file per (day, event_type) ingestion cell — exactly the
+    synthetic manifest's grain), execute the plan with the
+    compact_files machinery (keep files copied untouched, each compact
+    group coalesced into ONE file), then verify the rewritten lake
+    matches the plan: per-day output file count = keeps + groups, per
+    group the merged file holds exactly the union of its members' rows
+    (count AND event-id identity), and the whole lake is row-identical
+    to the source."""
+    import collections
+    import pathlib
+    import shutil
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import mapreduceimplementation_spark as eng
+    from mapreduceimplementation_spark.sources.sinks import compact_files
+
+    eng.load_all_operators()
+    sf = "/root/testdata/sf0.01"
+    plan = eng.QUERIES["table_compaction_plan"](spark, sf).collect()
+    assert any(r["action"] == "keep" for r in plan)
+    multi = collections.Counter(
+        (r["day"], r["out_group"]) for r in plan if r["action"] == "compact"
+    )
+    assert any(c > 1 for c in multi.values())  # real multi-file groups
+
+    # physical lake at the manifest grain
+    ev = (
+        load_table(spark, sf, "events")
+        .select("event_id", "ts", "event_type")
+        .toPandas()
+    )
+    ev["day"] = ev["ts"].dt.floor("D")
+    lake = pathlib.Path(tmp_path) / "lake"
+    cell_ids: dict[tuple, set] = {}
+    for (day, etype), cell in ev.groupby(["day", "event_type"]):
+        d = lake / day.strftime("%Y-%m-%d")
+        d.mkdir(parents=True, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pandas(cell[["event_id"]], preserve_index=False),
+            d / f"{etype}.parquet",
+        )
+        cell_ids[(day.strftime("%Y-%m-%d"), etype)] = set(cell["event_id"])
+
+    # every manifest cell must exist physically and vice versa
+    plan_cells = {
+        (r["day"].strftime("%Y-%m-%d"), r["event_type"]) for r in plan
+    }
+    assert plan_cells == set(cell_ids)
+
+    # execute the plan
+    out = pathlib.Path(tmp_path) / "compacted"
+    groups: dict[tuple, list] = collections.defaultdict(list)
+    n_keep = 0
+    for r in plan:
+        day = r["day"].strftime("%Y-%m-%d")
+        src = lake / day / f"{r['event_type']}.parquet"
+        if r["action"] == "keep":
+            dst = out / day
+            dst.mkdir(parents=True, exist_ok=True)
+            shutil.copy(src, dst / src.name)  # untouched: not rewritten
+            n_keep += 1
+        else:
+            groups[(day, r["out_group"])].append(r)
+    for (day, g), members in groups.items():
+        stage = pathlib.Path(tmp_path) / "stage" / day / str(g)
+        stage.mkdir(parents=True, exist_ok=True)
+        for r in members:
+            shutil.copy(
+                lake / day / f"{r['event_type']}.parquet",
+                stage / f"{r['event_type']}.parquet",
+            )
+        gout = out / day / f"group_{g}"
+        # one group -> ONE target-size output file
+        n = compact_files(spark, str(stage), str(gout), target_bytes=1 << 40)
+        assert n == 1
+
+    # verify: per-day file count = keeps + groups
+    per_day_expected = collections.Counter()
+    for r in plan:
+        if r["action"] == "keep":
+            per_day_expected[r["day"].strftime("%Y-%m-%d")] += 1
+    for (day, g) in groups:
+        per_day_expected[day] += 1
+    for day, expected in per_day_expected.items():
+        found = [
+            p
+            for p in (out / day).rglob("*.parquet")
+            if not p.name.startswith("_")
+        ]
+        assert len(found) == expected, (day, len(found), expected)
+
+    # verify: each group file is exactly the union of its members
+    for (day, g), members in groups.items():
+        got = set(
+            pd.concat(
+                [
+                    pq.read_table(p).to_pandas()
+                    for p in (out / day / f"group_{g}").glob("*.parquet")
+                ]
+            )["event_id"]
+        )
+        want = set().union(
+            *(cell_ids[(day, r["event_type"])] for r in members)
+        )
+        assert got == want, (day, g)
+        assert len(got) == sum(r["n_rows"] for r in members)
+
+    # verify: the rewritten lake is row-identical to the source
+    all_out = set(
+        pd.concat(
+            [pq.read_table(p).to_pandas() for p in out.rglob("*.parquet")]
+        )["event_id"]
+    )
+    assert all_out == set(ev["event_id"])

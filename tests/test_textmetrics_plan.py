@@ -269,10 +269,17 @@ def test_hll_merge_audit_invariant_holds(spark, sf_dir, duck):
 
 
 def test_winnowing_fingerprint_no_exchange(spark, sf_dir):
-    """C58: the whole winnowing selection is row-local — zero shuffles."""
+    """C58: the whole winnowing selection is row-local — the ONLY
+    allowed exchange is spread()'s round-robin local-parallelism guard
+    (a no-op on a real cluster); no key exchange may ever appear, since
+    that would mean the selection stopped being per-document."""
     df = eng.QUERIES["winnowing_fingerprint"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan  # just the spread guard
+    if "Exchange" in plan:
+        assert "roundrobin" in plan.lower(), plan
 
 
 def test_winnowing_fingerprint_hand_case(spark):
