@@ -95,6 +95,10 @@ _EMPTY_TOTAL = [
     "events_session_paths",
     "tokenizer_fertility",
     "quality_ccnet_buckets",
+    # r8: the generic linearizability engine (empty history -> zero
+    # blocks/links; the pointer-doubling loop must exit on its isEmpty
+    # check, never iterate or fabricate a verdict row)
+    "lock_linearizability",
 ]
 
 _ONE_ROW_ON_EMPTY = {
