@@ -90,11 +90,18 @@ def _changed_since_cert(last: dict[str, int]) -> frozenset[str]:
     uncommitted edits).  Empty set on any git failure — the rotation
     then degrades to plain recency, never breaks."""
     try:
-        dirty = {
-            line[3:].strip()
-            for line in _git("status", "--porcelain").splitlines()
-            if line.strip()
-        }
+        dirty = set()
+        for line in _git("status", "--porcelain").splitlines():
+            if not line.strip():
+                continue
+            path = line[3:]
+            # rename/copy lines read 'R  old -> new': the NEW path is
+            # the one a module resolves to (r8 self-review — without
+            # this, an uncommitted renamed module never reached the
+            # changed bucket); git also quotes special-char paths
+            if " -> " in path:
+                path = path.split(" -> ", 1)[1]
+            dirty.add(path.strip().strip('"'))
         cert_time: dict[int, int] = {}
         file_time: dict[str, int] = {}
         changed = set()
@@ -144,10 +151,21 @@ def _order(
     return sorted(names, key=key)
 
 
+_ROTATION_CACHE: list[str] | None = None
+
+
 def _rotation_order() -> list[str]:
-    """Registry keys in certification-priority order (see module doc)."""
-    last = _last_certified_round()
-    return _order(list(eng.QUERIES), last, _changed_since_cert(last))
+    """Registry keys in certification-priority order (see module doc).
+    Memoized per process: queries() and oracle_sql() both call this in
+    one driver run, and the git sweep (~20 subprocesses) cannot change
+    between them."""
+    global _ROTATION_CACHE
+    if _ROTATION_CACHE is None:
+        last = _last_certified_round()
+        _ROTATION_CACHE = _order(
+            list(eng.QUERIES), last, _changed_since_cert(last)
+        )
+    return _ROTATION_CACHE
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -290,8 +290,13 @@ def audit_linearizability(history: DataFrame, model) -> DataFrame:
     if cycled is not None:
         chain_v = chain_v.unionByName(
             cycled.select("key", F.col("child").alias("val"))
-        ).distinct()
-    chain_agg = chain_v.groupBy("key").agg(
+        )
+    # distinct ALWAYS, not just on the cycle path (r8 self-review): a
+    # state produced by two ops observing different parents (n_dup > 0)
+    # carries 2+ rows per child through the doubling loop, and without
+    # the dedup the same block would count twice — the oracle's chainv
+    # groups by (key, val), i.e. counts BLOCKS
+    chain_agg = chain_v.distinct().groupBy("key").agg(
         F.count(F.lit(1)).alias("n_chain")
     )
     ops = history.groupBy("key").agg(F.count(F.lit(1)).alias("n_ops"))
@@ -556,7 +561,15 @@ _LLZ_HISTORY_SQL = f"""
     anc AS (
         -- literal RECURSIVE ancestor closure of the consumption chain:
         -- the windowed pointer-doubling twin must flag exactly the
-        -- blocks whose min-ret precedes some forced ancestor's max-inv
+        -- blocks whose min-ret precedes some forced ancestor's max-inv.
+        -- Scope note (r8 self-review): this restatement assumes an
+        -- ACYCLIC consumption graph, which derive_lock_token_history
+        -- guarantees (observed tokens strictly precede their observers
+        -- in serial order).  The engine additionally flags cyclic
+        -- graphs (cap-exhausted live pointers) — that rule is pinned
+        -- by tests/test_linz.py hand traces, not oracle-stated, so the
+        -- closure runs ONCE here instead of tripling the 10M-row
+        -- recursion at sf0.1 for inputs it can never receive.
         WITH RECURSIVE a(key, child, anc) AS (
             SELECT DISTINCT key, child, val FROM vcons
             UNION
@@ -567,7 +580,9 @@ _LLZ_HISTORY_SQL = f"""
         SELECT * FROM a
     ),
     chainv AS (
-        SELECT c.key, CAST(COUNT(DISTINCT c.val) AS BIGINT) AS n_chain
+        -- one row per violating BLOCK (GROUP BY key, val) — the
+        -- engine's chain_v is distinct-counted to the same grain
+        SELECT c.key, c.val
         FROM blocks c
         JOIN anc a ON a.key = c.key AND a.child = c.val
         JOIN blocks p ON p.key = a.key AND p.val = a.anc

@@ -210,6 +210,43 @@ def test_lock_engine_detects_consumption_cycle(spark):
     assert out["n_chain"] >= 1 and not out["linearizable"]
 
 
+def test_chain_counts_blocks_once_under_dup_parents(spark):
+    """r8 self-review pin: a state produced by TWO ops observing
+    different parents carries two rows through the pointer-doubling
+    loop; n_chain must still count the violating BLOCK once (the
+    oracle's chainv groups by (key, val)), alongside the dup flag."""
+    rows = [
+        (0, 1, 0, 1, None, "A"),
+        (0, 2, 2, 3, None, "B"),
+        (0, 3, 4, 5, "A", "C"),   # C produced twice, from different
+        (0, 4, 6, 7, "B", "C"),   # parents -> 2 links for child C
+        (0, 5, 0, 1, "C", None),  # early reader makes x(C)=1 < anc y
+    ]
+    df = spark.createDataFrame(rows, _HIST_SCHEMA)
+    out = audit_linearizability(df, LockTokenModel).collect()[0]
+    assert out["n_dup"] == 1
+    assert out["n_chain"] == 1, out  # block C flagged ONCE, not per-link
+    assert not out["linearizable"]
+
+
+def test_chain_flags_blocks_downstream_of_cycle(spark):
+    """r8 self-review pin: not just cycle MEMBERS — any block whose
+    consumption chain reaches a cycle has no serial order; the cap-
+    exhausted pointer set flags all of them.  Engine-only semantics by
+    contract: the registered derivation is provably acyclic, so the
+    oracle's recursive closure states the acyclic case only (see the
+    oracle's scope note) and THIS pin is the cycle rule's certificate."""
+    rows = [
+        (0, 1, 0, 10, "B", "A"),
+        (0, 2, 0, 10, "A", "B"),
+        (0, 3, 0, 10, "A", "C"),  # C hangs off the A<->B cycle
+    ]
+    df = spark.createDataFrame(rows, _HIST_SCHEMA)
+    out = audit_linearizability(df, LockTokenModel).collect()[0]
+    assert out["n_chain"] == 3, out  # A, B, and downstream C
+    assert not out["linearizable"]
+
+
 def test_lock_linearizability_registered_mix(spark):
     """Registered B85 query at sf0.01: a genuine verdict mix — the
     hash-exempt clean locks all pass (the derivation's invoke-order
