@@ -663,7 +663,11 @@ def lock_linearizability(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossing rule as the literal quadratic EXISTS and the chain rule as
     a literal RECURSIVE ancestor closure — so a green hash certifies
     both the windowed crossing detector AND the pointer-doubling chain
-    propagation against their textbook definitions."""
+    propagation against their textbook definitions.  The closure is
+    O(Σ chain-depth²) rows BY DESIGN (the obviously-correct
+    restatement, like B51's quadratic EXISTS): ~5 min at sf0.1 is a
+    certification cost, not a serving cost — the Spark side stays
+    O(states · log chain)."""
     tune(spark)
     return audit_linearizability(
         derive_lock_token_history(spark, sf_dir), LockTokenModel
