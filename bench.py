@@ -145,8 +145,11 @@ HEADLINE = [
     "shardkv_gc_audit",
     "raft_persistence_audit",
     "shardkv_availability_audit",
+    # r9 key swap (VERDICT r8 item 3): the plain key is now the LINEAR
+    # custom-state lag; the quadratic interval-join decomposition is the
+    # explicitly-named opt-in variant (still timed side by side)
     "streaming_transition_matrix",
-    "streaming_transition_matrix_state",
+    "streaming_transition_matrix_interval_join",
     "streaming_funnel",
     "streaming_retention",
     "corpus_e2e_pipeline",
@@ -165,6 +168,10 @@ HEADLINE = [
     # instantiation — a NEW perf shape (state-matching joins + the
     # O(log chain) pointer-doubling ancestor propagation)
     "lock_linearizability",
+    # round-9 addition: the engine's third model (shardctrler config
+    # epochs) — total consumption chain, the heaviest chain-rule load,
+    # timed beside the lock model so the r9 chain-router win is visible
+    "ctrl_linearizability",
     # round-8 widening (VERDICT r7 item 6): the rest of the r7 changelog
     # streaming family gets recorded floors + 10x scale rows (D22
     # streaming_scd2 was already timed; these complete D22-D25)
@@ -202,6 +209,45 @@ QUIET_FACTOR = 1.25  # accept a window only if canary/quiet < this
 MAX_PASSES = 3
 
 
+def canary_class(factor: float) -> str:
+    """BASELINE.md's driver-canary window classes, codified (VERDICT r8
+    item 4): the boundaries reproduce the hand-assigned r1-r8 rows
+    (0.23x fast, 1.06-1.20x normal, 1.27x normal-slow, 1.58x slow)."""
+    if factor < 0.7:
+        return "fast"
+    if factor < 1.25:
+        return "normal"
+    if factor < 1.45:
+        return "normal-slow"
+    return "slow"
+
+
+def baseline_canary_row(canary_sec: float | None) -> str | None:
+    """The exact markdown row for BASELINE.md's driver-canary class
+    table, emitted mechanically per run so the ledger can't drift: the
+    round number is inferred as 1 + the largest committed BENCH_r{N}
+    (this run becomes that round's record when the driver archives it).
+    None when the canary didn't run at sf0.1 (no factor to classify)."""
+    if not canary_sec:
+        return None
+    import glob
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")
+        )
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    rnd = (max(rounds) if rounds else 0) + 1
+    factor = canary_sec / CANARY_QUIET
+    return (
+        f"| r{rnd} | {canary_sec:.3f} | {factor:.2f}x | "
+        f"{canary_class(factor)} |"
+    )
+
+
 def tag_warnings(name: str) -> list[str]:
     """Mechanical registry-tag warnings for one query — shared by every
     harness that times queries (bench passes, tools/scale_stress.py via
@@ -210,10 +256,17 @@ def tag_warnings(name: str) -> list[str]:
         BASELINE_CLASS,
         DENSITY_QUADRATIC,
         LINEAR_TWIN,
+        LOG_MASS_LINEAR,
         has_tag,
     )
 
     out = []
+    if has_tag(name, LOG_MASS_LINEAR):
+        out.append(
+            f"# NOTE: {name} is {LOG_MASS_LINEAR} (wall tracks total"
+            " per-key log mass x audit fanout; ~k x wall at k x log"
+            " inflation is the cost law, not a regression)"
+        )
     if has_tag(name, BASELINE_CLASS):
         out.append(
             f"# WARNING: {name} is {BASELINE_CLASS} (exact-but-quadratic"
@@ -328,6 +381,9 @@ def main() -> None:
     # compact window-normalizable summary as the FINAL line: total,
     # canary factor, quiet flag, query count, and the 10 slowest
     # per-query times — guaranteed to fit the tail whole.
+    row = baseline_canary_row(best.get(CANARY) if canary_applies else None)
+    if row is not None:
+        print(f"# BASELINE.md driver-canary class row: {row}", file=sys.stderr)
     slowest = dict(
         sorted(best.items(), key=lambda kv: kv[1], reverse=True)[:10]
     )
@@ -341,6 +397,11 @@ def main() -> None:
                 "n_queries": len(best),
                 "canary_sec": best.get(CANARY),
                 "host_factor_vs_quiet_canary": factor,
+                # the BASELINE.md ledger class, emitted mechanically so
+                # the driver artifact itself carries the row (r8 item 4)
+                "canary_class": canary_class(factor)
+                if factor is not None
+                else None,
                 "quiet_window": quiet,
                 "bench_passes": passes,
                 "n_skipped": len(skipped),

@@ -25,7 +25,10 @@ rules, all per-key, none pair-expanding:
 - chain:    the consumption edges force block order p -> c; real time must
             not contradict any forced ancestor (min-ret(c) >= max-inv over
             every chain ancestor), checked by pointer-doubling propagation
-            (O(log chain) rounds over the state-count-sized link table);
+            (O(log chain) rounds over the state-count-sized link table,
+            routed r9: per-key index-array fold in one stage for
+            single-parent graphs, the distributed per-round loop for hot
+            keys / dup graphs — see ``_chain_propagate_arrays``);
 - cross:    two blocks mutually precede each other — ``cluster_crossings``
             (plans/kv.py), the B51/B62 lex-orientation detector, shared
             verbatim.
@@ -42,14 +45,23 @@ Models shipped:
   by the releasing Unlock's, so states are unique and the generic rules
   are exact.  B59 audits the SERIAL grant spec; this audits the
   CONCURRENT history — the check the lab's failover tests actually imply.
+- ``ConfigEpochModel`` (r9, VERDICT r8 item 5) — the shardctrler
+  configuration machine as a monotonic-epoch model: every reconfiguration
+  both consumes and produces a config state, so the consumption chain is
+  total — the heaviest chain-rule exercise of the three, with its own
+  brute-force differential.  Three models on one engine = the porcupine
+  N-model abstraction, proven.
 
-Registered query: ``lock_linearizability`` over a derived concurrent
+Registered queries: ``lock_linearizability`` over a derived concurrent
 Lock/Unlock trace (B59's op recipe plus B51's latency spread), with stale
 fencing-token injections (1/{stale}) and junk tokens (1/{junk}) so the
-output is a genuine verdict mix.  The DuckDB oracle replays the identical
-derivation, then states cross as the literal quadratic EXISTS and chain as
-a literal RECURSIVE ancestor closure — obviously-correct-by-inspection SQL
-certifying the windowed/doubling formulations.
+output is a genuine verdict mix; ``ctrl_linearizability`` over a derived
+concurrent shardctrler config trace with fork/stale/junk epoch faults.
+Both DuckDB oracles come from ONE generic restatement
+(``generic_audit_oracle_sql``): replay the identical derivation, then
+state cross as the literal quadratic EXISTS and chain as a literal
+RECURSIVE ancestor closure — obviously-correct-by-inspection SQL
+certifying the windowed/doubling formulations for every model.
 """
 
 from __future__ import annotations
@@ -72,6 +84,16 @@ from mapreduceimplementation_spark.sources.tables import load_table
 _LLZ_LOCKS = 50  # clients share locks 50-to-1: sessions interleave
 _LLZ_STALE_EVERY = 19  # 1/19 ops observe the second-latest same-kind token
 _LLZ_JUNK_EVERY = 67  # 1/67 ops observe a token no op ever granted
+
+#: chain-rule router threshold (r9): when every state has at most ONE
+#: producer-observed parent (the porcupine unique-value common case — the
+#: consumption graph is a functional forest) AND no key holds more links
+#: than this, the pointer-doubling propagation runs as per-key index
+#: arrays inside ONE whole-stage aggregate() fold (O(1) element_at jumps,
+#: zero per-round jobs).  Above it — a hot key whose link table outgrows
+#: a single row (~48 MB at 1M links) — or on multi-parent (dup-producer)
+#: graphs, the round-materialized distributed doubling loop takes over.
+_LINZ_ARRAY_MAX_PER_KEY = 1_000_000
 
 
 class RegisterModel:
@@ -119,6 +141,113 @@ class LockTokenModel:
         return val == "F:-1"
 
 
+def _chain_propagate_arrays(links: DataFrame, cap: int) -> DataFrame:
+    """Chain propagation fast path (r9, VERDICT r8 item 1): the same
+    pointer-doubling recurrence as ``_chain_propagate_doubling``, run as
+    per-key INDEX ARRAYS inside one whole-stage ``aggregate()`` fold —
+    zero per-round jobs, zero per-round shuffles, O(1) ``element_at``
+    jumps (a Catalyst map would be an O(n) linear scan per lookup).
+
+    Callable only when every child has exactly one parent link (the
+    router's max_parents gate): then each state name resolves to exactly
+    one array position and the index join below cannot fan out.  Layout:
+    links get ``row_number`` positions per key, each link's parent name
+    is resolved to its position (``pidx``; null = the parent is a root),
+    and ``sort_array`` pins element k to position k.  The fold runs the
+    full ``cap`` rounds (converged elements jump on a null pidx, a
+    no-op), so verdicts — including the cap-exhausted cycle flag — are
+    bit-identical to the distributed loop's, which the engine-parity
+    pytest pins on both paths.
+
+    Returns (key, child, acc, live): acc = max ancestor y reached, live
+    = the pointer survived the cap (consumption cycle)."""
+    w = Window.partitionBy("key").orderBy("child")
+    idx = links.select(
+        "key", "child", "ptr", "acc", F.row_number().over(w).alias("i")
+    )
+    resolved = idx.join(
+        idx.select(
+            "key", F.col("child").alias("ptr"), F.col("i").alias("pidx")
+        ),
+        ["key", "ptr"],
+        "left",
+    ).select("key", "child", "i", "pidx", "acc")
+    arr0 = resolved.groupBy("key").agg(
+        F.sort_array(
+            F.collect_list(F.struct("i", "child", "pidx", "acc"))
+        ).alias("arr")
+    )
+    fold = f"""
+    aggregate(
+      sequence(1, {int(cap)}),
+      arr,
+      (a, r) -> transform(a, x -> if(x.pidx is null, x,
+          named_struct('i', x.i, 'child', x.child,
+                       'pidx', element_at(a, x.pidx).pidx,
+                       'acc', greatest(x.acc, element_at(a, x.pidx).acc))))
+    )
+    """
+    return (
+        arr0.select("key", F.explode(F.expr(fold)).alias("e"))
+        .select(
+            "key",
+            F.col("e.child").alias("child"),
+            F.col("e.acc").alias("acc"),
+            F.col("e.pidx").isNotNull().alias("live"),
+        )
+    )
+
+
+def _chain_propagate_doubling(
+    links: DataFrame, cap: int, max_parents: int
+) -> DataFrame:
+    """Chain propagation scale path: round-materialized distributed
+    pointer doubling — each round ONE (key, ptr) self-join over the
+    link table, localCheckpointed, with a convergence early-exit when
+    the frontier empties.  Handles what the array path cannot: keys
+    whose link tables outgrow a single row, and multi-parent (dup)
+    graphs where a state name resolves to several rows.  On those dup
+    graphs each round first collapses to one row per (key, child, ptr)
+    with max(acc) (ADVICE r8) so adversarial branching cannot grow the
+    intermediate superlinearly; counting stays exact because chain_v is
+    distinct-counted per block either way.
+
+    Returns (key, child, acc, live) — same contract as the array path."""
+    t = links
+    live_after_cap = False
+    for _ in range(cap):
+        active = t.where(F.col("ptr").isNotNull())
+        if active.isEmpty():
+            break
+        other = t.select(
+            "key",
+            F.col("child").alias("ptr"),
+            F.col("ptr").alias("nptr"),
+            F.col("acc").alias("nacc"),
+        )
+        t = t.join(other, ["key", "ptr"], "left").select(
+            "key",
+            "child",
+            F.col("nptr").alias("ptr"),
+            F.greatest("acc", F.coalesce("nacc", F.lit(_LIN_XMIN))).alias(
+                "acc"
+            ),
+        )
+        if max_parents > 1:
+            t = t.groupBy("key", "child", "ptr").agg(
+                F.max("acc").alias("acc")
+            )
+        t = t.localCheckpoint(eager=True)
+    else:
+        # cap exhausted with live pointers: consumption cycle — the
+        # still-live rows carry the flag out through `live`
+        live_after_cap = True
+    live = (
+        F.col("ptr").isNotNull() if live_after_cap else F.lit(False)
+    )
+    return t.select("key", "child", "acc", live.alias("live"))
+
+
 def audit_linearizability(history: DataFrame, model) -> DataFrame:
     """Generic per-key linearizability audit (see module docstring).
 
@@ -131,10 +260,15 @@ def audit_linearizability(history: DataFrame, model) -> DataFrame:
     Scale shape (porcupine's per-key decomposition throughout): state
     matching is one equi-join on (key, state); conflict/dup are
     groupBys on state cells; cross is two windows over the block-count
-    relation (cluster_crossings); chain is O(log chain-length) pointer-
-    doubling rounds over the state-count link table, each ONE self-join
-    — never an op-pair expansion, and a hot key costs what porcupine's
-    own per-key search would."""
+    relation (cluster_crossings); chain is pointer-doubling propagation
+    routed by one stats action (r9): single-parent graphs with per-key
+    link tables under ``_LINZ_ARRAY_MAX_PER_KEY`` fold all O(log chain)
+    rounds inside ONE whole-stage per-key index-array ``aggregate()``
+    (``_chain_propagate_arrays``); hotter keys or multi-parent (dup)
+    graphs run the round-materialized distributed loop with convergence
+    early-exit (``_chain_propagate_doubling``).  Never an op-pair
+    expansion either way, and a hot key costs what porcupine's own
+    per-key search would."""
     H = model.to_observations(history).localCheckpoint(eager=False)
     P = H.where(F.col("prod").isNotNull()).select(
         "key",
@@ -249,48 +383,42 @@ def audit_linearizability(history: DataFrame, model) -> DataFrame:
         .select("key", "child", F.col("parent").alias("ptr"), "acc")
         .localCheckpoint(eager=True)
     )
-    n_links = links.count()
+    # one stats action gates the chain-rule router: total links size the
+    # doubling cap, max links under one key sizes the array fast path,
+    # max producers-per-child detects multi-parent (dup) graphs
+    stats = (
+        links.groupBy("key", "child")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("key")
+        .agg(F.sum("c").alias("n"), F.max("c").alias("mc"))
+        .agg(
+            F.sum("n").alias("n_links"),
+            F.max("n").alias("max_per_key"),
+            F.max("mc").alias("max_parents"),
+        )
+        .collect()[0]
+    )
+    n_links = int(stats["n_links"] or 0)
+    max_per_key = int(stats["max_per_key"] or 0)
+    max_parents = int(stats["max_parents"] or 0)
     cap = max(1, (int(n_links).bit_length()) + 2)
-    t = links
-    cycled = None
-    for _ in range(cap):
-        active = t.where(F.col("ptr").isNotNull())
-        if active.isEmpty():
-            break
-        other = t.select(
-            "key",
-            F.col("child").alias("ptr"),
-            F.col("ptr").alias("nptr"),
-            F.col("acc").alias("nacc"),
-        )
-        t = (
-            t.join(other, ["key", "ptr"], "left")
-            .select(
-                "key",
-                "child",
-                F.col("nptr").alias("ptr"),
-                F.greatest(
-                    "acc", F.coalesce("nacc", F.lit(_LIN_XMIN))
-                ).alias("acc"),
-            )
-            .localCheckpoint(eager=True)
-        )
+    if max_parents <= 1 and max_per_key <= _LINZ_ARRAY_MAX_PER_KEY:
+        chain_flags = _chain_propagate_arrays(links, cap)
     else:
-        # cap exhausted with live pointers: the consumption edges form a
-        # cycle — a logical contradiction; flag every still-live child
-        cycled = t.where(F.col("ptr").isNotNull()).select("key", "child")
+        chain_flags = _chain_propagate_doubling(links, cap, max_parents)
     chain_v = (
         blocks.join(
-            t.select("key", F.col("child").alias("val"), "acc"),
+            chain_flags.select(
+                "key", F.col("child").alias("val"), "acc", "live"
+            ),
             ["key", "val"],
         )
-        .where(F.col("x") < F.col("acc"))
+        # flag when a forced ancestor's max-inv exceeds this block's
+        # min-ret, OR the pointer survived the doubling cap (the walk
+        # found a consumption CYCLE — a logical contradiction)
+        .where((F.col("x") < F.col("acc")) | F.col("live"))
         .select("key", "val")
     )
-    if cycled is not None:
-        chain_v = chain_v.unionByName(
-            cycled.select("key", F.col("child").alias("val"))
-        )
     # distinct ALWAYS, not just on the cycle path (r8 self-review): a
     # state produced by two ops observing different parents (n_dup > 0)
     # carries 2+ rows per child through the doubling loop, and without
@@ -514,10 +642,16 @@ _LLZ_HISTORY_SQL = f"""
 """
 
 
-@register(
-    "lock_linearizability",
-    oracle=f"""
-    WITH {_LLZ_HISTORY_SQL},
+def generic_audit_oracle_sql(history_cte: str, init: str) -> str:
+    """The generic engine's DuckDB restatement, parameterized exactly as
+    the engine is: a ``hist`` CTE producing (key, opid, inv, ret, obs,
+    prod) and the model's initial-state literal (``model.is_initial``).
+    Crossing is the literal quadratic EXISTS, chain the literal RECURSIVE
+    ancestor closure — obviously-correct-by-inspection SQL certifying the
+    windowed/doubling formulations for EVERY model instantiated on the
+    engine (B85 lock tokens, B86 shardctrler config epochs)."""
+    return f"""
+    WITH {history_cte},
     prods AS (
         SELECT key, prod AS val, inv AS p_inv, ret AS p_ret, opid AS p_opid,
                obs AS p_obs
@@ -530,7 +664,7 @@ _LLZ_HISTORY_SQL = f"""
     ),
     om AS (
         SELECT h.key, h.obs AS val, h.inv AS o_inv, h.ret AS o_ret,
-               s.p_inv, (h.obs = 'F:-1') AS is_init
+               s.p_inv, (h.obs = '{init}') AS is_init
         FROM hist h
         LEFT JOIN states s ON s.key = h.key AND s.val = h.obs
         WHERE h.obs IS NOT NULL
@@ -548,7 +682,7 @@ _LLZ_HISTORY_SQL = f"""
     ),
     blocks AS (
         SELECT key, val,
-               CASE WHEN val = 'F:-1' THEN CAST({_LIN_XMIN} AS BIGINT)
+               CASE WHEN val = '{init}' THEN CAST({_LIN_XMIN} AS BIGINT)
                     ELSE MIN(r) END AS x,
                MAX(i) AS y
         FROM (
@@ -563,8 +697,8 @@ _LLZ_HISTORY_SQL = f"""
         -- the windowed pointer-doubling twin must flag exactly the
         -- blocks whose min-ret precedes some forced ancestor's max-inv.
         -- Scope note (r8 self-review): this restatement assumes an
-        -- ACYCLIC consumption graph, which derive_lock_token_history
-        -- guarantees (observed tokens strictly precede their observers
+        -- ACYCLIC consumption graph, which every registered derivation
+        -- guarantees (observed states strictly precede their observers
         -- in serial order).  The engine additionally flags cyclic
         -- graphs (cap-exhausted live pointers) — that rule is pinned
         -- by tests/test_linz.py hand traces, not oracle-stated, so the
@@ -648,7 +782,12 @@ _LLZ_HISTORY_SQL = f"""
     LEFT JOIN conflict_agg c USING (key)
     LEFT JOIN chain_agg ch USING (key)
     LEFT JOIN crossv x USING (key)
-    """,
+    """
+
+
+@register(
+    "lock_linearizability",
+    oracle=generic_audit_oracle_sql(_LLZ_HISTORY_SQL, "F:-1"),
 )
 def lock_linearizability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-lock linearizability verdicts for a concurrent fencing-token
@@ -671,4 +810,211 @@ def lock_linearizability(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     return audit_linearizability(
         derive_lock_token_history(spark, sf_dir), LockTokenModel
+    )
+
+
+# ---------------------------------------------------------------------------
+# B86. ctrl_linearizability — the generic engine's THIRD model: the
+# shardctrler configuration state machine (VERDICT r8 item 5: two models
+# prove the API, three prove the abstraction).
+
+_CTL_GROUPS = 40  # controller replica groups: clients share 40-to-1
+_CTL_RECONF_MOD = 4  # 1/4 of ops reconfigure; the rest are Queries.
+# Query-heavy on purpose, and not only for realism: every reconfig
+# deepens the consumption chain, and the ORACLE's recursive closure is
+# O(sum chain-depth^2) — at 3/4 reconfigs the sf0.1 certification would
+# run ~20 min; at 1/4 it stays inside the B85-documented budget
+# (tests/test_linz.py pins the depth distribution for both models).
+_CTL_FORK_EVERY = 53  # 1/53 reconfigs fork: produce the PREVIOUS epoch again
+_CTL_STALE_EVERY = 23  # 1/23 ops observe the previous epoch (stale read)
+_CTL_JUNK_EVERY = 71  # 1/71 ops observe an epoch no reconfig ever installed
+
+
+class ConfigEpochModel:
+    """The shardctrler configuration machine (reference
+    src/shardctrler/server.go:1 Join/Leave/Move/Query over numbered
+    configs; common.go:1 `Num` increments per reconfiguration) as an
+    observation model: states 'C:<num>' ('C:0' = the initial config),
+    made per-key-unique by the monotonic config number — exactly
+    porcupine's unique-value regime.  A reconfiguration (Join/Leave/
+    Move) observes the current config and produces its successor; a
+    Query observes without producing.  Faults this catches: forked
+    config histories (two leaders both install config n -> dup +
+    conflict), stale Queries (a lagging replica answers with config
+    n-1 -> crossing/chain), phantom configs (junk -> unknown)."""
+
+    @staticmethod
+    def to_observations(history: DataFrame) -> DataFrame:
+        return history.select("key", "opid", "inv", "ret", "obs", "prod")
+
+    @staticmethod
+    def is_initial(val: Column) -> Column:
+        return val == "C:0"
+
+
+def derive_ctrl_config_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic CONCURRENT shardctrler history from events — the
+    B85 derivation recipe on the config machine: key = controller group
+    (user_id % {groups}), kind from the 'ctlop' hash (1/{qmod} Query),
+    B51's latency spread so intervals overlap.  The serial replay in
+    (inv, opid) order installs config n at the n-th reconfiguration;
+    injected faults (hash cells on opid, never per-event rates — the
+    B63 scale-stability lesson; a hash-chosen 1/4 of groups stays
+    exempt so clean verdicts exist at every scale factor):
+
+    - fork (1/{fork}): a reconfig re-produces the PREVIOUS epoch and
+      re-observes that epoch's parent — the split-brain double-install
+      (dup + conflict, and the skipped epoch's real observers go
+      unknown);
+    - stale (1/{stale}): an op observes the epoch BEFORE the true one —
+      the lagging-replica read (crossing / chain contradictions);
+    - junk (1/{junk}): an op observes a never-installed epoch
+      (unknown).
+
+    Output: (key, opid, inv, ret, kind, obs, prod) —
+    ``ConfigEpochModel``'s contract."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    eid = F.col("event_id").cast("string")
+    base = ev.select(
+        (F.col("user_id") % _CTL_GROUPS).alias("key"),
+        F.col("event_id").alias("opid"),
+        F.unix_micros("ts").alias("inv"),
+        (
+            F.unix_micros("ts")
+            + _LIN_DUR_BASE
+            + hash64(eid, salt="ctl-dur") % _LIN_DUR_MOD
+        ).alias("ret"),
+        F.when(hash64(eid, salt="ctlop") % _CTL_RECONF_MOD == 0, "reconf")
+        .otherwise("query")
+        .alias("kind"),
+    )
+    w = Window.partitionBy("key").orderBy("inv", "opid")
+    g1 = base.select(
+        "*",
+        F.sum(F.when(F.col("kind") == "reconf", 1).otherwise(0))
+        .over(w)
+        .alias("num"),
+    )
+    is_rc = F.col("kind") == "reconf"
+    true_obs = F.when(is_rc, F.col("num") - 1).otherwise(F.col("num"))
+    clean = hash64(F.col("key").cast("string"), salt="ctl-clean") % 4 == 0
+    oid = F.col("opid").cast("string")
+    fork = (
+        ~clean
+        & is_rc
+        & (F.col("num") >= 2)
+        & (hash64(oid, salt="ctl-fork") % _CTL_FORK_EVERY == 0)
+    )
+    stale = (
+        ~clean
+        & ~fork
+        & (true_obs >= 1)
+        & (hash64(oid, salt="ctl-st") % _CTL_STALE_EVERY == 0)
+    )
+    junk = (
+        ~clean
+        & ~fork
+        & ~stale
+        & (hash64(oid, salt="ctl-junk") % _CTL_JUNK_EVERY == 0)
+    )
+    obs_num = (
+        F.when(fork, F.col("num") - 2)
+        .when(stale, true_obs - 1)
+        .when(junk, -F.col("opid") - 7)
+        .otherwise(true_obs)
+    )
+    prod_num = F.when(fork, F.col("num") - 1).otherwise(F.col("num"))
+    prod = F.when(
+        is_rc, F.concat(F.lit("C:"), prod_num.cast("string"))
+    )
+    return g1.select(
+        "key",
+        "opid",
+        "inv",
+        "ret",
+        "kind",
+        F.concat(F.lit("C:"), obs_num.cast("string")).alias("obs"),
+        prod.alias("prod"),
+    )
+
+
+_CTL_H_DUR = sql_hash64("'ctl-dur' || CAST(event_id AS VARCHAR)")
+_CTL_H_OP = sql_hash64("'ctlop' || CAST(event_id AS VARCHAR)")
+_CTL_H_FORK = sql_hash64("'ctl-fork' || CAST(opid AS VARCHAR)")
+_CTL_H_ST = sql_hash64("'ctl-st' || CAST(opid AS VARCHAR)")
+_CTL_H_JUNK = sql_hash64("'ctl-junk' || CAST(opid AS VARCHAR)")
+_CTL_H_CLEAN = sql_hash64("'ctl-clean' || CAST(key AS VARCHAR)")
+
+_CTL_HISTORY_SQL = f"""
+    base AS (
+        SELECT user_id % {_CTL_GROUPS} AS key,
+               event_id AS opid,
+               CAST(epoch_us(ts) AS BIGINT) AS inv,
+               CAST(epoch_us(ts) AS BIGINT) + {_LIN_DUR_BASE}
+                   + ({_CTL_H_DUR} % {_LIN_DUR_MOD}) AS ret,
+               CASE WHEN {_CTL_H_OP} % {_CTL_RECONF_MOD} = 0
+                    THEN 'reconf' ELSE 'query' END AS kind
+        FROM events
+    ),
+    g1 AS (
+        SELECT *,
+               SUM(CASE WHEN kind = 'reconf' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY key ORDER BY inv, opid) AS num
+        FROM base
+    ),
+    flagged AS (
+        SELECT *,
+               (NOT clean) AND kind = 'reconf' AND num >= 2
+                   AND ({_CTL_H_FORK} % {_CTL_FORK_EVERY}) = 0 AS fork
+        FROM (
+            SELECT *,
+                   CASE WHEN kind = 'reconf' THEN num - 1 ELSE num END
+                       AS true_obs,
+                   ({_CTL_H_CLEAN} % 4) = 0 AS clean
+            FROM g1
+        )
+    ),
+    faults AS (
+        SELECT *,
+               (NOT clean) AND (NOT fork) AND true_obs >= 1
+                   AND ({_CTL_H_ST} % {_CTL_STALE_EVERY}) = 0 AS stale
+        FROM flagged
+    ),
+    hist AS (
+        SELECT key, opid, inv, ret, kind,
+               'C:' || CAST(
+                   CASE WHEN fork THEN num - 2
+                        WHEN stale THEN true_obs - 1
+                        WHEN (NOT clean) AND (NOT fork) AND (NOT stale)
+                             AND ({_CTL_H_JUNK} % {_CTL_JUNK_EVERY}) = 0
+                            THEN -opid - 7
+                        ELSE true_obs END AS VARCHAR) AS obs,
+               CASE WHEN kind = 'reconf' THEN
+                   'C:' || CAST(CASE WHEN fork THEN num - 1 ELSE num END
+                                AS VARCHAR)
+               END AS prod
+        FROM faults
+    )
+"""
+
+
+@register(
+    "ctrl_linearizability",
+    oracle=generic_audit_oracle_sql(_CTL_HISTORY_SQL, "C:0"),
+)
+def ctrl_linearizability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group linearizability verdicts for a concurrent shardctrler
+    configuration history (B86) — ``audit_linearizability``'s THIRD
+    model (``ConfigEpochModel``), proving the engine is porcupine-grade
+    N-model generic (reference src/porcupine/model.go:1): a register
+    (B51 pin), a 2-state token machine (B85), and now a monotonic-epoch
+    machine whose every state is both consumed and produced — the
+    heaviest chain-rule exercise of the three.  The DuckDB oracle is the
+    SAME generic restatement (``generic_audit_oracle_sql``) on this
+    model's derivation — one oracle template now certifies every model,
+    which is itself evidence the abstraction is real."""
+    tune(spark)
+    return audit_linearizability(
+        derive_ctrl_config_history(spark, sf_dir), ConfigEpochModel
     )

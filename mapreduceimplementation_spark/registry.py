@@ -33,11 +33,27 @@ BASELINE_CLASS = "baseline_class"
 #: the guard is mechanical, not a docstring.
 DENSITY_QUADRATIC = "density_quadratic"
 
+#: tag naming the cost law of single-exchange replay audits (VERDICT r8
+#: item 2, B68 raft_snapshot_audit): wall tracks TOTAL per-key log mass x
+#: audit fanout.  The plan is one exchange + row-local sorted-array
+#: prefix replay — there is no fixed-overhead floor to hide behind, so
+#: inflating every key's log k-fold measures ~k x wall BY DESIGN (the
+#: honest cost of replaying k x more log), unlike scan/agg queries whose
+#: 10x ratios sit at 1-3x because scheduling dominates.  Distinct from
+#: DENSITY_QUADRATIC (superlinear in a density parameter — a hazard) and
+#: BASELINE_CLASS (quadratic diagnostics): this class is LINEAR and
+#: scale-safe; the tag exists so a near-k x scale ratio reads as the law,
+#: not as a regression to chase.
+LOG_MASS_LINEAR = "log_mass_linear"
+
 #: linear twin per DENSITY_QUADRATIC query — the plan to route to when
 #: expected per-key in-horizon density exceeds the operator's documented
-#: threshold; consumed by the warning text and the routing APIs.
+#: threshold; consumed by the warning text and the routing APIs.  Since
+#: r9 the plain streaming_transition_matrix key IS the linear plan and
+#: the quadratic decomposition is the explicitly-named opt-in variant
+#: (VERDICT r8 item 3).
 LINEAR_TWIN: dict[str, str] = {
-    "streaming_transition_matrix": "streaming_transition_matrix_state",
+    "streaming_transition_matrix_interval_join": "streaming_transition_matrix",
 }
 
 

@@ -614,7 +614,7 @@ def run_transition_matrix(
 
 
 @register(
-    "streaming_transition_matrix",
+    "streaming_transition_matrix_interval_join",
     oracle=f"""
     WITH seq AS (
         SELECT user_id, ts, event_type,
@@ -635,19 +635,25 @@ def run_transition_matrix(
     """,
     tags=(DENSITY_QUADRATIC,),
 )
-def streaming_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming Markov transition matrix (D18) — B74 on a live stream
-    via interval-self-join -> windowed argmax -> chained windowed count
-    (three stateful operators, one query); availableNow equals the batch
-    lag-with-horizon twin exactly.  See run_transition_matrix.
+def streaming_transition_matrix_interval_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming Markov transition matrix, interval-join decomposition
+    (D18) — B74 on a live stream via interval-self-join -> windowed
+    argmax -> chained windowed count (three stateful operators, one
+    query); availableNow equals the batch lag-with-horizon twin exactly.
+    See run_transition_matrix.
 
-    DENSITY_QUADRATIC (VERDICT r7): the interval self-join's candidate
-    volume is ∝ per-user in-horizon events² (measured 19.25x wall at 10x
-    replica inflation, SCALE_r07.json), so on hot users this plan is a
-    scale-killer.  It stays registered as the JVM-state-only alternative
-    (no Python workers in the hot path); route by density via
-    ``pick_transition_matrix_impl`` — D19 (streaming_transition_matrix_
-    state) is the linear twin (1.81x at 10x, faster at 1x too)."""
+    DENSITY_QUADRATIC (VERDICT r7), and therefore DEMOTED off the plain
+    key (VERDICT r8 item 3): the interval self-join's candidate volume
+    is ∝ per-user in-horizon events² (measured 21.6x wall at 10x replica
+    inflation, SCALE_r08.json), so on hot users this plan is a
+    scale-killer.  The plain ``streaming_transition_matrix`` key now
+    serves the LINEAR custom-state lag; this explicitly-named variant
+    stays registered as the JVM-state-only alternative (no Python
+    workers in the hot path) for feeds known to sit at or below
+    ``D18_MAX_EVENTS_PER_USER_IN_HORIZON`` — route by density via
+    ``pick_transition_matrix_impl``."""
     tune(spark)
     return run_transition_matrix(
         spark, os.path.join(sf_dir, "events.parquet")
@@ -655,9 +661,10 @@ def streaming_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# D19. streaming_transition_matrix_state — the LINEAR streaming lag
-# (applyInPandasWithState; the pair to D18's join+argmax decomposition,
-# exactly as D2/D6 pair the custom-state and built-in sessionize paths)
+# D19. streaming_transition_matrix (the plain key since r9) — the LINEAR
+# streaming lag (applyInPandasWithState; the pair to D18's join+argmax
+# decomposition, exactly as D2/D6 pair the custom-state and built-in
+# sessionize paths)
 
 _TRS_SINK = "d19_transition_state_sink"
 
@@ -774,7 +781,7 @@ def run_transition_matrix_state(
 
 
 @register(
-    "streaming_transition_matrix_state",
+    "streaming_transition_matrix",
     oracle=f"""
     WITH seq AS (
         SELECT user_id, ts, event_type,
@@ -793,14 +800,16 @@ def run_transition_matrix_state(
     GROUP BY 1, 2, 3
     """,
 )
-def streaming_transition_matrix_state(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Streaming Markov transition matrix via applyInPandasWithState
-    (D19): one event of state per user, one transition per event —
-    linear where D18's interval-join decomposition is quadratic in
-    per-user density; also needs no event-time cutoff (covers the full
-    feed).  See run_transition_matrix_state."""
+def streaming_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Markov transition matrix (D19) — the PLAIN key a
+    registry user hits, and since r9 (VERDICT r8 item 3) it serves the
+    LINEAR applyInPandasWithState lag: one event of state per user, one
+    transition per event — linear where the interval-join decomposition
+    (``streaming_transition_matrix_interval_join``) is quadratic in
+    per-user density (2.26x vs 21.6x wall at 10x replica inflation,
+    SCALE_r08.json); also needs no event-time cutoff (covers the full
+    feed).  See run_transition_matrix_state and
+    ``pick_transition_matrix_impl`` for the density routing rule."""
     tune(spark)
     return run_transition_matrix_state(
         spark, os.path.join(sf_dir, "events.parquet")
@@ -828,13 +837,19 @@ def pick_transition_matrix_impl(expected_events_per_user_in_horizon: float):
     """Route between the two registered streaming transition-matrix
     plans by expected per-user density within the lag horizon
     (_TRM_HORIZON_H hours): at or below
-    ``D18_MAX_EVENTS_PER_USER_IN_HORIZON`` the JVM-state-only D18
-    (interval join + argmax; no Python workers) is acceptable; above it
-    its ∝ d² candidate volume makes the linear custom-state D19
-    mandatory.  Estimate d from the feed's own history, e.g.
+    ``D18_MAX_EVENTS_PER_USER_IN_HORIZON`` the JVM-state-only interval
+    join + argmax (no Python workers) is acceptable; above it its ∝ d²
+    candidate volume makes the linear custom-state lag mandatory.
+    Estimate d from the feed's own history, e.g.
     ``events_in_last_horizon / distinct_users_in_last_horizon``.
+
+    Since r9 the PLAIN ``streaming_transition_matrix`` key is the linear
+    plan (VERDICT r8 item 3) — a registry user who never calls this
+    router gets the scale-safe path by default, and opting into the
+    quadratic decomposition requires naming
+    ``streaming_transition_matrix_interval_join`` explicitly.
 
     Returns the registered (spark, sf_dir) -> DataFrame callable."""
     if expected_events_per_user_in_horizon <= D18_MAX_EVENTS_PER_USER_IN_HORIZON:
-        return streaming_transition_matrix
-    return streaming_transition_matrix_state
+        return streaming_transition_matrix_interval_join
+    return streaming_transition_matrix

@@ -1,6 +1,7 @@
-"""B85 generic linearizability engine: brute-force differential for the
-token-lock model, RegisterModel-vs-B51 pinning, rule-isolating hand
-traces, and the registered query's verdict mix."""
+"""B85/B86 generic linearizability engine: brute-force differentials for
+the token-lock AND config-epoch models, RegisterModel-vs-B51 pinning,
+rule-isolating hand traces, chain-router path parity (r9), the registered
+queries' verdict mixes, and the oracle-closure cost budget pin."""
 
 from __future__ import annotations
 
@@ -22,12 +23,13 @@ _HIST_SCHEMA = (
 )
 
 
-def _brute_lock(ops):
-    """All-linearizations search for the token-lock observation model:
+def _brute(ops, init):
+    """All-linearizations search for ANY unique-value observation model:
     schedule order must respect real time (a returns before b invokes
     => a first), an op applies only when the current state equals its
     obs, and a producing op replaces the state.  Exponential — test
-    sizes only (the porcupine-search ground truth)."""
+    sizes only (the porcupine-search ground truth); ``init`` is the
+    model's initial-state literal."""
     n = len(ops)
     for perm in itertools.permutations(range(n)):
         pos = {p: i for i, p in enumerate(perm)}
@@ -38,7 +40,7 @@ def _brute_lock(ops):
             if a != b
         ):
             continue
-        cur = "F:-1"
+        cur = init
         good = True
         for idx in perm:
             _, _, _, obs, prod = ops[idx]
@@ -50,6 +52,10 @@ def _brute_lock(ops):
         if good:
             return True
     return False
+
+
+def _brute_lock(ops):
+    return _brute(ops, "F:-1")
 
 
 def test_lock_model_matches_bruteforce_on_random_histories(spark):
@@ -247,6 +253,58 @@ def test_chain_flags_blocks_downstream_of_cycle(spark):
     assert not out["linearizable"]
 
 
+def test_chain_router_paths_agree(spark, monkeypatch):
+    """r9 router pin: the per-key index-array fold and the distributed
+    doubling loop are the SAME recurrence — on identical histories the
+    full per-key rows (all six rule counters, not just the verdict)
+    must be bit-identical whichever path the router picks.  Forces the
+    distributed path by zeroing the array-size threshold; covers clean
+    chains, stale/junk faults, a consumption cycle, and a block hanging
+    downstream of one."""
+    import mapreduceimplementation_spark.plans.linz as linz
+
+    rng = random.Random(20260816 + 9)
+    rows = [
+        # cycle + downstream block (the cap-exhausted live flag)
+        (900, 1, 0, 10, "B", "A"),
+        (900, 2, 0, 10, "A", "B"),
+        (900, 3, 0, 10, "A", "C"),
+    ]
+    for k in range(30):
+        t = 0
+        state = "F:-1"
+        toks = {"F": ["-1"], "H": []}
+        for opid in range(1, rng.randint(3, 7)):
+            inv = t + rng.randint(0, 3)
+            ret = inv + rng.randint(1, 5)
+            t = inv + 1
+            kind = rng.choice(["lock", "unlock"])
+            granted = (kind == "lock") == state.startswith("F")
+            obs = state
+            prod = None
+            if granted:
+                prod = ("H:" if kind == "lock" else "F:") + str(opid)
+                toks[prod[0]].append(str(opid))
+                state = prod
+            if rng.random() < 0.3:
+                kk = obs[0]
+                obs = (
+                    kk + ":" + rng.choice(toks[kk])
+                    if rng.random() < 0.5
+                    else f"{kk}:{-opid - 7}"
+                )
+            rows.append((k, opid, inv, ret, obs, prod))
+    df = spark.createDataFrame(rows, _HIST_SCHEMA).localCheckpoint()
+
+    def rowmap(out):
+        return {r["key"]: tuple(r) for r in out.collect()}
+
+    fast = rowmap(audit_linearizability(df, LockTokenModel))
+    monkeypatch.setattr(linz, "_LINZ_ARRAY_MAX_PER_KEY", 0)
+    slow = rowmap(audit_linearizability(df, LockTokenModel))
+    assert fast == slow and len(fast) == 31
+
+
 def test_lock_linearizability_registered_mix(spark):
     """Registered B85 query at sf0.01: a genuine verdict mix — the
     hash-exempt clean locks all pass (the derivation's invoke-order
@@ -279,3 +337,148 @@ def test_lock_linearizability_registered_mix(spark):
             + r["n_cross"]
         )
         assert r["linearizable"] == (viol == 0)
+
+
+def test_config_model_matches_bruteforce_on_random_histories(spark):
+    """Differential gate for the engine's THIRD model (B86, VERDICT r8
+    item 5): seeded random concurrent shardctrler config histories
+    (ops <= 6) — serial epoch replay corrupted with fork / stale / junk
+    epoch observations (the registered derivation's fault classes); the
+    engine's per-key verdict must equal the brute-force search on every
+    case.  One batched engine invocation."""
+    from mapreduceimplementation_spark.plans.linz import ConfigEpochModel
+
+    rng = random.Random(20260816 + 86)
+    cases = []
+    for _ in range(120):
+        n = rng.randint(2, 6)
+        iv = []
+        for i in range(n):
+            inv = rng.randint(0, 12)
+            iv.append((i, inv, inv + rng.randint(1, 6)))
+        remaining = list(iv)
+        order = []
+        while remaining:
+            cands = [
+                o
+                for o in remaining
+                if not any(p[2] < o[1] for p in remaining if p is not o)
+            ]
+            pick = rng.choice(cands)
+            remaining.remove(pick)
+            order.append(pick)
+        num = 0
+        ops = {}
+        for opid, inv, ret in order:
+            reconf = rng.random() < 0.5
+            obs = f"C:{num}"
+            prod = None
+            if reconf:
+                num += 1
+                prod = f"C:{num}"
+            ops[opid] = [opid, inv, ret, obs, prod]
+        # corrupt: fork (re-produce the previous epoch), stale, junk
+        if rng.random() < 0.6:
+            for opid in rng.sample(sorted(ops), rng.randint(1, 2)):
+                o = ops[opid]
+                roll = rng.random()
+                if roll < 0.34 and o[4] is not None and o[4] != "C:1":
+                    cur = int(o[4][2:])
+                    o[4] = f"C:{cur - 1}"
+                    o[3] = f"C:{cur - 2}"
+                elif roll < 0.67 and o[3] != "C:0":
+                    o[3] = f"C:{int(o[3][2:]) - 1}"
+                else:
+                    o[3] = f"C:{-opid - 7}"
+        cases.append([tuple(ops[i]) for i in sorted(ops)])
+
+    rows = [
+        (k, opid, inv, ret, obs, prod)
+        for k, ops in enumerate(cases)
+        for opid, inv, ret, obs, prod in ops
+    ]
+    df = spark.createDataFrame(rows, _HIST_SCHEMA)
+    got = {
+        r["key"]: r["linearizable"]
+        for r in audit_linearizability(df, ConfigEpochModel).collect()
+    }
+    bad = [
+        (k, _brute(ops, "C:0"), got[k])
+        for k, ops in enumerate(cases)
+        if _brute(ops, "C:0") != got[k]
+    ]
+    assert not bad, f"engine disagrees with brute force: {bad[:5]}"
+
+
+def test_ctrl_linearizability_registered_mix(spark):
+    """Registered B86 query at sf0.01: clean (hash-exempt) controller
+    groups must audit linearizable — the serial epoch replay is
+    real-time-consistent by construction (engine soundness) — and the
+    injected fork/stale/junk faults must produce a genuine violation
+    mix including dup + conflict (forks), which the lock model cannot
+    generate."""
+    from mapreduceimplementation_spark.functions.hashing import py_hash64
+
+    rows = eng.QUERIES["ctrl_linearizability"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) == 40
+    clean = [r for r in rows if r["linearizable"]]
+    assert clean and len(clean) < len(rows)
+    tot = {
+        c: sum(r[c] for r in rows)
+        for c in ("n_unknown", "n_dup", "n_conflict", "n_chain")
+    }
+    assert all(v > 0 for v in tot.values()), tot
+    for r in rows:
+        exempt = py_hash64(str(r["key"]), salt="ctl-clean") % 4 == 0
+        if exempt:
+            assert r["linearizable"], r
+        viol = (
+            r["n_unknown"]
+            + r["n_dup"]
+            + r["n_conflict"]
+            + r["n_future"]
+            + r["n_chain"]
+            + r["n_cross"]
+        )
+        assert r["linearizable"] == (viol == 0)
+
+
+def test_oracle_closure_cost_stays_inside_budget(spark):
+    """VERDICT r8 item 7: the certification oracle's recursive ancestor
+    closure is O(sum chain-depth^2) BY DESIGN; pin both registered
+    derivations' chain-size distributions at sf0.01 so a parameter
+    change (_LLZ_* / _CTL_*) cannot silently push the sf0.1 gate past
+    the driver's timeout.  Consumer count per key upper-bounds chain
+    depth (every chain link is a producing op that also observes).
+    Budgets calibrated r9: lock measured (118, 485,800) and ctrl
+    (93, 162,294); closure work scales ~100x from sf0.01 to sf0.1
+    (rows x10 => per-key depth x10 => depth^2 x100), and the lock
+    budget's 100x ~ 60M closure rows certified in ~9 min — the
+    accepted ceiling."""
+    from pyspark.sql import functions as F
+
+    from mapreduceimplementation_spark.plans.linz import (
+        derive_ctrl_config_history,
+        derive_lock_token_history,
+    )
+
+    budgets = {
+        "lock": (derive_lock_token_history, 150, 600_000),
+        "ctrl": (derive_ctrl_config_history, 120, 250_000),
+    }
+    for name, (derive, max_depth, max_sum2) in budgets.items():
+        hist = derive(spark, "/root/testdata/sf0.01")
+        cons = (
+            hist.where(F.col("prod").isNotNull() & F.col("obs").isNotNull())
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.max("c").alias("maxd"),
+                F.sum(F.col("c") * F.col("c")).alias("sum2"),
+            )
+            .collect()[0]
+        )
+        assert cons["maxd"] <= max_depth, (name, cons)
+        assert cons["sum2"] <= max_sum2, (name, cons)

@@ -173,10 +173,12 @@ def test_baseline_class_tags_present(spark):
 
 
 def test_density_quadratic_tag_and_warning(spark):
-    """VERDICT r7 item 2: D18's interval-join decomposition is quadratic
-    in per-user density — the registry tag, the bench/scale mechanical
-    warning (naming the linear twin), and the routing API must all
-    exist, so the hazard can't run silently or be re-introduced."""
+    """VERDICT r7 item 2 + r8 item 3: the interval-join transition
+    decomposition is quadratic in per-user density — the registry tag,
+    the bench/scale mechanical warning (naming the linear twin), and the
+    routing API must all exist, AND since r9 the PLAIN key must be the
+    linear plan (a registry user who never reads the docs gets the
+    scale-safe path; the quadratic variant is an explicit opt-in)."""
     import bench
     from mapreduceimplementation_spark.registry import (
         DENSITY_QUADRATIC,
@@ -186,31 +188,105 @@ def test_density_quadratic_tag_and_warning(spark):
     )
 
     tagged = {n for n in TAGS if has_tag(n, DENSITY_QUADRATIC)}
-    assert tagged == {"streaming_transition_matrix"}, tagged
+    assert tagged == {"streaming_transition_matrix_interval_join"}, tagged
     # every tagged query names a registered linear twin
     for n in tagged:
         assert LINEAR_TWIN[n] in eng.QUERIES
     # the warning fires and points at the twin (bench.run_pass and
     # tools/scale_stress.py both emit via this helper)
-    ws = bench.tag_warnings("streaming_transition_matrix")
+    ws = bench.tag_warnings("streaming_transition_matrix_interval_join")
     assert any(
-        DENSITY_QUADRATIC in w and "streaming_transition_matrix_state" in w
+        DENSITY_QUADRATIC in w and "twin streaming_transition_matrix" in w
         for w in ws
     ), ws
-    # untagged queries stay silent on this class
+    # untagged queries stay silent on this class — CRITICALLY including
+    # the plain default key (the r9 swap's whole point)
     assert not any(
         DENSITY_QUADRATIC in w for w in bench.tag_warnings("events_minutely")
     )
-    # the routing rule is an API: low density -> D18, high -> D19
+    assert not any(
+        DENSITY_QUADRATIC in w
+        for w in bench.tag_warnings("streaming_transition_matrix")
+    )
+    # the routing rule is an API: low density -> interval join, high ->
+    # the linear plain key
     from mapreduceimplementation_spark.streaming.joins import (
         D18_MAX_EVENTS_PER_USER_IN_HORIZON as thresh,
         pick_transition_matrix_impl,
         streaming_transition_matrix,
-        streaming_transition_matrix_state,
+        streaming_transition_matrix_interval_join,
     )
 
-    assert pick_transition_matrix_impl(1.0) is streaming_transition_matrix
+    assert (
+        pick_transition_matrix_impl(1.0)
+        is streaming_transition_matrix_interval_join
+    )
     assert (
         pick_transition_matrix_impl(thresh + 1)
-        is streaming_transition_matrix_state
+        is streaming_transition_matrix
     )
+    # the plain key's registered callable IS the linear implementation
+    assert (
+        eng.QUERIES["streaming_transition_matrix"]
+        is streaming_transition_matrix
+    )
+    # and its plan is the custom-state lag, not an interval join: the
+    # linear path runs FlatMapGroupsInPandasWithState — pin by source
+    import inspect
+
+    src = inspect.getsource(streaming_transition_matrix)
+    assert "run_transition_matrix_state" in src
+
+
+def test_log_mass_linear_tag_and_note(spark):
+    """VERDICT r8 item 2: B68 raft_snapshot_audit's ~k x wall at k x log
+    inflation is a named cost law (single-exchange prefix replay over
+    total per-key log mass x follower fanout), carried as a registry tag
+    with a mechanical bench/scale note — so the scale ratio reads as the
+    law, not as an untagged regression."""
+    import bench
+    from mapreduceimplementation_spark.registry import (
+        LOG_MASS_LINEAR,
+        TAGS,
+        has_tag,
+    )
+
+    tagged = {n for n in TAGS if has_tag(n, LOG_MASS_LINEAR)}
+    assert tagged == {"raft_snapshot_audit"}, tagged
+    ws = bench.tag_warnings("raft_snapshot_audit")
+    assert any(LOG_MASS_LINEAR in w and "cost law" in w for w in ws), ws
+    assert not any(
+        LOG_MASS_LINEAR in w for w in bench.tag_warnings("events_minutely")
+    )
+
+
+def test_canary_ledger_row_is_mechanical():
+    """VERDICT r8 item 4: bench.py classifies its own window and prints
+    the exact BASELINE.md driver-canary table row — the class boundaries
+    must reproduce every hand-assigned r1-r8 row, and the emitted row
+    must be a well-formed 4-cell markdown line for the NEXT round."""
+    import re
+
+    import bench
+
+    hand = [
+        (1.13, "normal"),  # r1
+        (1.27, "normal-slow"),  # r2
+        (1.06, "normal"),  # r3
+        (1.58, "slow"),  # r4
+        (0.23, "fast"),  # r5
+        (1.08, "normal"),  # r6
+        (1.20, "normal"),  # r7
+        (0.23, "fast"),  # r8
+    ]
+    for factor, want in hand:
+        assert bench.canary_class(factor) == want, (factor, want)
+    row = bench.baseline_canary_row(0.365)
+    assert row is not None
+    m = re.fullmatch(
+        r"\| r(\d+) \| 0\.365 \| 0\.23x \| fast \|", row
+    )
+    assert m, row
+    # the inferred round is 1 + the largest committed BENCH_r{N}
+    assert int(m.group(1)) >= 9
+    assert bench.baseline_canary_row(None) is None
