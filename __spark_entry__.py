@@ -31,6 +31,7 @@ import inspect
 import json
 import re
 import subprocess
+import sys
 from collections.abc import Callable
 from pathlib import Path
 
@@ -85,10 +86,14 @@ def _git(*args: str) -> str:
 
 
 def _changed_since_cert(last: dict[str, int]) -> frozenset[str]:
-    """Names whose defining module's last git change postdates the commit
+    """Names whose defining module changed in any commit AFTER the commit
     that added their certifying CORRECTNESS file (plus anything with
-    uncommitted edits).  Empty set on any git failure — the rotation
-    then degrades to plain recency, never breaks."""
+    uncommitted edits).  ANCESTRY-based, not timestamp-based (ADVICE r8:
+    commit times are not monotonic with history order under rebase /
+    cherry-pick / clock skew — ``git log <cert_commit>..HEAD -- <module>``
+    is the question actually being asked).  Empty set on any git failure
+    — the rotation then degrades to plain recency, never breaks, and
+    says so on stderr instead of hiding the feature loss."""
     try:
         dirty = set()
         for line in _git("status", "--porcelain").splitlines():
@@ -102,35 +107,62 @@ def _changed_since_cert(last: dict[str, int]) -> frozenset[str]:
             if " -> " in path:
                 path = path.split(" -> ", 1)[1]
             dirty.add(path.strip().strip('"'))
-        cert_time: dict[int, int] = {}
-        file_time: dict[str, int] = {}
+        mod_rel = {
+            name: str(
+                Path(inspect.getfile(eng.QUERIES[name])).resolve().relative_to(
+                    _REPO
+                )
+            )
+            for name in eng.QUERIES
+        }
+        rels = sorted(set(mod_rel.values()))
+        cert_commit: dict[int, str] = {}
+        since: dict[int, frozenset[str]] = {}
         changed = set()
-        for name in eng.QUERIES:
-            rnd = last.get(name)
-            if rnd is None:
-                continue  # never certified: already bucket 0
-            src = inspect.getfile(eng.QUERIES[name])
-            rel = str(Path(src).resolve().relative_to(_REPO))
+        for name, rnd in last.items():
+            if name not in mod_rel:
+                continue
+            rel = mod_rel[name]
             if rel in dirty:
                 changed.add(name)
                 continue
-            if rel not in file_time:
-                out = _git("log", "-1", "--format=%ct", "--", rel)
-                file_time[rel] = int(out) if out else 0
-            if rnd not in cert_time:
-                out = _git(
+            if rnd not in cert_commit:
+                cert_commit[rnd] = _git(
                     "log",
                     "--diff-filter=A",
                     "-1",
-                    "--format=%ct",
+                    "--format=%H",
                     "--",
                     f"CORRECTNESS_r{rnd:02d}.json",
                 )
-                cert_time[rnd] = int(out) if out else 0
-            if file_time[rel] > cert_time[rnd] > 0:
+            commit = cert_commit[rnd]
+            if not commit:
+                continue  # cert file never committed: nothing to compare
+            if rnd not in since:
+                # ONE ancestry sweep per certifying round: every module
+                # file touched by any commit after the cert landed
+                out = _git(
+                    "log",
+                    "--format=",
+                    "--name-only",
+                    f"{commit}..HEAD",
+                    "--",
+                    *rels,
+                )
+                since[rnd] = frozenset(
+                    ln.strip().strip('"')
+                    for ln in out.splitlines()
+                    if ln.strip()
+                )
+            if rel in since[rnd]:
                 changed.add(name)
         return frozenset(changed)
-    except Exception:
+    except Exception as exc:
+        print(
+            "__spark_entry__: rotation change-detection degraded to plain "
+            f"recency ({type(exc).__name__}: {exc})",
+            file=sys.stderr,
+        )
         return frozenset()
 
 
@@ -151,21 +183,44 @@ def _order(
     return sorted(names, key=key)
 
 
-_ROTATION_CACHE: list[str] | None = None
+_ROTATION_CACHE: tuple[tuple, list[str]] | None = None
+
+
+def _rotation_cache_key() -> tuple:
+    """Invalidation key (ADVICE r8): the set of CORRECTNESS files and
+    their mtimes plus the registered-name count — a long-lived driver
+    that writes a new round's file (or registers more queries) gets a
+    fresh rotation instead of a process-lifetime stale one."""
+    certs = tuple(
+        sorted(
+            (p.name, p.stat().st_mtime_ns)
+            for p in _REPO.glob("CORRECTNESS_r*.json")
+        )
+    )
+    return (certs, len(eng.QUERIES))
+
+
+def _reset_rotation_cache() -> None:
+    """Deliberate invalidation hook for tests and multi-round drivers."""
+    global _ROTATION_CACHE
+    _ROTATION_CACHE = None
 
 
 def _rotation_order() -> list[str]:
     """Registry keys in certification-priority order (see module doc).
-    Memoized per process: queries() and oracle_sql() both call this in
-    one driver run, and the git sweep (~20 subprocesses) cannot change
-    between them."""
+    Memoized on a CORRECTNESS-mtime key: queries() and oracle_sql() both
+    call this in one driver run, and the git sweep (~20 subprocesses)
+    cannot change between them — but a new round's cert file landing in
+    the same process invalidates the memo (ADVICE r8)."""
     global _ROTATION_CACHE
-    if _ROTATION_CACHE is None:
+    key = _rotation_cache_key()
+    if _ROTATION_CACHE is None or _ROTATION_CACHE[0] != key:
         last = _last_certified_round()
-        _ROTATION_CACHE = _order(
-            list(eng.QUERIES), last, _changed_since_cert(last)
+        _ROTATION_CACHE = (
+            key,
+            _order(list(eng.QUERIES), last, _changed_since_cert(last)),
         )
-    return _ROTATION_CACHE
+    return _ROTATION_CACHE[1]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1583,6 +1583,10 @@ def corpus_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WIN_K = 8  # k-gram width (chars)
 _WIN_W = 6  # winnowing window: every _WIN_W consecutive k-grams share a pick
+# ADVICE r8: the rightmost-min fold iterates sequence(1, _WIN_W - 1), and
+# Spark's sequence() DESCENDS when stop < start — _WIN_W = 1 would silently
+# yield [1, 0] and read outside the window instead of an empty fold
+assert _WIN_W >= 2, "winnowing window must span at least 2 k-grams"
 
 _SQL_WIN_POS = f"""
         SELECT doc_id,
