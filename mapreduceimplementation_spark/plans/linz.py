@@ -85,15 +85,21 @@ _LLZ_LOCKS = 50  # clients share locks 50-to-1: sessions interleave
 _LLZ_STALE_EVERY = 19  # 1/19 ops observe the second-latest same-kind token
 _LLZ_JUNK_EVERY = 67  # 1/67 ops observe a token no op ever granted
 
-#: chain-rule router threshold (r9): when every state has at most ONE
-#: producer-observed parent (the porcupine unique-value common case — the
-#: consumption graph is a functional forest) AND no key holds more links
-#: than this, the pointer-doubling propagation runs as per-key index
-#: arrays inside ONE whole-stage aggregate() fold (O(1) element_at jumps,
-#: zero per-round jobs).  Above it — a hot key whose link table outgrows
-#: a single row (~48 MB at 1M links) — or on multi-parent (dup-producer)
-#: graphs, the round-materialized distributed doubling loop takes over.
+#: chain-rule router thresholds (r9): the pointer-doubling propagation
+#: runs as per-key index arrays inside ONE whole-stage aggregate() fold
+#: (O(1) element_at jumps, zero per-round jobs) whenever no key holds
+#: more links than _LINZ_ARRAY_MAX_PER_KEY (a 1M-link array is ~48 MB in
+#: one row) AND no key's extra-branch mass sum(fan_in - 1) over its
+#: multi-parent states exceeds _LINZ_ARRAY_MAX_EXTRA_BRANCHES.  The
+#: second bound caps the fold's multi-pointer frontier: every distinct
+#: walk position beyond the first requires a distinct branching event at
+#: a multi-parent state, so |frontier| <= 1 + sum(fan_in - 1) per key —
+#: at 64 that is a ~65-slot array per element, still row-local.  Hotter
+#: keys or denser dup graphs take the round-materialized distributed
+#: doubling loop, whose row multiplication handles arbitrary DAG mass
+#: out-of-core.
 _LINZ_ARRAY_MAX_PER_KEY = 1_000_000
+_LINZ_ARRAY_MAX_EXTRA_BRANCHES = 64
 
 
 class RegisterModel:
@@ -148,43 +154,59 @@ def _chain_propagate_arrays(links: DataFrame, cap: int) -> DataFrame:
     zero per-round jobs, zero per-round shuffles, O(1) ``element_at``
     jumps (a Catalyst map would be an O(n) linear scan per lookup).
 
-    Callable only when every child has exactly one parent link (the
-    router's max_parents gate): then each state name resolves to exactly
-    one array position and the index join below cannot fan out.  Layout:
-    links get ``row_number`` positions per key, each link's parent name
-    is resolved to its position (``pidx``; null = the parent is a root),
-    and ``sort_array`` pins element k to position k.  The fold runs the
-    full ``cap`` rounds (converged elements jump on a null pidx, a
-    no-op), so verdicts — including the cap-exhausted cycle flag — are
+    Layout: link rows get ``row_number`` positions per key, each link's
+    parent NAME resolves to the positions of the parent's own link rows
+    (``pidxs``, an INT ARRAY — empty when the parent is a root), and
+    ``sort_array`` pins element k to position k.  Multi-parent (dup)
+    states therefore just mean multi-slot frontiers: each jump flattens
+    the pointed elements' frontiers (``array_distinct`` keeps them
+    canonical) and folds their accs — covering every ancestor path
+    exactly as the distributed loop's row multiplication does, with
+    |frontier| bounded by 1 + the key's extra-branch mass (the router's
+    _LINZ_ARRAY_MAX_EXTRA_BRANCHES gate).  The fold runs the full
+    ``cap`` rounds (converged elements carry empty frontiers, a no-op),
+    so verdicts — including the cap-exhausted cycle flag — are
     bit-identical to the distributed loop's, which the engine-parity
     pytest pins on both paths.
 
-    Returns (key, child, acc, live): acc = max ancestor y reached, live
-    = the pointer survived the cap (consumption cycle)."""
-    w = Window.partitionBy("key").orderBy("child")
+    Returns (key, child, acc, live): acc = max ancestor y reached over
+    every path, live = some walk survived the cap (consumption cycle)."""
+    w = Window.partitionBy("key").orderBy("child", "ptr")
     idx = links.select(
         "key", "child", "ptr", "acc", F.row_number().over(w).alias("i")
     )
+    parent_rows = idx.groupBy("key", "child").agg(
+        F.sort_array(F.collect_list("i")).alias("pidxs")
+    )
     resolved = idx.join(
-        idx.select(
-            "key", F.col("child").alias("ptr"), F.col("i").alias("pidx")
+        parent_rows.select(
+            "key", F.col("child").alias("ptr"), "pidxs"
         ),
         ["key", "ptr"],
         "left",
-    ).select("key", "child", "i", "pidx", "acc")
+    ).select(
+        "key",
+        "child",
+        "i",
+        F.coalesce("pidxs", F.array().cast("array<int>")).alias("pidxs"),
+        "acc",
+    )
     arr0 = resolved.groupBy("key").agg(
         F.sort_array(
-            F.collect_list(F.struct("i", "child", "pidx", "acc"))
+            F.collect_list(F.struct("i", "child", "pidxs", "acc"))
         ).alias("arr")
     )
     fold = f"""
     aggregate(
       sequence(1, {int(cap)}),
       arr,
-      (a, r) -> transform(a, x -> if(x.pidx is null, x,
-          named_struct('i', x.i, 'child', x.child,
-                       'pidx', element_at(a, x.pidx).pidx,
-                       'acc', greatest(x.acc, element_at(a, x.pidx).acc))))
+      (a, r) -> transform(a, x -> if(size(x.pidxs) = 0, x,
+          named_struct(
+            'i', x.i, 'child', x.child,
+            'pidxs', array_distinct(flatten(
+                transform(x.pidxs, p -> element_at(a, p).pidxs))),
+            'acc', greatest(x.acc, array_max(
+                transform(x.pidxs, p -> element_at(a, p).acc))))))
     )
     """
     return (
@@ -193,7 +215,7 @@ def _chain_propagate_arrays(links: DataFrame, cap: int) -> DataFrame:
             "key",
             F.col("e.child").alias("child"),
             F.col("e.acc").alias("acc"),
-            F.col("e.pidx").isNotNull().alias("live"),
+            (F.size("e.pidxs") > 0).alias("live"),
         )
     )
 
@@ -390,24 +412,33 @@ def audit_linearizability(history: DataFrame, model) -> DataFrame:
         links.groupBy("key", "child")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("key")
-        .agg(F.sum("c").alias("n"), F.max("c").alias("mc"))
+        .agg(
+            F.sum("c").alias("n"),
+            F.max("c").alias("mc"),
+            (F.sum("c") - F.count(F.lit(1))).alias("extra"),
+        )
         .agg(
             F.sum("n").alias("n_links"),
             F.max("n").alias("max_per_key"),
             F.max("mc").alias("max_parents"),
+            F.max("extra").alias("max_extra"),
         )
         .collect()[0]
     )
     n_links = int(stats["n_links"] or 0)
     max_per_key = int(stats["max_per_key"] or 0)
     max_parents = int(stats["max_parents"] or 0)
+    max_extra = int(stats["max_extra"] or 0)
     # cap on the HOTTEST KEY's link count, not the global total (r9):
     # chain walks never cross keys, so the longest acyclic walk is at
     # most max_per_key links and doubling converges in bit_length of
     # that; cyclic walks never null out and are flagged at ANY cap >=
     # the bound — verdicts are cap-invariant above it (parity pytest)
     cap = max(1, (int(max_per_key).bit_length()) + 2)
-    if max_parents <= 1 and max_per_key <= _LINZ_ARRAY_MAX_PER_KEY:
+    if (
+        max_per_key <= _LINZ_ARRAY_MAX_PER_KEY
+        and max_extra <= _LINZ_ARRAY_MAX_EXTRA_BRANCHES
+    ):
         chain_flags = _chain_propagate_arrays(links, cap)
     else:
         chain_flags = _chain_propagate_doubling(
