@@ -147,6 +147,51 @@ class LockTokenModel:
         return val == "F:-1"
 
 
+def _chain_propagate_arrays_scalar(links: DataFrame, cap: int) -> DataFrame:
+    """Single-parent specialization of ``_chain_propagate_arrays``: when
+    NO state has two parents (max_extra == 0, the porcupine unique-value
+    common case), every parent name resolves to exactly ONE array
+    position, so the fold carries a scalar ``pidx`` instead of a
+    frontier array — no flatten/array_distinct per jump, roughly half
+    the per-element work of the general fold.  Same contract, same
+    verdicts (parity pytest covers all three propagation paths)."""
+    w = Window.partitionBy("key").orderBy("child")
+    idx = links.select(
+        "key", "child", "ptr", "acc", F.row_number().over(w).alias("i")
+    )
+    resolved = idx.join(
+        idx.select(
+            "key", F.col("child").alias("ptr"), F.col("i").alias("pidx")
+        ),
+        ["key", "ptr"],
+        "left",
+    ).select("key", "child", "i", "pidx", "acc")
+    arr0 = resolved.groupBy("key").agg(
+        F.sort_array(
+            F.collect_list(F.struct("i", "child", "pidx", "acc"))
+        ).alias("arr")
+    )
+    fold = f"""
+    aggregate(
+      sequence(1, {int(cap)}),
+      arr,
+      (a, r) -> transform(a, x -> if(x.pidx is null, x,
+          named_struct('i', x.i, 'child', x.child,
+                       'pidx', element_at(a, x.pidx).pidx,
+                       'acc', greatest(x.acc, element_at(a, x.pidx).acc))))
+    )
+    """
+    return (
+        arr0.select("key", F.explode(F.expr(fold)).alias("e"))
+        .select(
+            "key",
+            F.col("e.child").alias("child"),
+            F.col("e.acc").alias("acc"),
+            F.col("e.pidx").isNotNull().alias("live"),
+        )
+    )
+
+
 def _chain_propagate_arrays(links: DataFrame, cap: int) -> DataFrame:
     """Chain propagation fast path (r9, VERDICT r8 item 1): the same
     pointer-doubling recurrence as ``_chain_propagate_doubling``, run as
@@ -439,7 +484,10 @@ def audit_linearizability(history: DataFrame, model) -> DataFrame:
         max_per_key <= _LINZ_ARRAY_MAX_PER_KEY
         and max_extra <= _LINZ_ARRAY_MAX_EXTRA_BRANCHES
     ):
-        chain_flags = _chain_propagate_arrays(links, cap)
+        if max_extra == 0:
+            chain_flags = _chain_propagate_arrays_scalar(links, cap)
+        else:
+            chain_flags = _chain_propagate_arrays(links, cap)
     else:
         chain_flags = _chain_propagate_doubling(
             links, cap, max_parents, n_links

@@ -254,13 +254,15 @@ def test_chain_flags_blocks_downstream_of_cycle(spark):
 
 
 def test_chain_router_paths_agree(spark, monkeypatch):
-    """r9 router pin: the per-key index-array fold and the distributed
-    doubling loop are the SAME recurrence — on identical histories the
-    full per-key rows (all six rule counters, not just the verdict)
-    must be bit-identical whichever path the router picks.  Forces the
-    distributed path by zeroing the array-size threshold; covers clean
-    chains, stale/junk faults, a consumption cycle, and a block hanging
-    downstream of one."""
+    """r9 router pin: the scalar index-array fold, the multi-pointer
+    index-array fold, and the distributed doubling loop are the SAME
+    recurrence — on identical histories the full per-key rows (all six
+    rule counters, not just the verdict) must be bit-identical whichever
+    path the router picks.  Forces the distributed path by zeroing the
+    array-size threshold, and the multi-pointer path by appending keys
+    with genuinely two-parent states (dup producers observing different
+    parents); covers clean chains, stale/junk faults, a consumption
+    cycle, and a block hanging downstream of one."""
     import mapreduceimplementation_spark.plans.linz as linz
 
     rng = random.Random(20260816 + 9)
@@ -269,6 +271,21 @@ def test_chain_router_paths_agree(spark, monkeypatch):
         (900, 1, 0, 10, "B", "A"),
         (900, 2, 0, 10, "A", "B"),
         (900, 3, 0, 10, "A", "C"),
+    ]
+    # two-parent keys: state C produced twice from DIFFERENT parents
+    # (the fork shape), one with an early reader, one without
+    dup_rows = [
+        (901, 1, 0, 1, None, "A"),
+        (901, 2, 2, 3, None, "B"),
+        (901, 3, 4, 5, "A", "C"),
+        (901, 4, 6, 7, "B", "C"),
+        (901, 5, 0, 1, "C", None),
+        (902, 1, 0, 1, None, "A"),
+        (902, 2, 2, 3, None, "B"),
+        (902, 3, 4, 5, "A", "C"),
+        (902, 4, 6, 7, "B", "C"),
+        (902, 5, 8, 9, "C", "D"),
+        (902, 6, 0, 1, "D", None),
     ]
     for k in range(30):
         t = 0
@@ -295,14 +312,24 @@ def test_chain_router_paths_agree(spark, monkeypatch):
                 )
             rows.append((k, opid, inv, ret, obs, prod))
     df = spark.createDataFrame(rows, _HIST_SCHEMA).localCheckpoint()
+    df_dup = spark.createDataFrame(
+        rows + dup_rows, _HIST_SCHEMA
+    ).localCheckpoint()
 
     def rowmap(out):
         return {r["key"]: tuple(r) for r in out.collect()}
 
+    # single-parent dataset: default = scalar fold
     fast = rowmap(audit_linearizability(df, LockTokenModel))
+    # two-parent dataset: default = multi-pointer fold
+    fast_dup = rowmap(audit_linearizability(df_dup, LockTokenModel))
     monkeypatch.setattr(linz, "_LINZ_ARRAY_MAX_PER_KEY", 0)
     slow = rowmap(audit_linearizability(df, LockTokenModel))
+    slow_dup = rowmap(audit_linearizability(df_dup, LockTokenModel))
     assert fast == slow and len(fast) == 31
+    assert fast_dup == slow_dup and len(fast_dup) == 33
+    # and the shared keys are untouched by the dataset extension
+    assert {k: fast_dup[k] for k in fast} == fast
 
 
 def test_lock_linearizability_registered_mix(spark):
