@@ -427,7 +427,9 @@ def audit_linearizability(history: DataFrame, model) -> DataFrame:
             .alias("x"),
             "y",
         )
-        .localCheckpoint(eager=True)
+        # lazy: the stats collect below is the first action and
+        # materializes blocks through links in one sync point (r9)
+        .localCheckpoint(eager=False)
     )
     nstates = blocks.groupBy("key").agg(F.count(F.lit(1)).alias("n_states"))
     cross_agg = (
@@ -448,7 +450,7 @@ def audit_linearizability(history: DataFrame, model) -> DataFrame:
             ["key", "parent"],
         )
         .select("key", "child", F.col("parent").alias("ptr"), "acc")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # one stats action gates the chain-rule router: total links size the
     # doubling cap, max links under one key sizes the array fast path,
