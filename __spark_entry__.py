@@ -11,18 +11,26 @@ fixed order would leave the tail permanently uncertified, so ``queries()``
 orders the surface in three buckets (VERDICT r7 item 8):
 
 1. never-driver-certified queries (a new operator must certify first);
-2. queries whose DEFINING MODULE changed (git) since the round that last
-   certified them — a code change must not hide behind the round-robin
-   for 3 rounds while the window cycles the untouched tail;
-3. everything else, oldest certification first (the original rotation).
+2. queries whose OWN FUNCTION's source lines changed since the round
+   that last certified them (VERDICT r9 item 3: a registration swap or
+   rewrite means the certified implementation is NOT the current one —
+   the most urgent recertification there is, so it must not queue
+   behind incidental same-module edits);
+3. queries whose defining module changed elsewhere since certification
+   — a code change must not hide behind the round-robin while the
+   window cycles the untouched tail;
+4. everything else, oldest certification first (the original rotation).
 
-Buckets 2 and 3 are each ordered oldest-certified-first, so even when a
-wide refactor overflows bucket 2 past the ~50-slot window, the overflow
+Buckets 2-4 are each ordered oldest-certified-first, so even when a
+wide refactor overflows a bucket past the ~50-slot window, the overflow
 drains in oldest-first order over subsequent rounds.  Change detection
-compares the module's last git commit time (plus any uncommitted edits)
-against the commit that ADDED the certifying CORRECTNESS_r{N}.json; any
-git failure degrades to the plain recency rotation (policy documented in
-BASELINE.md).
+is ancestry-based: ONE ``git diff -U0 <cert_commit>`` (working tree vs
+the commit that ADDED the certifying CORRECTNESS_r{N}.json — covers
+commits after the cert AND uncommitted edits in one sweep) per
+certifying round, with hunk new-file ranges intersected against each
+query function's current source span to distinguish direct (bucket 2)
+from module-only (bucket 3) change; any git failure degrades to the
+plain recency rotation (policy documented in BASELINE.md).
 """
 
 from __future__ import annotations
@@ -85,28 +93,59 @@ def _git(*args: str) -> str:
     ).stdout.strip()
 
 
-def _changed_since_cert(last: dict[str, int]) -> frozenset[str]:
-    """Names whose defining module changed in any commit AFTER the commit
-    that added their certifying CORRECTNESS file (plus anything with
-    uncommitted edits).  ANCESTRY-based, not timestamp-based (ADVICE r8:
-    commit times are not monotonic with history order under rebase /
-    cherry-pick / clock skew — ``git log <cert_commit>..HEAD -- <module>``
-    is the question actually being asked).  Empty set on any git failure
-    — the rotation then degrades to plain recency, never breaks, and
-    says so on stderr instead of hiding the feature loss."""
+def _new_file_hunks(diff_text: str) -> dict[str, list[tuple[int, int]]]:
+    """Parse ``git diff -U0`` output into {new-file repo-relative path:
+    [(start, end)]} hunk ranges in NEW-file (working tree) coordinates.
+    A pure-deletion hunk (new count 0) registers as a 1-line touch point
+    at its new-file position, so a deletion inside a function still marks
+    that function's span; a file deleted outright (``+++ /dev/null``) is
+    skipped — its queries can't resolve to it anymore anyway."""
+    hunks: dict[str, list[tuple[int, int]]] = {}
+    cur: str | None = None
+    for line in diff_text.splitlines():
+        if line.startswith("+++ "):
+            path = line[4:].strip()
+            if path == "/dev/null":
+                cur = None
+            else:
+                cur = path.strip('"').removeprefix("b/")
+        elif line.startswith("@@ ") and cur is not None:
+            m = re.match(r"@@ -\d+(?:,\d+)? \+(\d+)(?:,(\d+))? @@", line)
+            if m:
+                start = int(m.group(1))
+                count = int(m.group(2)) if m.group(2) is not None else 1
+                hunks.setdefault(cur, []).append(
+                    (start, start + max(count, 1) - 1)
+                )
+    return hunks
+
+
+#: _changed_since_cert severities: the certified implementation is not
+#: the current one (own source lines touched) vs. the module moved
+#: around it (incidental edits elsewhere in the file)
+_SEV_DIRECT = 1
+_SEV_MODULE = 2
+
+
+def _changed_since_cert(last: dict[str, int]) -> dict[str, int]:
+    """Map query name -> change severity for everything whose defining
+    module changed AFTER the commit that added its certifying
+    CORRECTNESS file: _SEV_DIRECT when the query's OWN function source
+    span intersects a diff hunk (a rewrite or registration swap — the
+    certified implementation is no longer what the key serves, VERDICT
+    r9 item 3), else _SEV_MODULE.  ANCESTRY-based via ONE
+    ``git diff -U0 <cert_commit> -- <modules>`` per certifying round
+    (working tree vs cert commit covers later commits AND uncommitted
+    edits in one sweep; -U0 makes hunk ranges exact).  Untracked modules
+    (not in any diff) rank _SEV_DIRECT — a query resolving to a file git
+    has never seen is maximally uncertified.  Empty dict on any git
+    failure — the rotation then degrades to plain recency, never breaks,
+    and says so on stderr instead of hiding the feature loss."""
     try:
-        dirty = set()
+        untracked = set()
         for line in _git("status", "--porcelain").splitlines():
-            if not line.strip():
-                continue
-            path = line[3:]
-            # rename/copy lines read 'R  old -> new': the NEW path is
-            # the one a module resolves to (r8 self-review — without
-            # this, an uncommitted renamed module never reached the
-            # changed bucket); git also quotes special-char paths
-            if " -> " in path:
-                path = path.split(" -> ", 1)[1]
-            dirty.add(path.strip().strip('"'))
+            if line.startswith("??"):
+                untracked.add(line[3:].strip().strip('"'))
         mod_rel = {
             name: str(
                 Path(inspect.getfile(eng.QUERIES[name])).resolve().relative_to(
@@ -115,16 +154,25 @@ def _changed_since_cert(last: dict[str, int]) -> frozenset[str]:
             )
             for name in eng.QUERIES
         }
+        spans: dict[str, tuple[int, int] | None] = {}
+        for name, fn in eng.QUERIES.items():
+            try:
+                lines, start = inspect.getsourcelines(fn)
+                spans[name] = (start, start + len(lines) - 1)
+            except (OSError, TypeError):
+                # unsourceable callable: can't localize — treated as
+                # direct whenever its module changed (conservative)
+                spans[name] = None
         rels = sorted(set(mod_rel.values()))
         cert_commit: dict[int, str] = {}
-        since: dict[int, frozenset[str]] = {}
-        changed = set()
+        diff_hunks: dict[int, dict[str, list[tuple[int, int]]]] = {}
+        changed: dict[str, int] = {}
         for name, rnd in last.items():
             if name not in mod_rel:
                 continue
             rel = mod_rel[name]
-            if rel in dirty:
-                changed.add(name)
+            if rel in untracked:
+                changed[name] = _SEV_DIRECT
                 continue
             if rnd not in cert_commit:
                 cert_commit[rnd] = _git(
@@ -138,47 +186,48 @@ def _changed_since_cert(last: dict[str, int]) -> frozenset[str]:
             commit = cert_commit[rnd]
             if not commit:
                 continue  # cert file never committed: nothing to compare
-            if rnd not in since:
-                # ONE ancestry sweep per certifying round: every module
-                # file touched by any commit after the cert landed
-                out = _git(
-                    "log",
-                    "--format=",
-                    "--name-only",
-                    f"{commit}..HEAD",
-                    "--",
-                    *rels,
+            if rnd not in diff_hunks:
+                diff_hunks[rnd] = _new_file_hunks(
+                    _git("diff", "-U0", commit, "--", *rels)
                 )
-                since[rnd] = frozenset(
-                    ln.strip().strip('"')
-                    for ln in out.splitlines()
-                    if ln.strip()
-                )
-            if rel in since[rnd]:
-                changed.add(name)
-        return frozenset(changed)
+            file_hunks = diff_hunks[rnd].get(rel)
+            if not file_hunks:
+                continue
+            span = spans.get(name)
+            direct = span is None or any(
+                hs <= span[1] and he >= span[0] for hs, he in file_hunks
+            )
+            changed[name] = _SEV_DIRECT if direct else _SEV_MODULE
+        return changed
     except Exception as exc:
         print(
             "__spark_entry__: rotation change-detection degraded to plain "
             f"recency ({type(exc).__name__}: {exc})",
             file=sys.stderr,
         )
-        return frozenset()
+        return {}
 
 
 def _order(
-    names: list[str], last: dict[str, int], changed: frozenset[str]
+    names: list[str], last: dict[str, int], changed: dict[str, int]
 ) -> list[str]:
     """The pure rotation policy (pytest-pinned): bucket 0 = never
-    certified, bucket 1 = changed since certification, bucket 2 = rest;
-    buckets 1-2 oldest-certified first; stable within ties (registry
+    certified, bucket 1 = own function changed since certification
+    (_SEV_DIRECT — includes registration swaps, VERDICT r9 item 3),
+    bucket 2 = module changed elsewhere (_SEV_MODULE), bucket 3 = rest;
+    buckets 1-3 oldest-certified first; stable within ties (registry
     module-load order)."""
 
     def key(n: str):
         rnd = last.get(n, -1)
         if rnd < 0:
             return (0, rnd)
-        return (1 if n in changed else 2, rnd)
+        sev = changed.get(n)
+        if sev == _SEV_DIRECT:
+            return (1, rnd)
+        if sev is not None:
+            return (2, rnd)
+        return (3, rnd)
 
     return sorted(names, key=key)
 
@@ -191,11 +240,17 @@ def _rotation_cache_key() -> tuple:
     their mtimes plus the registered-name count — a long-lived driver
     that writes a new round's file (or registers more queries) gets a
     fresh rotation instead of a process-lifetime stale one."""
+    def mtime(p: Path) -> int | None:
+        # A cert file deleted/renamed between glob and stat must degrade
+        # (ADVICE r9) — a vanished entry keys as None, and the next call
+        # (post-vanish glob) simply omits it, invalidating the memo.
+        try:
+            return p.stat().st_mtime_ns
+        except OSError:
+            return None
+
     certs = tuple(
-        sorted(
-            (p.name, p.stat().st_mtime_ns)
-            for p in _REPO.glob("CORRECTNESS_r*.json")
-        )
+        sorted((p.name, mtime(p)) for p in _REPO.glob("CORRECTNESS_r*.json"))
     )
     return (certs, len(eng.QUERIES))
 

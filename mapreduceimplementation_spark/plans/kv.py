@@ -2847,6 +2847,15 @@ def raft_snapshot_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the docstring cites the module constants by name in brace expressions;
+# interpolate once at import so help() renders the values (ADVICE r9 —
+# the def is not an f-string, so the braces would otherwise print
+# literally)
+raft_snapshot_audit.__doc__ = raft_snapshot_audit.__doc__.format(
+    _SNAP_FOLLOWERS=_SNAP_FOLLOWERS, _SNAP_FAULT_EVERY=_SNAP_FAULT_EVERY
+)
+
+
 # ---------------------------------------------------------------------------
 # B70. kv_client_dedup — at-most-once duplicate-request audit
 

@@ -94,10 +94,16 @@ _LLZ_JUNK_EVERY = 67  # 1/67 ops observe a token no op ever granted
 #: second bound caps the fold's multi-pointer frontier: every distinct
 #: walk position beyond the first requires a distinct branching event at
 #: a multi-parent state, so |frontier| <= 1 + sum(fan_in - 1) per key —
-#: at 64 that is a ~65-slot array per element, still row-local.  Hotter
-#: keys or denser dup graphs take the round-materialized distributed
-#: doubling loop, whose row multiplication handles arbitrary DAG mass
-#: out-of-core.
+#: at 64 that is a ~65-slot array per element, still row-local.  The
+#: multi-pointer fold's transient cost is therefore NOT max_per_key
+#: alone: each of its ~bit_length rounds rebuilds a max_per_key-element
+#: array whose elements carry up to (1 + max_extra) frontier ints, so
+#: the combined gate requires max_per_key * (1 + max_extra) under the
+#: same ~48 MB-row budget the scalar bound was sized for (ADVICE r9 —
+#: without it, 1M links x 65-int frontiers allocates ~65x the budget in
+#: one task just under the old threshold).  Hotter keys or denser dup
+#: graphs take the round-materialized distributed doubling loop, whose
+#: row multiplication handles arbitrary DAG mass out-of-core.
 _LINZ_ARRAY_MAX_PER_KEY = 1_000_000
 _LINZ_ARRAY_MAX_EXTRA_BRANCHES = 64
 
@@ -482,14 +488,16 @@ def audit_linearizability(history: DataFrame, model) -> DataFrame:
     # that; cyclic walks never null out and are flagged at ANY cap >=
     # the bound — verdicts are cap-invariant above it (parity pytest)
     cap = max(1, (int(max_per_key).bit_length()) + 2)
-    if (
-        max_per_key <= _LINZ_ARRAY_MAX_PER_KEY
-        and max_extra <= _LINZ_ARRAY_MAX_EXTRA_BRANCHES
+    # the multi-pointer fold carries up to (1 + max_extra) frontier ints
+    # per element, so its gate scales the per-key budget down by that
+    # factor (ADVICE r9); the scalar fold keeps the plain bound
+    if max_extra == 0 and max_per_key <= _LINZ_ARRAY_MAX_PER_KEY:
+        chain_flags = _chain_propagate_arrays_scalar(links, cap)
+    elif (
+        0 < max_extra <= _LINZ_ARRAY_MAX_EXTRA_BRANCHES
+        and max_per_key * (1 + max_extra) <= _LINZ_ARRAY_MAX_PER_KEY
     ):
-        if max_extra == 0:
-            chain_flags = _chain_propagate_arrays_scalar(links, cap)
-        else:
-            chain_flags = _chain_propagate_arrays(links, cap)
+        chain_flags = _chain_propagate_arrays(links, cap)
     else:
         chain_flags = _chain_propagate_doubling(
             links, cap, max_parents, n_links

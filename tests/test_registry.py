@@ -288,7 +288,10 @@ def test_certification_rotation():
     def bucket(n):
         if last.get(n, -1) < 0:
             return 0
-        return 1 if n in changed else 2
+        sev = changed.get(n)
+        if sev == entrymod._SEV_DIRECT:
+            return 1
+        return 2 if sev is not None else 3
 
     keys = [(bucket(n), last.get(n, -1)) for n in qs]
     assert keys == sorted(keys), "queries() not in rotation-policy order"
@@ -296,19 +299,84 @@ def test_certification_rotation():
 
 def test_rotation_policy_pure_order():
     """The pure _order policy, pinned on synthetic inputs: never-certified
-    first, changed-since-cert next (oldest cert first), stale round-robin
-    last (oldest cert first), stable within ties."""
+    first, direct-function-change next (oldest cert first), module-only
+    change next (oldest cert first), stale round-robin last (oldest cert
+    first), stable within ties."""
     import __spark_entry__ as entrymod
 
+    D, M = entrymod._SEV_DIRECT, entrymod._SEV_MODULE
     names = ["a", "b", "c", "d", "e", "f"]
     last = {"a": 5, "b": 3, "c": 7, "d": 3, "f": 1}
-    # e never certified -> bucket 0; a and d changed -> bucket 1 by cert
-    # round (d:3 before a:5); rest oldest first (f:1, b:3, c:7)
-    got = entrymod._order(names, last, frozenset({"a", "d"}))
+    # e never certified -> bucket 0; a direct + d module-only -> a's
+    # direct severity outranks d's older module-only cert; rest oldest
+    # first (f:1, b:3, c:7)
+    got = entrymod._order(names, last, {"a": D, "d": M})
+    assert got == ["e", "a", "d", "f", "b", "c"]
+    # both module-only -> within-bucket oldest cert first (d:3 before a:5)
+    got = entrymod._order(names, last, {"a": M, "d": M})
     assert got == ["e", "d", "a", "f", "b", "c"]
     # no change info -> degrades to the original recency rotation
-    got = entrymod._order(names, last, frozenset())
+    got = entrymod._order(names, last, {})
     assert got == ["e", "f", "b", "d", "a", "c"]
+
+
+def test_rotation_key_swap_scenario():
+    """VERDICT r9 item 3 pinned as policy: a key certified in an OLD round
+    whose own function was rewritten (a registration swap serving new code
+    under the certified name) must outrank every module-only change — even
+    ones with older certifications — because its certification no longer
+    describes the code it serves.  This is the r9 gap: the swapped plain
+    `streaming_transition_matrix` (cert r7, direct change) ranked BELOW
+    dozens of r6-certified module-only entries and missed the ~50-slot
+    driver window."""
+    import __spark_entry__ as entrymod
+
+    D, M = entrymod._SEV_DIRECT, entrymod._SEV_MODULE
+    # 60 module-only entries with the oldest possible certs...
+    names = [f"mod{i}" for i in range(60)] + ["swapped"]
+    last = {n: 1 for n in names}
+    last["swapped"] = 7  # newer cert than every module-only entry
+    changed = {n: M for n in names}
+    changed["swapped"] = D
+    got = entrymod._order(names, last, changed)
+    # ...and the swapped key still lands first — inside any window
+    assert got[0] == "swapped"
+
+
+def test_new_file_hunks_parser():
+    """The -U0 diff parser: new-file coordinates, pure-deletion hunks as
+    1-line touch points, /dev/null (deleted file) skipped, b/ prefix and
+    quoting stripped."""
+    import __spark_entry__ as entrymod
+
+    diff = "\n".join(
+        [
+            "diff --git a/pkg/mod.py b/pkg/mod.py",
+            "index 111..222 100644",
+            "--- a/pkg/mod.py",
+            "+++ b/pkg/mod.py",
+            "@@ -10,2 +12,3 @@ def f():",
+            "+x",
+            "@@ -40 +44 @@ def g():",
+            "+y",
+            "@@ -50,3 +53,0 @@ def h():",
+            "-z",
+            "diff --git a/pkg/gone.py b/pkg/gone.py",
+            "--- a/pkg/gone.py",
+            "+++ /dev/null",
+            "@@ -1,5 +0,0 @@",
+            "-dead",
+        ]
+    )
+    got = entrymod._new_file_hunks(diff)
+    assert got == {"pkg/mod.py": [(12, 14), (44, 44), (53, 53)]}
+    # span-intersection semantics the rotation applies to these ranges:
+    # a function spanning 45-60 is touched by (53,53) but not (44,44)
+    hunks = got["pkg/mod.py"]
+    span = (45, 60)
+    assert [h for h in hunks if h[0] <= span[1] and h[1] >= span[0]] == [
+        (53, 53)
+    ]
 
 
 def test_rotation_never_starves(spark):
