@@ -988,7 +988,9 @@ _RA_MIN_BAND = 5  # audit pairs with exact jaccard >= 0.5
     GROUP BY band
     """,
 )
-def minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_recall_audit(
+    spark: SparkSession, sf_dir: str, sample_mod: int | None = None
+) -> DataFrame:
     """Recall audit of C7's LSH banding against the exact Jaccard ground
     truth: for every pair with exact similarity >= 0.5, did the band
     buckets surface it as a candidate?  Emits per similarity band
@@ -1006,9 +1008,23 @@ def minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (quadratic in shingle df — this is a BASELINE-CLASS diagnostic, run
     on a sample at 100 TB, exactly like C6 itself); the candidate side
     is C7's row-local signature pass + band equi-join, shared code via
-    _minhash_candidates; the final rollup is 5 bands."""
+    _minhash_candidates; the final rollup is 5 bands.
+
+    ``sample_mod=k`` keeps the deterministic 1/k doc_id-hash slice (C6's
+    mechanical BASELINE_CLASS escape, same salt) — the production shape
+    of this audit: recall statistics only need the sampled truth, and
+    both the truth pairs and the banding candidates restrict cleanly to
+    the slice (signatures and pair overlaps are pair-local, so the
+    sampled audit equals the full audit restricted to sampled pairs —
+    pytest-pinned)."""
     tune(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    if sample_mod:
+        docs = docs.where(
+            hash64(F.col("doc_id").cast("string"), salt="bsample-")
+            % sample_mod
+            == 0
+        )
     common, sz = _pair_overlap_sizes(docs, spark)
     band = F.least(
         F.lit(9).cast("long"),
@@ -1052,7 +1068,9 @@ def minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_SQL_VERIFY}
     """,
 )
-def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_prefix_filter(
+    spark: SparkSession, sf_dir: str, sample_mod: int | None = None
+) -> DataFrame:
     """Exact word-3gram Jaccard pairs (j >= {_TAU}) via AllPairs PREFIX
     FILTERING (Bayardo et al., WWW'07) — the third candidate-generation
     strategy in the dedup family, and the sharpest EXACT one: C6 expands
@@ -1088,9 +1106,24 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion dies); verification reuses the ONE checkpointed shingle
     relation (no second scan).  At test scale the ordering overhead
     roughly offsets the expansion savings — the bound is bought for the
-    corpus where pair volume, not window sorting, is the bottleneck."""
+    corpus where pair volume, not window sorting, is the bottleneck.
+
+    OUTPUT is ∝ duplicate mass² by construction (every qualifying pair
+    is emitted — that's the job), so replica-inflation stress measures
+    the output law, not a plan defect.  ``sample_mod=k`` keeps the C6
+    deterministic 1/k doc_id-hash slice — the diagnostic-on-a-sample
+    production shape; sampled pairs = full pairs restricted to sampled
+    docs (prefix membership is df-rank-relative but pair qualification
+    is pair-local and the oracle-verified completeness theorem holds on
+    any corpus, pytest-pinned)."""
     tune(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    if sample_mod:
+        docs = docs.where(
+            hash64(F.col("doc_id").cast("string"), salt="bsample-")
+            % sample_mod
+            == 0
+        )
     sh = _shingles(docs, spark).localCheckpoint()
     # df via a COUNT window over the shingle key (C44's trick — no
     # df-table join), then ONE per-doc window pass computes both the df

@@ -1310,7 +1310,9 @@ _SEM_TAU = 0.4  # within-cluster cosine threshold for semantic duplicates
     FROM s WHERE cos >= {_SEM_TAU}
     """,
 )
-def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_semantic(
+    spark: SparkSession, sf_dir: str, sample_mod: int | None = None
+) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs found
     WITHIN k-means clusters — cluster assignment is the blocking
     structure (instead of C9's random hyperplanes), so candidates are
@@ -1331,9 +1333,23 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     knob: grow k with n (k ≈ n / target_cell) exactly like lsh_bits_for
     grows code width, keeping per-cell work constant.  Everything is
     oracle-replayed: training, blocking, cosines and the survivor rule
-    are all bit-checked in DuckDB."""
+    are all bit-checked in DuckDB.
+
+    OUTPUT is ∝ duplicate mass² (sum_c m_c² inside cells) — replica
+    stress measures that law.  ``sample_mod=k`` keeps the deterministic
+    1/k vec_id-hash slice (C10's escape salt): the sampled run trains
+    its own centroids on the slice (SemDeDup-on-a-shard, the paper's
+    own scaling recipe), so it is a cost/production-path diagnostic,
+    not a restriction of the full pair set."""
     tune(spark)
-    vq = _km_quantized(spark, sf_dir).localCheckpoint(eager=True)
+    vq = _km_quantized(spark, sf_dir)
+    if sample_mod:
+        vq = vq.where(
+            hash64(F.col("vec_id").cast("string"), salt="bsample-")
+            % sample_mod
+            == 0
+        )
+    vq = vq.localCheckpoint(eager=True)
     _, assigned = _km_train(vq)
     cells = assigned.select("vec_id", "cluster", "dist").localCheckpoint(
         eager=True

@@ -16,7 +16,7 @@ from mapreduceimplementation_spark.functions.stable import (
     sql_half_away,
     sql_round6,
 )
-from mapreduceimplementation_spark.registry import register
+from mapreduceimplementation_spark.registry import DENSITY_QUADRATIC, register
 from mapreduceimplementation_spark.session import tune
 from mapreduceimplementation_spark.sources.tables import load_table
 
@@ -1849,6 +1849,7 @@ _ATTR_MID_PPM = 200_000
 
 @register(
     "events_funnel_attribution",
+    tags=(DENSITY_QUADRATIC,),
     oracle=f"""
     WITH p AS (
         SELECT user_id, ts AS p_ts, event_id AS p_id,
@@ -1917,11 +1918,24 @@ def events_funnel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE equi-join shuffle on user_id (both sides of the
     self-join repartition once; the {_ATTR_DAYS}-day window is a
-    row-local filter on the joined pair, never a range-join plan —
-    pair volume is bounded by per-user activity in the horizon, the
-    same bound every per-user window op here carries); then one window
-    exchange on p_id and a types-bounded rollup.  No broadcast of
-    event-volume data, no cartesian (plan-gated)."""
+    row-local filter on the joined pair, never a range-join plan); then
+    one window exchange on p_id and a types-bounded rollup.  No
+    broadcast of event-volume data, no cartesian (plan-gated).
+
+    Cost law (DENSITY_QUADRATIC, VERDICT r9 item 4): pair volume is
+    ∝ per-user (touches in lookback) × (purchases) — quadratic in
+    per-user in-horizon activity.  Real growth adds USERS (linear:
+    the user_id shuffle scales out and per-user pair counts are flat);
+    replica/density inflation multiplies both factors (SCALE_r09
+    measured 5.04x at 10x replica stress — the law, not a regression).
+    Routing rule for high-density data (hot users with thousands of
+    in-lookback touches): bound the credited touch set per purchase —
+    rank touches DESC by (t_ts, t_id) within p_id and keep the first
+    N before crediting (semantics become "N-touch U-shaped
+    attribution", the standard production mitigation; pair volume then
+    ∝ purchases × N, linear in activity), or fall back to first/last-
+    touch-only attribution, which needs one min/max window instead of
+    the pair expansion."""
     tune(spark)
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type", "value"

@@ -23,12 +23,15 @@ TAGS: dict[str, frozenset[str]] = {}
 BASELINE_CLASS = "baseline_class"
 
 #: tag for plans whose intermediate volume grows QUADRATICALLY in per-key
-#: density (e.g. D18 streaming_transition_matrix: the interval-self-join
-#: candidate set is ∝ per-user in-horizon events²).  Distinct from
+#: density (e.g. D18 streaming_transition_matrix_interval_join: the
+#: interval-self-join candidate set is ∝ per-user in-horizon events²; B75
+#: events_funnel_attribution: touch×purchase pair volume ∝ per-user
+#: in-lookback activity² — VERDICT r9 item 4).  Distinct from
 #: BASELINE_CLASS (quadratic in duplicate/output mass by design): a
 #: density-quadratic plan is correct and fine at low density but becomes
-#: a scale-killer on hot keys — each carries a registered LINEAR twin and
-#: a routing rule (see the operator's docstring / router API).  bench.py
+#: a scale-killer on hot keys — each carries either a registered LINEAR
+#: twin (LINEAR_TWIN) with a routing rule, or a docstring-documented
+#: linear/bounded restatement to route to on high-density data.  bench.py
 #: and tools/scale_stress.py (via bench.run_pass) warn when one runs, so
 #: the guard is mechanical, not a docstring.
 DENSITY_QUADRATIC = "density_quadratic"

@@ -481,6 +481,66 @@ def test_baseline_class_sampled_mode(spark, sf_dir):
         assert kept(r["neighbor_id"]) or r["neighbor_id"] < 8
 
 
+def test_pair_expander_sampled_mode(spark, sf_dir):
+    """VERDICT r9 item 5: the three output-quadratic pair expanders the
+    scale artifact flags (dedup_prefix_filter, minhash_recall_audit,
+    dedup_semantic) carry the same documented sample_mod escape, swept
+    by tools/scale_stress.py beside the unsampled rows.
+
+    Restriction semantics: prefix-filter pairs are pair-local facts, so
+    the sampled run must equal the full run restricted to kept docs;
+    the recall audit's per-band pair counts restrict the same way (never
+    exceed the full counts); dedup_semantic retrains on the slice
+    (SemDeDup-on-a-shard), so the contract is determinism + threshold,
+    not restriction."""
+    from mapreduceimplementation_spark.functions.hashing import py_hash64
+    from mapreduceimplementation_spark.operators.dedup import (
+        dedup_prefix_filter,
+        minhash_recall_audit,
+    )
+    from mapreduceimplementation_spark.operators.vectors import (
+        _SEM_TAU,
+        dedup_semantic,
+    )
+
+    k = 2
+    kept = lambda i: py_hash64(str(i), salt="bsample-") % k == 0
+    full = {
+        (r["a_id"], r["b_id"]) for r in dedup_prefix_filter(spark, sf_dir).collect()
+    }
+    sampled = {
+        (r["a_id"], r["b_id"])
+        for r in dedup_prefix_filter(spark, sf_dir, sample_mod=k).collect()
+    }
+    assert sampled == {p for p in full if kept(p[0]) and kept(p[1])}
+
+    fa = {
+        r["band"]: (r["n_pairs"], r["n_caught"])
+        for r in minhash_recall_audit(spark, sf_dir).collect()
+    }
+    sa = {
+        r["band"]: (r["n_pairs"], r["n_caught"])
+        for r in minhash_recall_audit(spark, sf_dir, sample_mod=k).collect()
+    }
+    for band, (n_pairs, n_caught) in sa.items():
+        assert n_pairs <= fa.get(band, (0, 0))[0]
+        assert 0 <= n_caught <= n_pairs
+
+    one = sorted(
+        (r["a_id"], r["b_id"], r["cos"], r["drop_id"])
+        for r in dedup_semantic(spark, sf_dir, sample_mod=k).collect()
+    )
+    two = sorted(
+        (r["a_id"], r["b_id"], r["cos"], r["drop_id"])
+        for r in dedup_semantic(spark, sf_dir, sample_mod=k).collect()
+    )
+    assert one == two
+    for a_id, b_id, cos, drop_id in one:
+        assert kept(a_id) and kept(b_id)
+        assert cos >= _SEM_TAU
+        assert drop_id in (a_id, b_id)
+
+
 # ---------------------------------------------------------------------------
 # C76 dedup_priority
 

@@ -509,3 +509,60 @@ def test_oracle_closure_cost_stays_inside_budget(spark):
         )
         assert cons["maxd"] <= max_depth, (name, cons)
         assert cons["sum2"] <= max_sum2, (name, cons)
+
+
+def test_certification_wall_derived_from_committed_timing_law(spark):
+    """VERDICT r9 item 6: turn the sf0.1 certification wall into a FAST
+    test.  The committed law (ORACLE_r09_sf0.1.txt vs the r9-measured
+    sf0.01 closure masses): closure work scales ~100x from sf0.01 to
+    sf0.1, and the WORST committed certification window processed
+    closure rows at ~64k/s (lock: 485,800 x 100 rows in 756.5 s) and
+    ~35k/s (ctrl: 162,294 x 100 in 452.6 s — the ctrl closure carries a
+    heavier per-row recursive CTE constant).  Two assertions per
+    derivation, both computed from the CURRENT sf0.01 derivation in
+    seconds of projected sf0.1 wall:
+
+    1. the measured closure mass projects under the ~900 s accepted
+       routine ceiling (lock's worst committed run, rounded up), so a
+       _LLZ_*/_CTL_* parameter change that would push the 7-minute
+       certification past it fails HERE in seconds;
+    2. the hand-pinned sum2 budgets in the companion test themselves
+       project under a 1200 s hard wall — the budget can never admit a
+       configuration the certification gate cannot finish.
+    """
+    from pyspark.sql import functions as F
+
+    from mapreduceimplementation_spark.plans.linz import (
+        derive_ctrl_config_history,
+        derive_lock_token_history,
+    )
+
+    # worst committed closure-row rates (rows/sec), ORACLE_r09_sf0.1.txt
+    law = {
+        "lock": (derive_lock_token_history, 64_000, 600_000),
+        "ctrl": (derive_ctrl_config_history, 35_000, 250_000),
+    }
+    scale_factor = 100  # sf0.01 -> sf0.1: rows x10 => depth^2 x100
+    routine_wall_s = 900
+    hard_wall_s = 1200
+    for name, (derive, rate, budget_sum2) in law.items():
+        hist = derive(spark, "/root/testdata/sf0.01")
+        sum2 = (
+            hist.where(F.col("prod").isNotNull() & F.col("obs").isNotNull())
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.sum(F.col("c") * F.col("c")).alias("sum2"))
+            .collect()[0]["sum2"]
+        )
+        projected_s = sum2 * scale_factor / rate
+        assert projected_s <= routine_wall_s, (
+            f"{name}: sf0.01 closure mass {sum2} projects to "
+            f"{projected_s:.0f}s at sf0.1 under the committed "
+            f"{rate}-rows/s law — past the {routine_wall_s}s routine "
+            "certification ceiling; shrink the derivation parameters"
+        )
+        budget_projected_s = budget_sum2 * scale_factor / rate
+        assert budget_projected_s <= hard_wall_s, (
+            f"{name}: the sum2 budget {budget_sum2} itself projects to "
+            f"{budget_projected_s:.0f}s — tighten the budget or the law"
+        )

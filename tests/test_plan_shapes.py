@@ -188,16 +188,32 @@ def test_density_quadratic_tag_and_warning(spark):
     )
 
     tagged = {n for n in TAGS if has_tag(n, DENSITY_QUADRATIC)}
-    assert tagged == {"streaming_transition_matrix_interval_join"}, tagged
-    # every tagged query names a registered linear twin
+    assert tagged == {
+        "streaming_transition_matrix_interval_join",
+        # r10 (VERDICT r9 item 4): touch×purchase pair volume ∝ per-user
+        # in-lookback activity² — same class, twin-less (the docstring
+        # documents the bounded-N restatement instead)
+        "events_funnel_attribution",
+    }, tagged
+    # every tagged query either names a registered linear twin or
+    # documents its linear/bounded restatement in the docstring
     for n in tagged:
-        assert LINEAR_TWIN[n] in eng.QUERIES
+        twin = LINEAR_TWIN.get(n)
+        if twin is not None:
+            assert twin in eng.QUERIES
+        else:
+            assert "Routing rule" in (eng.QUERIES[n].__doc__ or ""), n
     # the warning fires and points at the twin (bench.run_pass and
     # tools/scale_stress.py both emit via this helper)
     ws = bench.tag_warnings("streaming_transition_matrix_interval_join")
     assert any(
         DENSITY_QUADRATIC in w and "twin streaming_transition_matrix" in w
         for w in ws
+    ), ws
+    # the twin-less tag warns toward the documented linear decomposition
+    ws = bench.tag_warnings("events_funnel_attribution")
+    assert any(
+        DENSITY_QUADRATIC in w and "linear decomposition" in w for w in ws
     ), ws
     # untagged queries stay silent on this class — CRITICALLY including
     # the plain default key (the r9 swap's whole point)

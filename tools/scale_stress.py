@@ -159,6 +159,46 @@ def main() -> None:
                 if p1.get(k) != pN.get(k)
             }
 
+    # sampled-mode rows for the quadratic diagnostics (VERDICT r9 item
+    # 5): every headline query exposing the documented sample_mod escape
+    # is ALSO timed in sampled mode at both sizes, so the artifact shows
+    # the production-path growth beside the unsampled honest-cost row
+    # (pair survival is ~1/k² of the slice, so the sampled ratio reads
+    # the PLAN's scaling with the output-quadratic term suppressed)
+    import inspect
+
+    sample_k = 4
+    sampled = {}
+    for name in bench.HEADLINE:
+        if name not in qs:
+            continue
+        try:
+            has_sample = "sample_mod" in inspect.signature(qs[name]).parameters
+        except (TypeError, ValueError):
+            has_sample = False
+        if not has_sample:
+            continue
+        walls = {}
+        for label, d in (("t1", src), (f"t{rep}", big)):
+            t0 = time.time()
+            df = qs[name](spark, d, sample_mod=sample_k)
+            df.agg(
+                F.count(F.lit(1)),
+                F.sum(
+                    F.crc32(
+                        F.encode(F.to_json(F.struct(*df.columns)), "UTF-8")
+                    )
+                ),
+            ).collect()
+            walls[label] = round(time.time() - t0, 3)
+        sampled[name] = {
+            "sample_mod": sample_k,
+            **walls,
+            "ratio": round(walls[f"t{rep}"] / walls["t1"], 2)
+            if walls["t1"]
+            else None,
+        }
+
     # the canary is calibrated at sf0.1 only (bench.py's guard): at any
     # other src the factor would be meaningless, so record None
     sf_name = os.path.basename(src.rstrip("/"))
@@ -179,6 +219,7 @@ def main() -> None:
         "max_ratio": max(
             round(tN[n] / t1[n], 2) for n in set(t1) & set(tN) if t1[n]
         ),
+        "sampled_queries": sampled,
         "plans_equal_at_scale": plans_equal,
         "plan_diffs": plan_diffs,
         "host_factor_vs_quiet_canary": factor,
