@@ -77,7 +77,12 @@ def _sql_dot_weights(vec: str, seed: str, t: int, p: int) -> str:
 
 
 def _code(v: Column, seed: str, t: int, bits: int) -> Column:
-    """LSH bucket code of table t: bit p = sign of <v, w_{t,p}>."""
+    """LSH bucket code of table t: bit p = sign of <v, w_{t,p}>.
+
+    Deliberately an aggregate(zip_with(..)) fold, NOT an unrolled add
+    chain: unrolling bits x dim literal products was measured 5x SLOWER
+    end-to-end at sf0.1 (r10 A/B) — the optimizer/codegen cost of the
+    multi-thousand-node expression tree dwarfs the interpreted fold."""
     acc = F.lit(0)
     for p in range(bits):
         w = F.array(*[F.lit(x) for x in _weights(seed, t, p)])
@@ -739,7 +744,14 @@ def _km_cand_structs(id_alias: str = "cid"):
     matrix row — d the exact integer squared L2 from the row's q.  ONE
     definition: assignment (argmin via array_min) and IVF cell probing
     (explode + rank) must rank by the SAME distance or trained cells and
-    query probes silently disagree."""
+    query probes silently disagree.
+
+    Deliberately a runtime-sized transform over an interpreted fold, NOT
+    an unrolled k x dim codegen chain: the unrolled variant was measured
+    ~4x SLOWER end-to-end at sf0.1 (r10 A/B) — optimizer + codegen time
+    on the ~2000-node expression tree, re-planned per AQE stage, dwarfs
+    the per-element interpretation it saved (the same lesson as the
+    module's "k x dim literals" note on _km_assign)."""
     idx = F.sequence(F.lit(0), F.size("cids") - 1)
     return F.transform(
         idx,

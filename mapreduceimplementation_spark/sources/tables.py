@@ -29,10 +29,33 @@ TABLES = (
 BOUNDED_DIMS = frozenset({"region", "nation"})
 
 
+#: (applicationId, path) -> unexecuted scan PLAN.  Memoizing the
+#: DataFrame skips the per-call file listing + parquet footer read on
+#: the driver (tens of ms, times a few hundred load_table calls per
+#: bench run).  This is PLAN reuse, not result caching: nothing is
+#: persisted or .cache()d — every action on the returned frame still
+#: scans the parquet from disk.
+_PLAN_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (spark.sparkContext.applicationId, path)
+    cached = _PLAN_CACHE.get(key)
+    if cached is not None:
+        if name == "events":
+            # the nanosAsLong conf must be (re)set while the plan runs
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return cached
+    _PLAN_CACHE[key] = df = _load_table_uncached(spark, sf_dir, name, path)
+    return df
+
+
+def _load_table_uncached(
+    spark: SparkSession, sf_dir: str, name: str, path: str
+) -> DataFrame:
     if name == "events":
         # events.ts arrives in whichever parquet timestamp encoding the
         # data generator used: TIMESTAMP(NANOS) (rejected by Spark's

@@ -37,6 +37,44 @@ from mapreduceimplementation_spark.streaming.windowed import (
 _N_CHUNKS = 4
 
 
+def _make_upsert(work: str, state: dict, keys: list[str]):
+    """The shared foreachBatch upsert closure (D7/D17/D23): left-anti +
+    union into an alternating parquet dir keyed on ``keys``, swapped by
+    reference.
+
+    Per-batch cost discipline: ``batch_df`` re-executes its microbatch
+    plan (state-store read included) on EVERY action, and the naive loop
+    takes three (isEmpty, the anti-join probe side, the union write) —
+    persist() caches the microbatch once so the plan runs once, and the
+    empty check reuses the cached partitions.  The serving table is
+    key-bounded (cells/users, not stream length), so caching a batch of
+    changed keys is always executor-memory-safe."""
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            sp = batch_df.sparkSession
+            new_dir = os.path.join(work, f"state-{batch_id}")
+            if state["dir"] is None:
+                out = batch_df
+            else:
+                prev = sp.read.parquet(state["dir"])
+                kept = prev.join(batch_df.select(*keys), keys, "left_anti")
+                out = kept.unionByName(batch_df)
+            out.write.mode("overwrite").parquet(new_dir)
+            old = state["dir"]
+            state["dir"] = new_dir  # swap by reference — readers see old or new
+            state["batches"] += 1
+            if old is not None:
+                shutil.rmtree(old, ignore_errors=True)
+        finally:
+            batch_df.unpersist()
+
+    return _upsert
+
+
 def _chronological_feed(sf_dir: str) -> str:
     """events.parquet → _N_CHUNKS contiguous-ts-range parquet files with
     ascending mtimes (one-time, marker-guarded fixture).
@@ -101,28 +139,7 @@ def run_incremental_rollup(
     )
     work = tempfile.mkdtemp(prefix="mri_spark_d7_state_")
     state = {"dir": None, "batches": 0}
-
-    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        sp = batch_df.sparkSession
-        new_dir = os.path.join(work, f"state-{batch_id}")
-        if state["dir"] is None:
-            out = batch_df
-        else:
-            prev = sp.read.parquet(state["dir"])
-            kept = prev.join(
-                batch_df.select("minute", "event_type"),
-                ["minute", "event_type"],
-                "left_anti",
-            )
-            out = kept.unionByName(batch_df)
-        out.write.mode("overwrite").parquet(new_dir)
-        old = state["dir"]
-        state["dir"] = new_dir  # swap by reference — readers see old or new
-        state["batches"] += 1
-        if old is not None:
-            shutil.rmtree(old, ignore_errors=True)
+    _upsert = _make_upsert(work, state, ["minute", "event_type"])
 
     q = (
         agg.writeStream.outputMode("update")
@@ -245,28 +262,7 @@ def run_ab_stream(
     per_user = ab_per_user_facts(ev.select("user_id", "event_type", "value"))
     work = tempfile.mkdtemp(prefix="mri_spark_d17_state_")
     state = {"dir": None, "batches": 0}
-
-    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        sp = batch_df.sparkSession
-        new_dir = os.path.join(work, f"state-{batch_id}")
-        if state["dir"] is None:
-            out = batch_df
-        else:
-            prev = sp.read.parquet(state["dir"])
-            kept = prev.join(
-                batch_df.select("variant", "user_id"),
-                ["variant", "user_id"],
-                "left_anti",
-            )
-            out = kept.unionByName(batch_df)
-        out.write.mode("overwrite").parquet(new_dir)
-        old = state["dir"]
-        state["dir"] = new_dir
-        state["batches"] += 1
-        if old is not None:
-            shutil.rmtree(old, ignore_errors=True)
+    _upsert = _make_upsert(work, state, ["variant", "user_id"])
 
     q = (
         per_user.writeStream.outputMode("update")
@@ -360,28 +356,7 @@ def run_anomaly_stream(
     )
     work = tempfile.mkdtemp(prefix="mri_spark_d23_state_")
     state = {"dir": None, "batches": 0}
-
-    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        sp = batch_df.sparkSession
-        new_dir = os.path.join(work, f"state-{batch_id}")
-        if state["dir"] is None:
-            out = batch_df
-        else:
-            prev = sp.read.parquet(state["dir"])
-            kept = prev.join(
-                batch_df.select("day", "event_type"),
-                ["day", "event_type"],
-                "left_anti",
-            )
-            out = kept.unionByName(batch_df)
-        out.write.mode("overwrite").parquet(new_dir)
-        old = state["dir"]
-        state["dir"] = new_dir
-        state["batches"] += 1
-        if old is not None:
-            shutil.rmtree(old, ignore_errors=True)
+    _upsert = _make_upsert(work, state, ["day", "event_type"])
 
     q = (
         agg.writeStream.outputMode("update")
