@@ -370,29 +370,67 @@ _SQL_MH_CAND = f"""
 """
 
 
+def _mh_perm_minima_batches(it):
+    """mapInArrow kernel for _mh_sigs: per record batch, compute all
+    _MH_K per-document permutation minima vectorized in NumPy int64.
+
+    EXACTNESS: every intermediate fits int64 by the family's own bound
+    (a, b < 2^30 ⇒ a*hi + b*lo + c < 2^62 — see the constants comment),
+    values and r are < 2^60, and numpy's ^ >> & * + % on int64 are the
+    same two's-complement ops the JVM runs, so each minimum is
+    bit-identical to the expression version (pytest-pinned twin).
+
+    Heavy init (the constant matrices) is module-level; the function is
+    importable (not pickled-by-value), so reused workers keep it."""
+    import numpy as np
+    import pyarrow as pa
+
+    a = np.array(_MH_A, dtype=np.int64)[:, None]
+    b = np.array(_MH_B, dtype=np.int64)[:, None]
+    c = np.array(_MH_C, dtype=np.int64)[:, None]
+    r = np.array(_MH_R_, dtype=np.int64)[:, None]
+    p = np.int64(MERSENNE_61)
+    mask = np.int64(_MH_MASK30)
+    names = ["doc_id"] + [f"m{i}" for i in range(_MH_K)]
+    for batch in it:
+        col = batch.column(1)
+        flat = np.asarray(col.flatten(), dtype=np.int64)
+        lens = np.asarray(col.value_lengths(), dtype=np.int64)
+        # shd is pre-filtered to >= 1 shingle; reduceat needs that
+        assert lens.min() >= 1, "_mh_sigs: empty shingle array"
+        starts = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        m = flat[None, :] ^ r  # (K, n) mixed values
+        g = (a * (m >> 30) + b * (m & mask) + c) % p
+        mins = np.minimum.reduceat(g, starts, axis=1)  # (K, docs)
+        arrays = [batch.column(0)] + [
+            pa.array(mins[i], type=pa.int64()) for i in range(_MH_K)
+        ]
+        yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+
 def _mh_sigs(shd: DataFrame) -> DataFrame:
     """(doc_id, m0..m{K-1}) MinHash signature table of a shingled
     (doc_id, sh_arr) relation — row-local, ONE definition shared by the
     band builder below and C81's b-bit audit (a drifted copy would
-    produce signatures that disagree between consumers)."""
-    return (
-        shd  # already filtered to >=1 shingle — do NOT re-filter
-        .select("doc_id", F.transform("sh_arr", lambda s: hash64(s)).alias("hs"))
-        .select(
-            "doc_id",
-            *[
-                F.array_min(
-                    F.transform(
-                        F.col("hs"),
-                        (lambda a, b, c, r: lambda h: _perm(h, a, b, c, r))(
-                            _MH_A[i], _MH_B[i], _MH_C[i], _MH_R_[i]
-                        ),
-                    )
-                ).alias(f"m{i}")
-                for i in range(_MH_K)
-            ],
-        )
+    produce signatures that disagree between consumers).
+
+    Two row-local stages: shingle hashes stay JVM md5 (portability —
+    the oracle replays them), then the _MH_K universal-hash minima run
+    as ONE Arrow-batched NumPy kernel (guide §4.2): the expression form
+    evaluated K interpreted lambda passes per document (~K x |shingles|
+    per row — measured 1.1 s of the signature pass at sf0.1 vs 0.16 s
+    for the md5s), while the kernel is a handful of vectorized int64
+    ops.  Only (doc_id, hs) crosses the Python boundary, no shuffle is
+    added, and values are bit-identical (see _mh_perm_minima_batches;
+    differential pytest pins it)."""
+    hs = shd.select(  # already filtered to >=1 shingle — do NOT re-filter
+        "doc_id", F.transform("sh_arr", lambda s: hash64(s)).alias("hs")
     )
+    out_schema = ", ".join(
+        ["doc_id long"] + [f"m{i} long" for i in range(_MH_K)]
+    )
+    return hs.mapInArrow(_mh_perm_minima_batches, out_schema)
 
 
 def _mh_bands(shd: DataFrame) -> DataFrame:

@@ -668,3 +668,40 @@ def test_bbit_audit_python_twin_and_bounds(spark, sf_dir):
         # so m_b >= m_f — undo the debias before comparing
         assert r["j_bbit"] * (1 - _BBIT_C) + _BBIT_C >= r["j_full"] - 1e-6
         assert abs(r["j_bbit"] - r["j_exact"]) < 0.25  # debiased, near-dup pairs
+
+
+# r10: the Arrow-batched NumPy permutation kernel must agree bit-for-bit
+# with the JVM expression form it replaced
+
+
+def test_mh_sigs_arrow_kernel_matches_expression(spark, sf_dir):
+    """_mh_sigs now computes the _MH_K permutation minima in a
+    mapInArrow NumPy kernel (r10 optimization); this differential pins
+    it to the original interpreted expression form value-for-value, so
+    an int64 overflow or reduceat segmentation bug can never ship a
+    drifted signature."""
+    from mapreduceimplementation_spark.operators import dedup as dd
+    from mapreduceimplementation_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shd = dd._shingled(docs, spark).localCheckpoint(eager=True)
+    got = dd._mh_sigs(shd).toPandas().sort_values("doc_id").reset_index(drop=True)
+    # the pre-r10 expression form, inline
+    expr = shd.select(
+        "doc_id", F.transform("sh_arr", lambda s: dd.hash64(s)).alias("hs")
+    ).select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("hs"),
+                    (lambda a, b, c, r: lambda h: dd._perm(h, a, b, c, r))(
+                        dd._MH_A[i], dd._MH_B[i], dd._MH_C[i], dd._MH_R_[i]
+                    ),
+                )
+            ).alias(f"m{i}")
+            for i in range(dd._MH_K)
+        ],
+    )
+    want = expr.toPandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=True)
