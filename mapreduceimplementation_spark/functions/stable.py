@@ -89,6 +89,24 @@ def half_away(q: Column, digits: int) -> Column:
     )
 
 
+def py_half_away(q: float, digits: int) -> float:
+    """Pure-Python twin of ``half_away`` for Arrow-kernel operators —
+    Python floats ARE IEEE doubles and math.floor is the same floor, so
+    the op sequence (one product, one conditional floor, one division by
+    an exact power of ten) is bit-identical to the Column form.  ONE
+    definition per engine: a drifted kernel copy would move rounding
+    frontiers."""
+    import math
+
+    scale = float(10**digits)
+    scaled = q * scale
+    if scaled < 0:
+        v = -math.floor(-scaled + 0.5)
+    else:
+        v = math.floor(scaled + 0.5)
+    return v / scale
+
+
 def sql_half_away(expr: str, digits: int) -> str:
     """DuckDB twin of ``half_away`` — identical double ops, stated once."""
     scale = float(10**digits)

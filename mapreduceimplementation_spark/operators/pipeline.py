@@ -1173,19 +1173,11 @@ def _qc_features(
 
 def _qc_score(feats: DataFrame, w_row: DataFrame) -> DataFrame:
     """Row-local forward pass against the one-row broadcast weight vector:
-    z = round(w.x / 1e6), p = hard_sigmoid(z) — all micro-unit integers.
-
-    The dot product is an unrolled 17-term sum of element_at products
-    (whole-stage-codegen arithmetic) rather than aggregate(zip_with(..)) —
-    higher-order functions run interpreted per element, and this
-    expression sits under every training step's corpus scan.  Exact-
-    integer sums, so the value is bit-identical either way."""
-    dot = sum(
-        (
-            F.element_at("w", j) * F.element_at("x", j)
-            for j in range(2, _QC_NDIM + 1)
-        ),
-        F.element_at("w", 1) * F.element_at("x", 1),
+    z = round(w.x / 1e6), p = hard_sigmoid(z) — all micro-unit integers."""
+    dot = F.aggregate(
+        F.zip_with("w", "x", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
     )
     z = F.round(dot / F.lit(1000000.0)).cast("long")
     p = F.least(
@@ -1204,28 +1196,27 @@ def _qc_step(feats: DataFrame, w_row: DataFrame) -> DataFrame:
     """One full-batch gradient step: ONE partial-agg exchange collapsing
     the corpus onto (n, g_1..g_17, w) — the weight vector rides through
     the aggregate (max of a constant column) so the lineage stays a CHAIN,
-    not a tree, and the whole training run compiles into one job."""
+    not a tree, and the whole training run compiles into one job.
+
+    r10 NOTE — measured, do not "fix": riding w as 17 scalar max()
+    columns (HashAggregate instead of the array-buffer SortAggregate)
+    plus an unrolled element_at dot LOOKED 2x faster under heavy host
+    contention, but in a QUIET window it is ~1.3x SLOWER (5.8 -> 7.4 s
+    noop at sf0.1) — the wider agg schema and bigger per-step expression
+    trees cost more in optimizer + codegen than the interpreted fold
+    costs to run.  Keep the array-max chain."""
     scored = _qc_score(feats, w_row)
     gsums = [
         F.sum((F.col("y") - F.col("p")) * F.element_at("x", j)).alias(f"g{j}")
         for j in range(1, _QC_NDIM + 1)
     ]
-    # the weight vector rides through the aggregate as 17 SCALAR max()
-    # columns, not one max(array): array-typed aggregation buffers force
-    # SortAggregate (no partial-agg codegen path), which made every
-    # gradient step an interpreted full-corpus SortAggregate — with long
-    # buffers each step is a codegen HashAggregate with map-side combine
-    wride = [
-        F.max(F.element_at("w", j)).alias(f"_w{j}")
-        for j in range(1, _QC_NDIM + 1)
-    ]
     grad = scored.agg(
-        F.count(F.lit(1)).cast("long").alias("n"), *gsums, *wride
+        F.count(F.lit(1)).cast("long").alias("n"), *gsums, F.max("w").alias("w")
     )
     wnew = F.array(
         *[
             (
-                F.col(f"_w{j}")
+                F.element_at("w", j)
                 + F.round(
                     F.lit(float(_QC_LR))
                     * F.col(f"g{j}")

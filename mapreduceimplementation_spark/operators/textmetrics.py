@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from mapreduceimplementation_spark.functions.hashing import hash64, sql_hash64
 from mapreduceimplementation_spark.functions.stable import (
     half_away,
+    py_half_away,
     round6,
     sql_half_away,
     sql_round6,
@@ -818,17 +819,103 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     run BEFORE expensive dedup, plus the keep verdict at the documented
     thresholds.
 
-    Scale shape: n-grams for n=1..3 are built row-local from one split
-    (higher-order functions, no self-zip shuffle) and exploded ONCE;
-    counting shuffles on (doc_id, n, gram) — a key strictly finer than
-    doc_id, so it cannot skew worse than document length; the per-doc
-    rollup conditional-aggregates the counted cells in one more exchange
-    on doc_id.  Two exchanges total, text itself never shuffled (only
-    grams, like the shingle operators).  All fractions are rounded at
-    6dp BEFORE the keep comparison so the frontier is engine- and
-    partitioning-stable.  Whitespace-only documents have no grams and
-    drop out (both engines agree by construction)."""
+    Scale shape (r10 rewrite): the statistics are PER-DOCUMENT functions
+    of the document's own tokens, so they need no shuffle at all — one
+    Arrow-batched kernel counts grams per doc with a hash map and emits
+    the rounded fractions; text never leaves its scan task.  The old
+    explode + two-exchange formulation shuffled every gram occurrence
+    (∝ corpus tokens × 3) to compute a row-local quantity — at 100 TB
+    that is a full-corpus shuffle bought for nothing.  Exactness: the
+    kernel's Python floats run the identical IEEE op sequence as the
+    JVM expressions (one multiply, one divide, the half_away floor
+    formula), so every fraction and keep verdict is bit-equal — pinned
+    by a differential pytest against the expression form, and by the
+    unchanged DuckDB oracle.  Whitespace-only documents have no grams
+    and drop out (all engines agree by construction)."""
     tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = spread(docs.where(F.col("text").isNotNull()), spark)
+    return base.mapInArrow(
+        _rep_kernel,
+        "doc_id long, n_words long, top_word_frac double,"
+        " top_bigram_frac double, dup_trigram_frac double, keep boolean",
+    )
+
+
+def _py_half_away6(q: float) -> float:
+    return py_half_away(q, 6)
+
+
+def _rep_kernel(it):
+    """quality_repetition's per-document gram statistics, one Arrow batch
+    at a time.  Mirrors the expression form op-for-op: Python floats ARE
+    IEEE doubles, `t * 1.0 / n` is one exact product + one correctly-
+    rounded division, and _py_half_away6 is the same floor formula as
+    functions/stable.half_away — bit-equal outputs (differential
+    pytest)."""
+    from collections import Counter
+
+    import pyarrow as pa
+
+    for batch in it:
+        ids = batch.column(0).to_pylist()
+        texts = batch.column(1).to_pylist()
+        o_id, o_nw, o_tw, o_tb, o_dt, o_keep = [], [], [], [], [], []
+        for doc_id, text in zip(ids, texts):
+            ws = [w for w in text.split(" ") if w != ""]
+            t1 = len(ws)
+            if t1 == 0:
+                continue  # no grams: the doc drops out, as with explode
+            top1 = max(Counter(ws).values())
+            top_word = _py_half_away6(top1 * 1.0 / t1)
+            if t1 >= 2:
+                c2 = Counter(
+                    f"{ws[i]} {ws[i + 1]}" for i in range(t1 - 1)
+                )
+                top_bigram = _py_half_away6(max(c2.values()) * 1.0 / (t1 - 1))
+            else:
+                top_bigram = 0.0
+            if t1 >= 3:
+                c3 = Counter(
+                    f"{ws[i]} {ws[i + 1]} {ws[i + 2]}" for i in range(t1 - 2)
+                )
+                dup3 = sum(c for c in c3.values() if c > 1)
+                dup_tri = _py_half_away6(dup3 * 1.0 / (t1 - 2))
+            else:
+                dup_tri = 0.0
+            o_id.append(doc_id)
+            o_nw.append(t1)
+            o_tw.append(top_word)
+            o_tb.append(top_bigram)
+            o_dt.append(dup_tri)
+            o_keep.append(
+                top_word <= _REP_MAX_TOP_WORD
+                and top_bigram <= _REP_MAX_TOP_BIGRAM
+                and dup_tri <= _REP_MAX_DUP_TRIGRAM
+            )
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(o_id, type=pa.int64()),
+                pa.array(o_nw, type=pa.int64()),
+                pa.array(o_tw, type=pa.float64()),
+                pa.array(o_tb, type=pa.float64()),
+                pa.array(o_dt, type=pa.float64()),
+                pa.array(o_keep, type=pa.bool_()),
+            ],
+            names=[
+                "doc_id",
+                "n_words",
+                "top_word_frac",
+                "top_bigram_frac",
+                "dup_trigram_frac",
+                "keep",
+            ],
+        )
+
+
+def _quality_repetition_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-r10 two-exchange expression form of quality_repetition —
+    kept as the differential-pytest reference for _rep_kernel."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     ws = F.filter(F.split(F.col("text"), " "), lambda w: w != F.lit(""))
     base = docs.where(F.col("text").isNotNull()).select("doc_id", ws.alias("ws"))

@@ -272,8 +272,9 @@ def ann_topk(
 # C11. ann_lsh (random-hyperplane bucketed ANN)
 
 
-def _buckets(n: DataFrame, seed: str, tables: int, bits: int) -> DataFrame:
-    """(vec_id, t, code) — LSH codes for every table, computed row-local."""
+def _buckets_expr(n: DataFrame, seed: str, tables: int, bits: int) -> DataFrame:
+    """The original expression form of _buckets — kept as the
+    differential-pytest reference for the Arrow kernel below."""
     return n.select(
         "vec_id",
         F.explode(
@@ -287,6 +288,82 @@ def _buckets(n: DataFrame, seed: str, tables: int, bits: int) -> DataFrame:
             )
         ).alias("tc"),
     ).select("vec_id", "tc.t", "tc.code")
+
+
+def _make_buckets_kernel(seed: str, tables: int, bits: int):
+    """mapInArrow kernel computing every table's LSH code per vector,
+    vectorized in NumPy — replaces tables x bits interpreted
+    aggregate(zip_with(..)) dots per row (r10; guide §4.2).
+
+    EXACTNESS (differential-pytest-pinned against _buckets_expr):
+    - the fold order is preserved: acc += v[j] * w[j] runs the identical
+      IEEE multiply+add sequence, j ascending from a 0.0 seed, as the
+      old left fold — signs of near-zero dots match bit-for-bit;
+    - Spark/DuckDB order NaN above every number, so `d >= 0` is TRUE for
+      a NaN dot — the kernel ORs in isnan(d);
+    - a vector of length != _DIM made every zip_with product column null
+      in the old form, nulling d and zeroing ALL that row's bits: such
+      rows emit code 0 for every table here too;
+    - null ELEMENTS inside a vector have no exact NumPy twin (they
+      null d, NaN does not) — the kernel asserts them absent (loud,
+      not silently wrong; the embeddings contract has no null dims)."""
+
+    def kernel(it):
+        import numpy as np
+        import pyarrow as pa
+
+        w = np.array(
+            [
+                [_weights(seed, t, p) for p in range(bits)]
+                for t in range(tables)
+            ],
+            dtype=np.float64,
+        ).reshape(tables * bits, _DIM)
+        tcol = np.arange(tables, dtype=np.int32)
+        pw = (1 << np.arange(bits, dtype=np.int64))[None, None, :]
+        for batch in it:
+            ids = np.asarray(batch.column(0), dtype=np.int64)
+            col = batch.column(1)
+            rows = len(ids)
+            if rows == 0:
+                continue
+            flat_arr = col.flatten()
+            assert flat_arr.null_count == 0, "_buckets: null vector element"
+            flat = np.asarray(flat_arr, dtype=np.float64)
+            lens = np.asarray(col.value_lengths(), dtype=np.int64)
+            starts = np.zeros(rows, dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            codes = np.zeros((rows, tables), dtype=np.int32)
+            ok = lens == _DIM
+            if ok.any():
+                vidx = starts[ok, None] + np.arange(_DIM)[None, :]
+                v = flat[vidx]  # (n_ok, _DIM)
+                acc = np.zeros((v.shape[0], tables * bits), dtype=np.float64)
+                for j in range(_DIM):
+                    acc += v[:, j, None] * w[None, :, j]
+                bit = (acc >= 0) | np.isnan(acc)
+                codes[ok] = (
+                    (bit.reshape(-1, tables, bits) * pw).sum(axis=2)
+                ).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(ids, tables), type=pa.int64()),
+                    pa.array(np.tile(tcol, rows), type=pa.int32()),
+                    pa.array(codes.reshape(-1), type=pa.int32()),
+                ],
+                names=["vec_id", "t", "code"],
+            )
+
+    return kernel
+
+
+def _buckets(n: DataFrame, seed: str, tables: int, bits: int) -> DataFrame:
+    """(vec_id, t, code) — LSH codes for every table, computed row-local
+    (one Arrow-batched NumPy pass; see _make_buckets_kernel)."""
+    return n.select("vec_id", "v").mapInArrow(
+        _make_buckets_kernel(seed, tables, bits),
+        "vec_id long, t int, code int",
+    )
 
 
 def _sql_buckets(seed: str, tables: int, bits: int) -> str:

@@ -638,3 +638,42 @@ def test_ccnet_buckets_cuts_and_rank(spark, sf_dir, duck):
         if "row_number" in low and "windowspecdefinition(lm_score" in low.replace(" ", ""):
             raise AssertionError(f"corpus-wide single-partition window: {line}")
     assert "CartesianProduct" not in plan
+
+
+# r10: the Arrow-kernel quality_repetition must agree bit-for-bit with
+# the two-exchange expression form it replaced
+
+
+def test_quality_repetition_kernel_matches_expression(spark, sf_dir):
+    import pandas as pd
+
+    from mapreduceimplementation_spark.operators import textmetrics as tm
+
+    got = (
+        tm.quality_repetition(spark, sf_dir)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        tm._quality_repetition_expr(spark, sf_dir)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=True)
+
+
+def test_quality_repetition_kernel_zero_exchange(spark, sf_dir):
+    """The kernel form shuffles nothing: per-doc gram stats are row-local
+    (the point of the r10 rewrite — the old form shuffled every gram)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from mapreduceimplementation_spark.operators import textmetrics as tm
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        tm.quality_repetition(spark, sf_dir).explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("Exchange hashpartitioning") == 0, plan

@@ -795,3 +795,63 @@ def test_label_recall_consistent_with_ann_topk(spark, sf_dir):
         for r in embedding_label_recall(spark, sf_dir, sample_mod=4).collect()
     }
     assert set(samp) == set(want)
+
+
+# r10: the Arrow-batched LSH bucket kernel must agree bit-for-bit with
+# the expression form it replaced (fold order, NaN ordering, short rows)
+
+
+def test_buckets_arrow_kernel_matches_expression(spark, sf_dir):
+    from mapreduceimplementation_spark.operators import vectors as V
+
+    n = V._normed(spark, sf_dir)
+    for seed, tables, bits in (
+        ("knn", V._KNN_TABLES, V._KNN_BITS),
+        ("de", V._DE_TABLES, V._DE_BITS),
+    ):
+        got = (
+            V._buckets(n, seed, tables, bits)
+            .toPandas()
+            .sort_values(["vec_id", "t"])
+            .reset_index(drop=True)
+        )
+        want = (
+            V._buckets_expr(n, seed, tables, bits)
+            .toPandas()
+            .sort_values(["vec_id", "t"])
+            .reset_index(drop=True)
+        )
+        assert got.equals(want), (seed, tables, bits)
+
+
+def test_buckets_arrow_kernel_edge_rows(spark):
+    """Short vectors (len != _DIM) emit code 0 for every table — the
+    exact null-fold semantics of the old expression; NaN dims keep the
+    Spark/DuckDB NaN-is-largest ordering (bit set)."""
+    import math
+
+    from mapreduceimplementation_spark.operators import vectors as V
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.5] * V._DIM),
+            (2, [0.5] * 3),  # short: every bit nulls out -> code 0
+            (3, [math.nan] * V._DIM),  # NaN dot: NaN >= 0 is true in Spark
+        ],
+        "vec_id long, v array<double>",
+    )
+    got = (
+        V._buckets(df, "knn", 2, 3)
+        .toPandas()
+        .sort_values(["vec_id", "t"])
+        .reset_index(drop=True)
+    )
+    want = (
+        V._buckets_expr(df, "knn", 2, 3)
+        .toPandas()
+        .sort_values(["vec_id", "t"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+    assert list(got[got.vec_id == 2]["code"]) == [0, 0]
+    assert list(got[got.vec_id == 3]["code"]) == [7, 7]
