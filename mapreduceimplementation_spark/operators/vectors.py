@@ -1978,6 +1978,88 @@ def _pq_best(x: Column | str, m: Column) -> Column:
     )
 
 
+def _pq_codebook_np(emb: DataFrame):
+    """The codebook as a (K, {dim}) float64 NumPy matrix, k ascending —
+    COLLECTED for the Arrow encode kernel.  Model-sized driver traffic
+    ({K} x {dim} float32s, the PCA-vector/convergence-scalar class), and
+    the float32 -> float64 conversion is exact, matching .cast('double')."""
+    import numpy as np
+
+    rows = _pq_codebook_row(emb).collect()
+    cb = rows[0]["cb"] if rows else []
+    if not cb:
+        return np.zeros((0, _PQ_DIM), dtype=np.float64)
+    # array_sort on (h, vec_id) + positional k => already k-ascending
+    return np.array([list(c["ce"]) for c in cb], dtype=np.float64)
+
+
+def _make_pq_encode_kernel(cb, with_err: bool):
+    """mapInArrow kernel assigning every vector its {M} PQ codes (and,
+    for C60, the reconstruction error) vectorized in NumPy — replaces a
+    per-row interpreted fold that evaluated the 8-term subspace distance
+    TWICE per codeword per subspace (r10; guide §4.2).
+
+    EXACTNESS (differential-pytest-pinned against the fold form):
+    - per (row, m, k) the distance accumulates j-ascending in-place —
+      the identical left-assoc double chain (the 0.0 seed is exact:
+      squared diffs are never -0.0);
+    - np.argmin keeps the FIRST minimum = smallest k, the fold's
+      first-strict-improvement rule;
+    - the C60 error folds the m distances in m order from 0.0 and
+      floors the 1e6 product, op-for-op the expression form;
+    - non-finite inputs have no exact twin (the fold's NaN never beats
+      acc.d) — asserted absent, loudly."""
+
+    def kernel(it):
+        import numpy as np
+        import pyarrow as pa
+
+        k_n = cb.shape[0]
+        for batch in it:
+            ids = np.asarray(batch.column(0), dtype=np.int64)
+            col = batch.column(1)
+            if len(ids) == 0:
+                continue
+            assert k_n > 0, "embedding_pq: empty codebook with data rows"
+            flat = np.asarray(col.flatten(), dtype=np.float64)
+            assert np.isfinite(flat).all(), "embedding_pq: non-finite dim"
+            v = flat.reshape(-1, _PQ_DIM)  # _pq_emb pins the length
+            acc = np.zeros((v.shape[0], _PQ_M, k_n), dtype=np.float64)
+            for m in range(_PQ_M):
+                for j in range(_PQ_DSUB):
+                    d = v[:, m * _PQ_DSUB + j, None] - cb[None, :, m * _PQ_DSUB + j]
+                    acc[:, m, :] += d * d
+            ks = np.argmin(acc, axis=2)
+            if not with_err:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(ids, type=pa.int64()),
+                        pa.array(
+                            ks.astype(np.int32).tolist(),
+                            type=pa.list_(pa.int32()),
+                        ),
+                    ],
+                    names=["neighbor_id", "pq"],
+                )
+                continue
+            ds = np.take_along_axis(acc, ks[:, :, None], axis=2)[:, :, 0]
+            err = np.zeros(v.shape[0], dtype=np.float64)
+            for m in range(_PQ_M):
+                err += ds[:, m]
+            recon = np.floor(err * 1000000.0).astype(np.int64)
+            fps = [",".join(map(str, row)) for row in ks.tolist()]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, type=pa.int64()),
+                    pa.array(fps, type=pa.string()),
+                    pa.array(recon, type=pa.int64()),
+                ],
+                names=["vec_id", "pq_fp", "recon_err_micro"],
+            )
+
+    return kernel
+
+
 @register(
     "embedding_pq",
     oracle=f"""
@@ -2049,27 +2131,10 @@ def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     shards."""
     tune(spark)
     emb = _pq_emb(spark, sf_dir)
-    cb_row = _pq_codebook_row(emb)
-    codes = F.transform(
-        F.sequence(F.lit(0), F.lit(_PQ_M - 1)), lambda m: _pq_best("e", m)
-    )
-    return (
-        emb.crossJoin(F.broadcast(cb_row))
-        .select("vec_id", codes.alias("codes"))
-        .select(
-            "vec_id",
-            F.array_join(
-                F.transform("codes", lambda c: c["k"].cast("string")), ","
-            ).alias("pq_fp"),
-            F.floor(
-                F.aggregate(
-                    "codes", F.lit(0.0), lambda acc, c: acc + c["d"]
-                )
-                * 1000000.0
-            )
-            .cast("long")
-            .alias("recon_err_micro"),
-        )
+    cb = _pq_codebook_np(emb)
+    return spread(emb.select("vec_id", "e"), spark).mapInArrow(
+        _make_pq_encode_kernel(cb, with_err=True),
+        "vec_id long, pq_fp string, recon_err_micro long",
     )
 
 
@@ -2169,15 +2234,9 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the corpus parquet is read once, not re-scanned per consumer
     emb = _pq_emb(spark, sf_dir).localCheckpoint()
     cb_row = _pq_codebook_row(emb)
-    codes_df = (
-        emb.crossJoin(F.broadcast(cb_row))
-        .select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.transform(
-                F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
-                lambda m: _pq_best("e", m)["k"],
-            ).alias("pq"),
-        )
+    codes_df = emb.select("vec_id", "e").mapInArrow(
+        _make_pq_encode_kernel(_pq_codebook_np(emb), with_err=False),
+        "neighbor_id long, pq array<int>",
     )
     qlut = (
         emb.where(F.col("vec_id") < _Q_MAX)

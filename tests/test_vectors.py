@@ -412,8 +412,9 @@ def test_quantize_constant_dim_is_zero(spark):
 def test_embedding_pq_matches_brute_force(spark, sf_dir):
     """C60 against a pure-Python PQ encoder: identical codebook (k-min
     seeds by hash), identical per-subspace argmin codes, identical
-    micro-unit reconstruction error — and the plan broadcasts the one-row
-    codebook instead of shuffling the corpus."""
+    micro-unit reconstruction error — and the plan never shuffles the
+    corpus (r10: assignment is an Arrow kernel against the collected
+    model-sized codebook; pre-r10 it was a one-row codebook broadcast)."""
     import numpy as np
     import pandas as pd
 
@@ -427,7 +428,8 @@ def test_embedding_pq_matches_brute_force(spark, sf_dir):
 
     df = eng.QUERIES["embedding_pq"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "MapInArrow" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
     out = df.toPandas().set_index("vec_id").sort_index()
 
     emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
@@ -855,3 +857,48 @@ def test_buckets_arrow_kernel_edge_rows(spark):
     assert got.equals(want)
     assert list(got[got.vec_id == 2]["code"]) == [0, 0]
     assert list(got[got.vec_id == 3]["code"]) == [7, 7]
+
+
+def test_pq_encode_kernel_matches_fold(spark, sf_dir):
+    """r10: the Arrow PQ encode kernel must match the _pq_best fold form
+    code-for-code and bit-for-bit on distances/errors."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mapreduceimplementation_spark.operators import vectors as V
+
+    emb = V._pq_emb(spark, sf_dir).localCheckpoint(eager=True)
+    cb_row = V._pq_codebook_row(emb)
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(V._PQ_M - 1)), lambda m: V._pq_best("e", m)
+    )
+    want = (
+        emb.crossJoin(F.broadcast(cb_row))
+        .select("vec_id", codes.alias("codes"))
+        .select(
+            "vec_id",
+            F.array_join(
+                F.transform("codes", lambda c: c["k"].cast("string")), ","
+            ).alias("pq_fp"),
+            F.floor(
+                F.aggregate("codes", F.lit(0.0), lambda acc, c: acc + c["d"])
+                * 1000000.0
+            )
+            .cast("long")
+            .alias("recon_err_micro"),
+        )
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    got = (
+        emb.select("vec_id", "e")
+        .mapInArrow(
+            V._make_pq_encode_kernel(V._pq_codebook_np(emb), with_err=True),
+            "vec_id long, pq_fp string, recon_err_micro long",
+        )
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=True)
