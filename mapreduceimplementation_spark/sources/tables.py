@@ -29,27 +29,43 @@ TABLES = (
 BOUNDED_DIMS = frozenset({"region", "nation"})
 
 
-#: (applicationId, path) -> unexecuted scan PLAN.  Memoizing the
-#: DataFrame skips the per-call file listing + parquet footer read on
-#: the driver (tens of ms, times a few hundred load_table calls per
-#: bench run).  This is PLAN reuse, not result caching: nothing is
-#: persisted or .cache()d — every action on the returned frame still
-#: scans the parquet from disk.
-_PLAN_CACHE: dict[tuple[str, str], DataFrame] = {}
+#: (applicationId, path, mtime_ns, size) -> unexecuted scan PLAN.
+#: Memoizing the DataFrame skips the per-call file listing + parquet
+#: footer read on the driver (tens of ms, times a few hundred
+#: load_table calls per bench run).  This is PLAN reuse, not result
+#: caching: nothing is persisted or .cache()d — every action on the
+#: returned frame still scans the parquet from disk.  The key carries
+#: the path's stat so a REWRITTEN fixture (same path, new files — the
+#: oracle-fuzz suite does this) misses the memo instead of reading
+#: deleted part files; an unstattable path skips the memo entirely and
+#: lets Spark raise its own error.
+_PLAN_CACHE: dict[tuple, DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    key = (spark.sparkContext.applicationId, path)
-    cached = _PLAN_CACHE.get(key)
-    if cached is not None:
-        if name == "events":
-            # the nanosAsLong conf must be (re)set while the plan runs
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return cached
-    _PLAN_CACHE[key] = df = _load_table_uncached(spark, sf_dir, name, path)
+    try:
+        st = os.stat(path)
+        key = (
+            spark.sparkContext.applicationId,
+            path,
+            st.st_mtime_ns,
+            st.st_size,
+        )
+    except OSError:
+        key = None
+    if key is not None:
+        cached = _PLAN_CACHE.get(key)
+        if cached is not None:
+            if name == "events":
+                # the nanosAsLong conf must be (re)set while the plan runs
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            return cached
+    df = _load_table_uncached(spark, sf_dir, name, path)
+    if key is not None:
+        _PLAN_CACHE[key] = df
     return df
 
 

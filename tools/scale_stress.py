@@ -15,9 +15,11 @@ warm session and records:
     see (broadcast choices are file-size-driven),
   - the canary factor, so a noisy host window is visible in the record.
 
-Usage: python tools/scale_stress.py [rep] [out_json]
+Usage: python tools/scale_stress.py [rep] [out_json] [only_query ...]
 Writes SCALE_r06.json (default) at the repo root; the inflated dataset
-is cached under .scale_data/ and reused across runs.
+is cached under .scale_data/ and reused across runs.  With only_query
+names, the run restricts to that HEADLINE subset (r10: re-measuring the
+queries an optimization touched without paying the full-surface cost).
 """
 
 from __future__ import annotations
@@ -122,6 +124,7 @@ def main() -> None:
     out_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
         REPO, "SCALE_r06.json"
     )
+    only = set(sys.argv[3:])
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     import bench
@@ -133,6 +136,10 @@ def main() -> None:
 
     spark = get_spark("mri-scale-stress")
     qs = entrymod.queries()
+    if only:
+        unknown = only - set(qs)
+        assert not unknown, f"unknown only_query names: {sorted(unknown)}"
+        qs = {k: v for k, v in qs.items() if k in only}
     big = build_inflated(spark, src, rep)
 
     # warm both datasets' footers + the streaming machinery outside
