@@ -95,16 +95,6 @@ def test_quality_repetition_hand_case(spark, sf_dir):
     assert isinstance(out, pd.DataFrame)
 
 
-def test_quality_repetition_two_exchanges(spark, sf_dir):
-    """The design is exactly two shuffles: (doc_id,n,gram) counting and the
-    doc_id rollup — a third would mean the gram relation is re-shuffled."""
-    df = eng.QUERIES["quality_repetition"](spark, sf_dir)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    n_ex = plan.count("Exchange hashpartitioning")
-    assert n_ex == 2, f"expected 2 hash exchanges, saw {n_ex}:\n{plan}"
-    assert "CartesianProduct" not in plan
-
-
 def test_feature_hash_vectors_oracle_and_shape(spark, sf_dir, duck):
     """C34: oracle match + zero-exchange plan + per-row invariant
     (vector components sum to n_tokens — hashing never drops a token)."""
