@@ -465,6 +465,13 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     canary_applies = float(sf or 0) == 0.1
 
+    # Scaling-contract legibility (VERDICT r10 item 2): report the
+    # parallelism the session ACTUALLY runs with, so the driver's CPU
+    # probe can verify $SPARK_GRAFT_CPUS was honored instead of
+    # suspecting "env ignored" when a query is driver-bound at this SF.
+    default_parallelism = spark.sparkContext.defaultParallelism
+    shuffle_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
     best: dict[str, float] = {}
     pass1: dict[str, float] = {}
     passes = 0
@@ -506,6 +513,8 @@ def main() -> None:
                 "quiet_window": quiet,
                 "streaming_warmup_sec": warm_s,
                 "bench_passes": passes,
+                "default_parallelism": default_parallelism,
+                "shuffle_partitions": shuffle_partitions,
                 "note": os.environ.get("SPARK_GRAFT_BENCH_NOTE"),
             },
             float(sf) if sf else None,
@@ -525,6 +534,8 @@ def main() -> None:
                 "queries_pass1": pass1,
                 "skipped": skipped,
                 "sf": float(sf) if sf else None,
+                "default_parallelism": default_parallelism,
+                "shuffle_partitions": shuffle_partitions,
                 "host_factor_vs_quiet_canary": factor,
                 "streaming_warmup_sec": warm_s,
                 "bench_passes": passes,
@@ -554,6 +565,8 @@ def main() -> None:
                 "unit": "sec",
                 "sf": float(sf) if sf else None,
                 "n_queries": len(best),
+                "default_parallelism": default_parallelism,
+                "shuffle_partitions": shuffle_partitions,
                 "canary_sec": best.get(CANARY),
                 "host_factor_vs_quiet_canary": factor,
                 # the BASELINE.md ledger class, emitted mechanically so
