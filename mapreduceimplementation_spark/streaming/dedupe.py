@@ -32,6 +32,7 @@ from mapreduceimplementation_spark.session import tune
 from mapreduceimplementation_spark.streaming.windowed import (
     _events_stream,
     _size_stream_state,
+    _skip_no_data_batch,
     _stop_query,
 )
 
@@ -52,14 +53,17 @@ def run_dedup_stream(
         ev.withWatermark("day", "2 days")
         .dropDuplicates(["user_id", "event_type", "day"])
     )
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # dropDuplicates emits each first-seen key eagerly; the trailing
+    # no-data batch would only evict expired key state — skipped.
+    with _skip_no_data_batch(spark):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)
 
 

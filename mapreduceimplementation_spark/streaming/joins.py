@@ -32,6 +32,7 @@ from mapreduceimplementation_spark.session import tune
 from mapreduceimplementation_spark.streaming.windowed import (
     _events_stream,
     _size_stream_state,
+    _skip_no_data_batch,
     _stop_query,
 )
 
@@ -84,14 +85,19 @@ def run_stream_join(
             "micros_after_click"
         ),
     )
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # INNER join: every match emits eagerly in the data batches; the
+    # trailing no-data batch would only evict state (r11 profile: it cost
+    # as much as the data batch — a full join-state scan + 32 store
+    # commits for zero output rows), so it is skipped.
+    with _skip_no_data_batch(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)
 
 
